@@ -1,0 +1,26 @@
+"""db_lsh_spark — a PySpark-native near-duplicate detection & clustering engine.
+
+A from-scratch reimagination of DB-LSH (Jacyhust/DB-LSH, ICDE 2022:
+"DB-LSH: Locality-Sensitive Hashing with Query-based Dynamic Bucketing",
+reference at /root/reference) as a distributed Spark pipeline:
+
+- the reference's random Gaussian projections (dblsh.cpp:53-99) become
+  batched MinHash / SimHash signatures computed in vectorized pandas UDFs;
+- its L R*-trees of K-dim projections (RStarTree.h:574-614) become b banded
+  signature tables joined on band hash (shuffle hash join IS the index);
+- its dynamic query-aware bucketing (Query.cpp:50-115, window *= c per
+  round) becomes driver-side multi-probe band widening until a candidate
+  budget is met;
+- its exact-distance verification (RStarTree.h:1630) becomes exact Jaccard
+  + suffix-array longest-common-substring verification inside buckets;
+- the final clustering is connected components over the verified pair
+  graph (alternating large-star/small-star, O(log n) rounds).
+
+Everything here derives from public knowledge only: the PySpark API, the
+reference repo's observable behavior, and the published DB-LSH / MinHash /
+connected-components literature.
+"""
+
+__version__ = "0.1.0"
+
+from db_lsh_spark.config import DedupConfig, AnnConfig  # noqa: F401

@@ -1,0 +1,127 @@
+"""Frozen, seeded configs shared by the Spark pipeline and the single-node oracle.
+
+The reference fixes its RNG seed to 0 (``dblsh.cpp:64``: ``std::mt19937
+rng(0)``) so every run draws the same S = L*K Gaussian projections. We mirror
+that discipline: one frozen config object is the single source of truth for
+shingle size, permutation count, banding, thresholds and the seed, and both
+the distributed pipeline and the NumPy oracle derive their hash parameters
+from it — bit-identical signatures by construction (parity requirement of
+BASELINE.json: dup-pair recall >= 0.99 at the same shingle/signature config).
+
+Reference-parameter mapping (SURVEY.md section 7.0):
+
+==================  =============================================
+reference           here
+==================  =============================================
+L tables            ``bands`` (b banded hash tables)
+K dims per table    ``rows`` (r signature rows per band)
+S = L*K gaussians   ``num_perm`` = bands*rows MinHash permutations
+T = beta*N + k      ``candidate_budget(n)`` per-round budget
+30 round cap        ``max_rounds``
+exact L2 verify     ``jaccard_threshold`` exact-Jaccard verify
+==================  =============================================
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+# Shingle hashes are folded to 32 bits; MinHash permutations are keyed
+# splitmix64 finalizers over uint64 (see functions/hashing.py for why the
+# textbook linear family is NOT used). All arithmetic is uint64 wraparound —
+# exact and platform-identical, which makes oracle/Spark parity trivial.
+HASH_BITS = 32
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Configuration for the near-duplicate detection pipeline.
+
+    Defaults follow FIXTURES.md section 5; ``seed=0`` mirrors the
+    reference's fixed seed (``dblsh.cpp:64``).
+    """
+
+    seed: int = 0
+    shingle_k: int = 5           # token-shingle width
+    num_perm: int = 128          # MinHash permutations (= S = L*K)
+    bands: int = 16              # b banded tables (= L)
+    rows: int = 8                # r rows per band (= K)
+    jaccard_threshold: float = 0.8   # verify cutoff (exact-dist analogue)
+    max_bucket: int = 1000       # per-bucket candidate cap (T analogue)
+    max_rounds: int = 30         # widening round cap (Query.cpp:86)
+    beta: float = 0.1            # candidate-budget fraction (Query.cpp:81)
+    min_probe_bands: int = 16    # bands used in round 1 (can widen)
+    salt_threshold: int = 5000   # bucket size above which we salt/segment
+    max_content_chars: int = 200_000  # cap for suffix-array verification
+    lcs_min_len: int = 64        # substring-evidence threshold (chars)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows != self.num_perm:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows}) must equal "
+                f"num_perm ({self.num_perm})"
+            )
+
+    def candidate_budget(self, n: int, k: int = 50) -> int:
+        """T = beta*N + k — the reference's per-query candidate budget
+        (``Query.cpp:81``), reused as the per-round pair budget."""
+        return int(self.beta * n) + k
+
+    def fingerprint(self) -> str:
+        """Stable digest of the config — used by the checkpoint/resume
+        manifests so a changed config invalidates cached stages."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class AnnConfig:
+    """Configuration for the cosine-ANN lane over ``embeddings``.
+
+    This lane is the closest analogue of the reference itself: dense float
+    vectors (``StructType.h:2-11``), random projections (``dblsh.cpp:53-99``)
+    and a candidate join, with brute force as ground truth
+    (``Preprocess.cpp:195-227``).
+    """
+
+    seed: int = 0
+    dim: int = 64
+    n_planes: int = 16           # random hyperplanes for the sign-LSH code
+    bands: int = 4               # bands over the sign bits
+    rows: int = 4                # bits per band
+    k: int = 10                  # top-k neighbors (reference default k=50)
+    n_queries: int = 100         # reference runs 100 queries (main.cpp:132)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows != self.n_planes:
+            raise ValueError("bands*rows must equal n_planes")
+
+    def fingerprint(self) -> str:
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class SynthConfig:
+    """Deterministic generator parameters for the ``files`` fixture table
+    (FIXTURES.md section 1): seeded Zipf repo sizes, planted duplicate
+    groups with known mutation classes, byte-stable ASCII content."""
+
+    seed: int = 42
+    n_files: int = 2000
+    dup_fraction: float = 0.35      # fraction of files that live in dup groups
+    max_group: int = 12             # dup-group size range 2..max_group
+    zipf_a: float = 1.3             # repo-size skew (mega-repo fixture)
+    n_repos: int = 40
+    vendored_fraction: float = 0.08  # cross-repo vendored copies
+    langs: tuple = ("python", "java", "c", "js", "go")
+    field_sep: str = field(default="\n", repr=False)
+
+    def fingerprint(self) -> str:
+        payload = json.dumps(
+            {k: v for k, v in asdict(self).items()}, sort_keys=True, default=str
+        ).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]

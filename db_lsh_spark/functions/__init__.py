@@ -1,0 +1,13 @@
+"""Shared scalar/vector kernels (NumPy) used by BOTH the Spark pandas UDFs
+and the single-node oracle — bit-identical signatures by construction."""
+
+from db_lsh_spark.functions.hashing import (  # noqa: F401
+    HashParams,
+    band_hashes,
+    minhash_signature,
+    shingle_hashes,
+    sha256_hex,
+    simhash64,
+    token_hashes,
+    tokenize,
+)

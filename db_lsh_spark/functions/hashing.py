@@ -1,0 +1,211 @@
+"""Deterministic, vectorized hashing kernels — the engine's "HashParam".
+
+The reference draws S = L*K Gaussian projection vectors from a fixed-seed
+MT19937 and dots every point against them (``dblsh.cpp:53-99``,
+``basis.cpp:7-14``). Here the analogous row→signature transform is banded
+MinHash over hashed token shingles, plus a SimHash fingerprint for the cheap
+prefilter lane. Everything in this module is pure NumPy/stdlib and is used
+verbatim by BOTH the Spark pandas UDFs and the single-node oracle
+(``db_lsh_spark.oracle``) — signature parity is by construction, mirroring
+the reference's seeded determinism (``dblsh.cpp:64``: ``std::mt19937
+rng(0)``).
+
+Arithmetic: everything is uint64 wraparound (mod 2^64) — exact and
+identical in NumPy on every platform, so oracle/Spark parity holds bit for
+bit. The MinHash family is a keyed splitmix64 finalizer per permutation
+(``sig_p = min_s splitmix64(s XOR key_p)``) rather than the textbook
+``(a*s+b) mod p``: a linear map over a 32-bit input domain with a 61-bit
+modulus is piecewise-monotone (wraps at most a handful of times), which
+destroys min-wise independence and empirically gave estimator std ~6x the
+Bernoulli bound; the splitmix64 finalizer is a high-quality 64-bit
+permutation and restores it (validated in tests/test_hashing.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from db_lsh_spark.config import DedupConfig
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_U64 = np.uint64
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+@dataclass(frozen=True)
+class HashParams:
+    """Seeded MinHash permutation keys — the ``HashParam`` analogue
+    (``StructType.h:21-28``). Drawn once from MT19937(seed) on the driver and
+    broadcast (reference: ``dblsh.cpp:53-78``, seed fixed at
+    ``dblsh.cpp:64``)."""
+
+    keys: np.ndarray  # (num_perm,) uint64 permutation keys
+    shingle_k: int
+    bands: int
+    rows: int
+
+    @classmethod
+    def from_config(cls, cfg: DedupConfig) -> "HashParams":
+        rng = np.random.Generator(np.random.MT19937(cfg.seed))
+        keys = rng.integers(0, 1 << 64, size=cfg.num_perm, dtype=np.uint64)
+        return cls(keys=keys, shingle_k=cfg.shingle_k, bands=cfg.bands, rows=cfg.rows)
+
+
+def sha256_hex(text: str) -> str:
+    """Per-row content invariant (BASELINE.json input_hint)."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+def tokenize(text: str) -> list[str]:
+    """Whitespace tokenization — deterministic, byte-stable."""
+    return text.split()
+
+
+def _fnv1a_bytes(data: bytes) -> int:
+    """Stable 64-bit FNV-1a. Python-int arithmetic (exact), masked to 64."""
+    h = 0xCBF29CE484222325
+    for byte in data:
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def token_hashes(tokens: list[str], cache: dict | None = None) -> np.ndarray:
+    """64-bit hash per token. A per-batch cache amortizes hashing across the
+    (heavily repeated) batch vocabulary — the Arrow-batch analogue of the
+    reference's one-pass projection of the whole matrix (``dblsh.cpp:80-99``).
+    """
+    if cache is None:
+        cache = {}
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, tok in enumerate(tokens):
+        h = cache.get(tok)
+        if h is None:
+            h = _fnv1a_bytes(tok.encode("utf-8"))
+            cache[tok] = h
+        out[i] = h
+    return out
+
+
+def shingle_hashes(tokens: list[str], k: int, cache: dict | None = None) -> np.ndarray:
+    """32-bit hashes of the k-token shingles of ``tokens`` (not deduplicated).
+
+    Vectorized rolling polynomial over the token hashes: for window i,
+    ``H[i] = sum_j th[i+j] * C^(k-1-j)`` in uint64 wraparound, then an
+    xor-fold to 32 bits. A document with fewer than k tokens contributes a
+    single shingle over all of its tokens (empty text → one sentinel
+    shingle) so every row has a defined signature.
+    """
+    th = token_hashes(tokens, cache)
+    n = len(th)
+    if n == 0:
+        th = np.array([_FNV_OFFSET], dtype=np.uint64)
+        n = 1
+    kk = min(k, n)
+    # acc[i] = th[i]*C^(kk-1) + th[i+1]*C^(kk-2) + ... + th[i+kk-1]
+    acc = th[: n - kk + 1].copy()
+    for j in range(1, kk):
+        acc = acc * _FNV_PRIME + th[j : n - kk + 1 + j]
+    folded = (acc ^ (acc >> np.uint64(32))) & _MASK32
+    return folded
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a high-quality 64-bit permutation (public
+    constants from Steele/Lea/Flood, JDK SplittableRandom)."""
+    z = (z + _GOLDEN).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def minhash_signature(shingles32: np.ndarray, params: HashParams) -> np.ndarray:
+    """MinHash signature: ``sig_p = min_s splitmix64(s XOR key_p)``.
+
+    Each keyed splitmix64 acts as an independent pseudo-random permutation
+    of the 64-bit domain, giving the textbook ``P(sig_a == sig_b) =
+    Jaccard(A, B)`` estimator (see module docstring for why not the linear
+    family). Returns (num_perm,) int64 (bit view of uint64 — Arrow/Parquet
+    friendly, equality-comparable). The role mirrors the reference's
+    per-point K-dim projection (``dblsh.cpp:80-99``); the min-reduction is
+    SURVEY.md A3.
+    """
+    s = np.unique(shingles32.astype(np.uint64))
+    vals = _splitmix64(s[None, :] ^ params.keys[:, None])
+    return vals.min(axis=1).view(np.int64)
+
+
+def simhash64(tokens: list[str], cache: dict | None = None) -> int:
+    """64-bit SimHash over token hashes (cheap prefilter lane; SURVEY F6).
+
+    Bit b of the result is 1 iff more token occurrences have bit b set than
+    unset. Near-identical documents land within small Hamming distance.
+    """
+    th = token_hashes(tokens, cache)
+    if len(th) == 0:
+        return 0
+    vals, counts = np.unique(th, return_counts=True)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = (vals[:, None] >> shifts[None, :]) & _U64(1)
+    votes = (counts[:, None] * (2 * bits.astype(np.int64) - 1)).sum(axis=0)
+    sig = np.uint64(0)
+    sig = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    return int(sig.view(np.int64))
+
+
+def band_hashes(signature: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Fold a (num_perm,) signature into ``bands`` 64-bit bucket keys.
+
+    Band i covers signature rows [i*rows, (i+1)*rows). FNV-1a style mixing
+    with the band index folded into the seed, so identical row-slices in
+    different bands never collide into one bucket. These keys are the
+    engine's "L hash tables" (reference: L R*-trees, ``dblsh.cpp:101-184``)
+    — ``groupBy(band, band_hash)`` is the index.
+    """
+    sig = signature.astype(np.uint64).reshape(bands, rows)
+    acc = _FNV_OFFSET ^ (np.arange(bands, dtype=np.uint64) * _GOLDEN)
+    for j in range(rows):
+        acc = (acc ^ sig[:, j]) * _FNV_PRIME
+        acc ^= acc >> np.uint64(29)
+    return acc.astype(np.int64)
+
+
+def batch_signatures(
+    texts: "list[str] | np.ndarray", params: HashParams
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compute (minhash (n, P) int64, simhash (n,) int64, band_hash (n, b)
+    int64) for a batch of texts with one shared token-hash cache.
+
+    This is THE hot kernel the Spark pandas UDFs call per Arrow batch, and
+    the oracle calls once over the whole table — same code path.
+    """
+    n = len(texts)
+    mh = np.empty((n, len(params.keys)), dtype=np.int64)
+    sh = np.empty(n, dtype=np.int64)
+    bh = np.empty((n, params.bands), dtype=np.int64)
+    cache: dict = {}
+    for i, text in enumerate(texts):
+        toks = tokenize(text if text is not None else "")
+        shingles = shingle_hashes(toks, params.shingle_k, cache)
+        sig = minhash_signature(shingles, params)
+        mh[i] = sig
+        sh[i] = simhash64(toks, cache)
+        bh[i] = band_hashes(sig, params.bands, params.rows)
+    return mh, sh, bh
+
+
+def jaccard(tokens_a: list[str], tokens_b: list[str], k: int) -> float:
+    """Exact Jaccard over distinct k-shingle sets — the verification metric
+    (analogue of the reference's exact L2 check, ``RStarTree.h:1630``)."""
+    cache: dict = {}
+    sa = set(shingle_hashes(tokens_a, k, cache).tolist())
+    sb = set(shingle_hashes(tokens_b, k, cache).tolist())
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0

@@ -1,0 +1,169 @@
+"""Single-node exact oracle — the ``ben_make`` analogue.
+
+The reference brute-forces exact ground truth once and caches it
+(``Preprocess.cpp:195-296``); every approximate run is judged against it
+(recall at ``Query.cpp:157-163``). This module is the same idea for the
+dedup graft: a pure NumPy/stdlib implementation of the *identical*
+shingle→MinHash→band→verify→cluster pipeline (same ``DedupConfig``, same
+``functions.hashing`` kernels — parity by construction) plus a fully exact
+all-pairs mode for small inputs. The Spark pipeline must reproduce the
+oracle's clusters with dup-pair recall >= 0.99 (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import defaultdict
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.functions.hashing import (
+    HashParams,
+    batch_signatures,
+    sha256_hex,
+    shingle_hashes,
+    tokenize,
+)
+
+
+class UnionFind:
+    """Textbook union-find with path compression — drives the oracle's
+    clustering and the tests' independent connected-components check."""
+
+    def __init__(self) -> None:
+        self.parent: dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        while p != self.parent[p]:
+            self.parent[p] = self.parent[self.parent[p]]
+            p = self.parent[p]
+        self.parent[x] = p
+        return p
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-root convention matches the Spark CC's min-label output
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.parent[hi] = lo
+
+    def components(self, nodes: list[int]) -> dict[int, int]:
+        return {n: self.find(n) for n in nodes}
+
+
+@dataclass
+class OracleResult:
+    pairs: pd.DataFrame      # id_a id_b jaccard
+    clusters: pd.DataFrame   # file_id cluster_id (min file_id in component)
+    signatures: pd.DataFrame  # file_id, minhash list, simhash
+
+
+def _exact_jaccard_sets(sa: frozenset, sb: frozenset) -> float:
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 1.0
+
+
+def run_oracle(
+    files: pd.DataFrame,
+    cfg: DedupConfig,
+    exact_all_pairs: bool = False,
+) -> OracleResult:
+    """Run the reference dedup pipeline single-node.
+
+    ``exact_all_pairs=True`` skips LSH candidate generation and verifies
+    every pair (O(n^2)) — the gold standard for tiny fixtures, used to
+    measure the LSH lane's own recall.
+    """
+    ids = files["file_id"].to_numpy(dtype=np.int64)
+    texts = files["content"].tolist()
+    n = len(ids)
+    params = HashParams.from_config(cfg)
+
+    # exact-duplicate short-circuit: sha256 groups (SURVEY 7.3 — a mega
+    # bucket of byte-identical vendored copies must never hit pairwise LSH)
+    sha = np.array([sha256_hex(t) for t in texts])
+    uf = UnionFind()
+    for fid in ids:
+        uf.find(int(fid))
+    rep_of_sha: dict[str, int] = {}
+    rep_mask = np.zeros(n, dtype=bool)
+    for i in range(n):
+        r = rep_of_sha.get(sha[i])
+        if r is None:
+            rep_of_sha[sha[i]] = int(ids[i])
+            rep_mask[i] = True
+        else:
+            uf.union(r, int(ids[i]))
+
+    # signatures via the SAME batch kernel the Spark UDF calls
+    mh, sh, bh = batch_signatures(texts, params)
+    shingle_sets = [
+        frozenset(shingle_hashes(tokenize(t), cfg.shingle_k).tolist()) for t in texts
+    ]
+
+    # candidate pairs among sha-representatives
+    cand: set[tuple[int, int]] = set()
+    if exact_all_pairs:
+        rep_idx = np.flatnonzero(rep_mask)
+        cand = {
+            (int(ids[i]), int(ids[j])) if ids[i] < ids[j] else (int(ids[j]), int(ids[i]))
+            for i, j in itertools.combinations(rep_idx, 2)
+        }
+    else:
+        buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for i in np.flatnonzero(rep_mask):
+            for band in range(cfg.bands):
+                buckets[(band, int(bh[i, band]))].append(i)
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            for i, j in itertools.combinations(members, 2):
+                a, b = int(ids[i]), int(ids[j])
+                cand.add((a, b) if a < b else (b, a))
+
+    # verification: exact Jaccard over distinct shingle sets
+    pos = {int(f): i for i, f in enumerate(ids)}
+    pair_rows = []
+    for a, b in sorted(cand):
+        j = _exact_jaccard_sets(shingle_sets[pos[a]], shingle_sets[pos[b]])
+        if j >= cfg.jaccard_threshold:
+            pair_rows.append((a, b, j))
+            uf.union(a, b)
+    pairs = pd.DataFrame(pair_rows, columns=["id_a", "id_b", "jaccard"])
+
+    comp = uf.components([int(f) for f in ids])
+    clusters = pd.DataFrame(
+        {"file_id": list(comp.keys()), "cluster_id": list(comp.values())}
+    ).sort_values("file_id").reset_index(drop=True)
+
+    signatures = pd.DataFrame(
+        {"file_id": ids, "minhash": list(mh), "simhash": sh}
+    )
+    return OracleResult(pairs=pairs, clusters=clusters, signatures=signatures)
+
+
+def cluster_pair_set(clusters: pd.DataFrame) -> set[tuple[int, int]]:
+    """All intra-cluster pairs — the unit of the dup-pair recall metric
+    (reference: ``Query.cpp:157-163`` set_intersection recall)."""
+    out: set[tuple[int, int]] = set()
+    for _, sub in clusters.groupby("cluster_id"):
+        members = sorted(int(x) for x in sub["file_id"])
+        if len(members) > 1:
+            out.update(itertools.combinations(members, 2))
+    return out
+
+
+def pair_recall(result: pd.DataFrame, truth: pd.DataFrame) -> float:
+    """|result ∩ truth| / |truth| over intra-cluster pair sets."""
+    t = cluster_pair_set(truth)
+    if not t:
+        return 1.0
+    r = cluster_pair_set(result)
+    return len(r & t) / len(t)

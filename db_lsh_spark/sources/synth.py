@@ -1,0 +1,231 @@
+"""Deterministic synthetic ``files`` fixture with planted duplicate groups.
+
+The reference ships real ANN datasets and brute-forces its own ground truth
+(``Preprocess.cpp:195-227``). We synthesize the BASELINE.json input_hint
+table ``(repo, path, commit, lang, content)`` with a *planted-duplicate
+model* (FIXTURES.md section 1): a seeded population of unique source files
+plus duplicate groups of size 2..max_group under known mutation classes —
+
+  exact      — byte-identical copy (sha256-equal; must short-circuit)
+  whitespace — blank-line / comment churn (token set nearly unchanged)
+  rename     — a rare identifier renamed (a few shingles flip)
+  block      — a small function inserted or deleted
+  vendored   — copy planted in a *different* repo under ``vendor/``
+
+The intended group id is written alongside, yielding golden tables
+``golden_pairs(id_a, id_b, mutation, jaccard, is_dup)`` and
+``golden_clusters(file_id, cluster_id)`` — the ``Ben`` analogue
+(``Preprocess.cpp:195-227``). Goldens are *config-aware*: each planted
+pair's exact shingle-Jaccard is recorded, ``is_dup`` applies the configured
+threshold, and golden clusters are the connected components of the
+thresholded pair graph — so a correct oracle/pipeline must reproduce them
+EXACTLY, not merely approximately. Generation is pure NumPy/stdlib from one
+seed (mirroring ``dblsh.cpp:64``): no Spark, no external data, byte-stable
+ASCII with fixed ``\\n`` EOLs so sha256 is reproducible across runs and
+platforms.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from db_lsh_spark.config import SynthConfig
+
+_EXTS = {"python": "py", "java": "java", "c": "c", "js": "js", "go": "go"}
+_KEYWORDS = {
+    "python": ["def", "return", "if", "for", "in", "import", "class", "self"],
+    "java": ["public", "static", "void", "return", "if", "for", "class", "new"],
+    "c": ["int", "return", "if", "for", "void", "struct", "static", "char"],
+    "js": ["function", "return", "if", "for", "const", "let", "var", "new"],
+    "go": ["func", "return", "if", "for", "package", "type", "struct", "var"],
+}
+_COMMENT = {"python": "#", "java": "//", "c": "//", "js": "//", "go": "//"}
+
+
+@dataclass
+class SynthResult:
+    files: pd.DataFrame            # repo path commit lang content sha256 file_id
+    golden_pairs: pd.DataFrame     # id_a id_b mutation
+    golden_clusters: pd.DataFrame  # file_id cluster_id
+
+
+def _ident(rng: np.random.Generator) -> str:
+    syll = ["foo", "bar", "baz", "qux", "tmp", "val", "idx", "buf", "ptr", "acc",
+            "sum", "cnt", "key", "row", "col", "map", "vec", "str", "num", "obj"]
+    return "_".join(rng.choice(syll, size=2)) + str(rng.integers(0, 1000))
+
+
+def _gen_content(rng: np.random.Generator, lang: str, n_funcs: int) -> str:
+    """One source file: n_funcs pseudo-functions of seeded identifiers.
+    Tokens are whitespace-separated so the engine's shingling is exercised
+    exactly as configured."""
+    kw = _KEYWORDS[lang]
+    lines = [f"{_COMMENT[lang]} module {_ident(rng)} generated fixture"]
+    for _ in range(n_funcs):
+        name = _ident(rng)
+        args = [_ident(rng) for _ in range(int(rng.integers(1, 4)))]
+        lines.append(f"{kw[0]} {name} ( {' , '.join(args)} ) {{")
+        for _ in range(int(rng.integers(3, 9))):
+            a, b = _ident(rng), rng.choice(args)
+            op = rng.choice(["+", "-", "*", "="])
+            lines.append(f"  {rng.choice(kw)} {a} {op} {b} ;")
+        lines.append(f"  {kw[1]} {rng.choice(args)} ;")
+        lines.append("}")
+    return "\n".join(lines) + "\n"
+
+
+def _mutate(rng: np.random.Generator, content: str, lang: str, kind: str) -> str:
+    lines = content.split("\n")
+    if kind == "exact" or kind == "vendored":
+        return content
+    if kind == "whitespace":
+        # insert blank lines + one comment; token stream barely changes
+        pos = int(rng.integers(1, len(lines)))
+        lines.insert(pos, "")
+        lines.insert(pos, f"{_COMMENT[lang]} {_ident(rng)}")
+        return "\n".join(lines)
+    if kind == "rename":
+        # rename one identifier occurring in the file
+        toks = [t for t in content.split() if t.startswith(("foo", "bar", "baz"))]
+        if toks:
+            old = str(rng.choice(toks))
+            return content.replace(old, _ident(rng))
+        return content
+    if kind == "block":
+        # delete one statement line and insert a new one elsewhere
+        stmt_idx = [i for i, l in enumerate(lines) if l.startswith("  ")]
+        if len(stmt_idx) > 2:
+            del lines[int(rng.choice(stmt_idx))]
+        pos = int(rng.integers(1, len(lines)))
+        lines.insert(pos, f"  {_ident(rng)} = {_ident(rng)} ;")
+        return "\n".join(lines)
+    raise ValueError(kind)
+
+
+_MUTATIONS = ["exact", "whitespace", "rename", "block", "vendored"]
+
+
+def generate(cfg: SynthConfig, dedup_cfg=None) -> SynthResult:
+    """Deterministic fixture generation. Same cfg → byte-identical tables.
+
+    ``dedup_cfg`` (a ``DedupConfig``) controls the golden tables' shingle
+    size and Jaccard threshold so goldens and pipeline judge the same
+    predicate (parity discipline of SURVEY.md section 4's determinism note).
+    """
+    rng = np.random.Generator(np.random.MT19937(cfg.seed))
+    n = cfg.n_files
+    n_dup_files = int(n * cfg.dup_fraction)
+
+    # --- duplicate groups -------------------------------------------------
+    groups: list[tuple[int, list[tuple[str, str]]]] = []  # (gid, [(content, mutation)])
+    made = 0
+    gid = 0
+    rows: list[dict] = []
+    # Zipf-skewed repo sizes: a few mega-repos (skew fixture, SURVEY 7.3)
+    repo_weights = 1.0 / np.arange(1, cfg.n_repos + 1) ** cfg.zipf_a
+    repo_weights /= repo_weights.sum()
+
+    def pick_repo() -> str:
+        i = int(rng.choice(cfg.n_repos, p=repo_weights))
+        return f"org{i % 7}/repo{i}"
+
+    def add_row(content: str, lang: str, group: int, mutation: str,
+                vendored: bool = False) -> None:
+        repo = pick_repo()
+        if vendored:
+            path = f"vendor/lib{group}/mod{len(rows)}.{_EXTS[lang]}"
+        else:
+            path = f"src/{_ident(rng)}/{_ident(rng)}.{_EXTS[lang]}"
+        commit = hashlib.sha1(f"{repo}|{len(rows)}|{cfg.seed}".encode()).hexdigest()[:12]
+        rows.append(dict(repo=repo, path=path, commit=commit, lang=lang,
+                         content=content, _group=group, _mutation=mutation))
+
+    while made < n_dup_files:
+        size = int(rng.integers(2, cfg.max_group + 1))
+        lang = str(rng.choice(cfg.langs))
+        base = _gen_content(rng, lang, n_funcs=int(rng.integers(4, 10)))
+        add_row(base, lang, gid, "base")
+        for _ in range(size - 1):
+            kind = str(rng.choice(_MUTATIONS))
+            add_row(_mutate(rng, base, lang, kind), lang, gid, kind,
+                    vendored=(kind == "vendored" or rng.random() < cfg.vendored_fraction))
+        made += size
+        gid += 1
+
+    # --- unique files -----------------------------------------------------
+    while len(rows) < n:
+        lang = str(rng.choice(cfg.langs))
+        add_row(_gen_content(rng, lang, n_funcs=int(rng.integers(4, 10))),
+                lang, -1, "unique")
+
+    files = pd.DataFrame(rows[:n])
+    # deterministic dense id: row_number over (repo, path, commit) — FIXTURES.md
+    files = files.sort_values(["repo", "path", "commit"], kind="mergesort").reset_index(drop=True)
+    files["file_id"] = np.arange(len(files), dtype=np.int64)
+    files["sha256"] = [hashlib.sha256(c.encode()).hexdigest() for c in files["content"]]
+    files["size"] = files["content"].str.len().astype("int64")
+
+    # --- golden tables (config-aware: exact Jaccard + threshold) -----------
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.functions.hashing import jaccard as exact_jaccard, tokenize
+
+    dcfg = dedup_cfg if dedup_cfg is not None else DedupConfig()
+    content_of = dict(zip(files["file_id"], files["content"]))
+    pair_rows = []
+    dup_edges: list[tuple[int, int]] = []
+    for g, sub in files[files["_group"] >= 0].groupby("_group"):
+        ids = sub["file_id"].tolist()
+        muts = dict(zip(sub["file_id"], sub["_mutation"]))
+        for a, b in itertools.combinations(sorted(ids), 2):
+            m = muts[b] if muts[a] == "base" else f"{muts[a]}+{muts[b]}"
+            j = exact_jaccard(
+                tokenize(content_of[a]), tokenize(content_of[b]), dcfg.shingle_k
+            )
+            is_dup = j >= dcfg.jaccard_threshold
+            pair_rows.append(dict(id_a=a, id_b=b, mutation=m,
+                                  jaccard=j, is_dup=is_dup))
+            if is_dup:
+                dup_edges.append((a, b))
+
+    golden_pairs = pd.DataFrame(
+        pair_rows, columns=["id_a", "id_b", "mutation", "jaccard", "is_dup"]
+    )
+    # golden clusters = connected components of the thresholded pair graph
+    # (independent union-find — the Spark CC and the oracle must match this)
+    parent: dict[int, int] = {int(f): int(f) for f in files["file_id"]}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in dup_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    golden_clusters = pd.DataFrame(
+        {"file_id": sorted(parent), "cluster_id": [find(f) for f in sorted(parent)]}
+    )
+    files = files.drop(columns=["_group", "_mutation"])
+    return SynthResult(files=files, golden_pairs=golden_pairs,
+                       golden_clusters=golden_clusters)
+
+
+def write_fixture(cfg: SynthConfig, out_dir: str, dedup_cfg=None) -> SynthResult:
+    """Materialize the fixture as parquet (files, golden_pairs,
+    golden_clusters) under ``out_dir`` — idempotent and deterministic."""
+    import os
+
+    res = generate(cfg, dedup_cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    res.files.to_parquet(f"{out_dir}/files.parquet", index=False)
+    res.golden_pairs.to_parquet(f"{out_dir}/golden_pairs.parquet", index=False)
+    res.golden_clusters.to_parquet(f"{out_dir}/golden_clusters.parquet", index=False)
+    return res
