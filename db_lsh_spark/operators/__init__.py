@@ -1,0 +1,4 @@
+"""Distributed operators of the dedup engine, one module per SURVEY.md §2
+stage: signatures (P1/P2), bands (GetTables analogue), candidates (J1),
+verify (J3), cluster (the final assignment), ann (the vector lane), text
+(training-data text analysis ops)."""

@@ -1,0 +1,72 @@
+"""Banded signature table — the engine's index.
+
+The reference materializes L R*-trees over K-dim projections
+(``dblsh.cpp:101-184``); the Spark-native index is the *exploded* banded
+signature table ``(band, band_hash, file_id)``: ``groupBy(band, band_hash)``
+IS the hash index, and the shuffle that builds it is the analogue of the
+STR bulk load (``RStarTree.h:2184-2345`` ≙ ``repartitionByRange`` +
+local sort — applied when the table is persisted so Parquet min-max
+row-group skipping prunes probes, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def explode_bands(signatures: DataFrame) -> DataFrame:
+    """(file_id, band_hash array) → (band, band_hash, file_id), N*b rows.
+
+    ``posexplode`` is the UDTF-shaped GetTables analogue (SURVEY §2.10) —
+    pure JVM, stays inside whole-stage codegen.
+    """
+    return signatures.select(
+        "file_id", F.posexplode("band_hash").alias("band", "band_hash")
+    )
+
+
+def bucket_stats(bands: DataFrame) -> DataFrame:
+    """Bucket-size census: (band, band_hash, bucket_size). Drives hot-bucket
+    detection (the skew lane the reference never needed — SURVEY §4 'skew
+    handling: absent')."""
+    return bands.groupBy("band", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+
+
+def cap_buckets(bands: DataFrame, max_bucket: int) -> tuple[DataFrame, DataFrame]:
+    """Bound per-bucket membership to ``max_bucket`` rows (deterministic:
+    lowest file_ids kept) — the distributed analogue of the reference's
+    candidate budget T = beta*N + k (``Query.cpp:81``, early exit
+    ``RStarTree.h:1643-1646``).
+
+    A bucket with B members yields B^2/2 candidate pairs; uncapped
+    mega-buckets (low-specificity band hashes) are the 100-TB failure mode.
+    Exact duplicates were already short-circuited via sha256, so what's
+    capped here is genuinely low-information collisions; membership in the
+    other b-1 bands is unaffected, which is what keeps recall high.
+
+    Returns (capped_bands, overflow_census) — the census is logged to the
+    metrics table so capping is never silent (SURVEY §5 discipline).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash").orderBy("file_id")
+    ranked = bands.withColumn("_rank", F.row_number().over(w))
+    capped = ranked.where(F.col("_rank") <= max_bucket).drop("_rank")
+    overflow = (
+        ranked.where(F.col("_rank") > max_bucket)
+        .groupBy("band", "band_hash")
+        .agg(F.count("*").alias("dropped_members"))
+    )
+    return capped, overflow
+
+
+def salt_column(df: DataFrame, key_cols: list[str], buckets: int) -> DataFrame:
+    """Deterministic salt in [0, buckets) derived from xxhash64(file_id) —
+    used to split a hot groupBy key into ``buckets`` sub-keys (north_rule:
+    skew handled explicitly via salting). Deterministic so re-runs and the
+    resume path produce identical partitioning."""
+    return df.withColumn(
+        "salt", F.pmod(F.xxhash64(*key_cols), F.lit(buckets)).cast("int")
+    )

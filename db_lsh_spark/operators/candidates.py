@@ -1,0 +1,75 @@
+"""Candidate-pair generation — the LSH join (SURVEY J1, the core).
+
+The reference probes L R*-trees with a dynamically widening window
+(``Query.cpp:50-115``). The Spark-native equivalent is a *self equi-join of
+the banded signature table on (band, band_hash)*: two files collide iff
+some band of their MinHash signatures agrees — a pure shuffle hash join
+that Catalyst executes with AQE skew splitting. Dynamic widening (the
+paper's core idea, ``Query.cpp:86-100``) is the driver-side multi-probe
+loop in ``pipeline.widening_rounds``: if a probe set is under budget,
+re-band with fewer rows per band (wider buckets), exactly as DB-LSH grows
+w by c per round without rebuilding the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.operators.bands import cap_buckets
+
+
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Self-join on (band, band_hash) → distinct (id_a < id_b) pairs.
+
+    Scale notes (the part the reference never had to solve):
+    - buckets are capped at ``cfg.max_bucket`` members first (budget T
+      analogue) — pair blowup is bounded by max_bucket^2/2 per bucket;
+    - the join keys are (band, band_hash): high cardinality, so the
+      shuffle is well spread; residual skew is handled by AQE skew-join
+      (enabled in session.py);
+    - ``dropDuplicates`` is the visit-bitmap analogue
+      (``RStarTree.h:111-114``): a pair colliding in many bands is
+      verified once.
+
+    Returns (pairs, overflow_census).
+    """
+    capped, overflow = cap_buckets(bands, cfg.max_bucket)
+    left = capped.select("band", "band_hash", F.col("file_id").alias("id_a"))
+    right = capped.select("band", "band_hash", F.col("file_id").alias("id_b"))
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs, overflow
+
+
+def simhash_prefilter(
+    pairs: DataFrame, signatures: DataFrame, max_hamming: int = 16
+) -> DataFrame:
+    """Optional cheap lane: drop candidate pairs whose 64-bit SimHash
+    fingerprints differ in more than ``max_hamming`` bits before the
+    expensive content verify. ``bit_count(a XOR b)`` is pure JVM
+    (whole-stage codegen) — SURVEY F6's popcount analogue.
+
+    Used with a *loose* threshold: SimHash at 64 bits is a blunt
+    instrument; the default 16 keeps essentially all Jaccard>=0.8 pairs
+    (validated in tests) while skipping pathological collisions.
+    """
+    sims = signatures.select("file_id", "simhash")
+    a = sims.select(F.col("file_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    b = sims.select(F.col("file_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,101 @@
+"""Signature stage: content → (sha256, MinHash, SimHash, band hashes).
+
+The reference projects every point against S = L*K Gaussian directions in
+one pass (``dblsh.cpp:80-99``). Here the row→signature transform runs as a
+``mapInPandas`` over Arrow batches calling the SAME NumPy kernel the oracle
+uses (``functions.hashing.batch_signatures``) — no per-row Python, and
+bit-identical signatures on both sides (the parity requirement of
+BASELINE.json).
+
+sha256 is computed JVM-side with the built-in ``sha2`` (whole-stage
+codegen; hashlib and Spark agree on the hex encoding) — it is both the
+per-row invariant and the exact-duplicate short-circuit key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.functions.hashing import HashParams, batch_signatures
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType(), False),
+        StructField("minhash", ArrayType(LongType(), False), False),
+        StructField("simhash", LongType(), False),
+        StructField("band_hash", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def with_ids_and_sha(files: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """Ingest: attach the per-row sha256 invariant and (if absent) a dense
+    deterministic file_id (row_number over (repo, path, commit) —
+    FIXTURES.md). Column pruning keeps the scan narrow when content is the
+    only derived input."""
+    out = files
+    if "sha256" not in out.columns:
+        out = out.withColumn("sha256", F.sha2(F.col("content"), 256))
+    if id_col not in out.columns:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("repo", "path", "commit")
+        # row_number over a global window is fine for fixtures; real inputs
+        # carry a precomputed id (the generator always writes one).
+        out = out.withColumn(id_col, F.row_number().over(w).cast("long") - 1)
+    return out
+
+
+def exact_duplicate_edges(files: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """sha256 short-circuit (SURVEY 7.3): byte-identical files never reach
+    pairwise LSH. Returns (edges, representatives):
+
+    - edges(src, dst): file → min file_id of its sha256 group (src != dst)
+    - representatives: one row per distinct sha256 (the group min), the
+      only rows that flow into the signature/LSH stages.
+
+    One shuffle on sha256; a 10^6-copy vendored file costs 10^6 rows, not
+    10^12 candidate pairs.
+    """
+    grp = files.groupBy("sha256").agg(F.min("file_id").alias("rep_id"))
+    with_rep = files.join(grp, "sha256")  # shuffle join on sha256
+    edges = (
+        with_rep.where(F.col("file_id") != F.col("rep_id"))
+        .select(F.col("file_id").alias("src"), F.col("rep_id").alias("dst"))
+    )
+    reps = with_rep.where(F.col("file_id") == F.col("rep_id")).drop("rep_id")
+    return edges, reps
+
+
+def compute_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(file_id, content) → SIGNATURE_SCHEMA via vectorized pandas kernel.
+
+    ``HashParams`` is built once on the driver from the seeded config and
+    shipped in the task closure (a few KB — the broadcast-variable analogue
+    of the reference's ``HashParam``, ``dblsh.cpp:53-78``).
+    """
+    params = HashParams.from_config(cfg)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mh, sh, bh = batch_signatures(pdf["content"].tolist(), params)
+            yield pd.DataFrame(
+                {
+                    "file_id": pdf["file_id"].astype("int64"),
+                    "minhash": list(mh),
+                    "simhash": sh,
+                    "band_hash": list(bh),
+                }
+            )
+
+    return reps.select("file_id", "content").mapInPandas(gen, SIGNATURE_SCHEMA)

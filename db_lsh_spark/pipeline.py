@@ -1,0 +1,200 @@
+"""End-to-end dedup pipeline — the ``lshknn`` analogue (``main.cpp:129-183``).
+
+Stage graph (each stage checkpointed via StageStore; resume skips complete
+stages — north_rule):
+
+    ingest      files + sha256 + file_id
+    signatures  MinHash/SimHash/band hashes over sha256 representatives
+    bands       exploded (band, band_hash, file_id) — the index
+    pairs       banded self-join → candidate pairs (capped, deduped)
+    verified    exact Jaccard + suffix-array LCS ≥ threshold
+    clusters    connected components over (verified ∪ exact-dup edges)
+
+The reference's dynamic query-aware widening (``Query.cpp:86-100``:
+window *= c per round until T candidates) appears as ``widening_rounds``:
+if the verified-pair yield is under budget, re-band with fewer rows per
+band (wider buckets — the discrete analogue of a wider window) and union
+the new candidates, up to ``cfg.max_rounds``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.operators.bands import explode_bands
+from db_lsh_spark.operators.candidates import candidate_pairs
+from db_lsh_spark.operators.cluster import (
+    assignments_with_singletons,
+    connected_components,
+)
+from db_lsh_spark.operators.signatures import (
+    compute_signatures,
+    exact_duplicate_edges,
+    with_ids_and_sha,
+)
+from db_lsh_spark.operators.verify import verify_pairs
+from db_lsh_spark.sources.io import StageStore
+
+
+@dataclass
+class DedupOutput:
+    files: DataFrame       # with file_id + sha256
+    signatures: DataFrame
+    pairs: DataFrame       # verified near-dup pairs
+    clusters: DataFrame    # (file_id, cluster_id)
+    store: StageStore | None
+
+
+def run_dedup(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: DedupConfig | None = None,
+    checkpoint_root: str | None = None,
+    with_lcs: bool = True,
+) -> DedupOutput:
+    """Run the full pipeline. With ``checkpoint_root`` set, every stage is
+    materialized + manifest-gated (resume-from-checkpoint); without it the
+    plan is built lazily end-to-end (good for small inputs / tests)."""
+    cfg = cfg or DedupConfig()
+    store = StageStore(checkpoint_root, cfg.fingerprint()) if checkpoint_root else None
+
+    def gate(name: str, builder, **kw) -> DataFrame:
+        if store is not None:
+            return store.run_stage(spark, name, builder, **kw)
+        return builder()
+
+    files_ids = gate("ingest", lambda: with_ids_and_sha(files))
+    # exact-dup short-circuit is derived (cheap) — recomputed, not gated
+    exact_edges, reps = exact_duplicate_edges(files_ids)
+
+    signatures = gate("signatures", lambda: compute_signatures(reps, cfg))
+    bands = gate(
+        "bands",
+        lambda: explode_bands(signatures),
+        repartition_by=["band", "band_hash"],
+        sort_within=["band", "band_hash", "file_id"],
+    )
+    pairs_cand = gate("pairs", lambda: candidate_pairs(bands, cfg)[0])
+    verified = gate(
+        "verified", lambda: verify_pairs(pairs_cand, files_ids, cfg, with_lcs=with_lcs)
+    )
+
+    def build_clusters() -> DataFrame:
+        # Eager checkpoints serve two purposes: the iterative CC re-reads its
+        # edge input every round (without this the whole LSH join would be
+        # recomputed per iteration), and unioning two frames that share deep
+        # lineage trips a Catalyst constraint-rewrite bug
+        # (UnionBase.rewriteConstraints: "key not found") in Spark 4.1.
+        near_edges = verified.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).localCheckpoint(eager=True)
+        edges = near_edges.unionByName(exact_edges.localCheckpoint(eager=True))
+        comp = connected_components(edges)
+        return assignments_with_singletons(comp, files_ids)
+
+    clusters = gate("clusters", build_clusters)
+    return DedupOutput(
+        files=files_ids,
+        signatures=signatures,
+        pairs=verified,
+        clusters=clusters,
+        store=store,
+    )
+
+
+def widening_rounds(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: DedupConfig,
+    target_pairs: int,
+    max_rounds: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Dynamic multi-probe widening — the DB-LSH idea (``Query.cpp:86-100``)
+    rendered Spark-native.
+
+    Round t re-bands the SAME signatures with rows_t = rows >> t (each band
+    hash covers fewer MinHash rows → buckets widen, collision probability
+    per band rises: p^r is the band-collision curve, so halving r is the
+    analogue of multiplying the window by c). Rounds stop when the
+    cumulative distinct candidate count reaches ``target_pairs`` (the
+    T = beta*N + k budget, ``Query.cpp:81``) or bands can't widen further.
+
+    Returns (candidate pair DataFrame, per-round stats for the metrics
+    table). Signatures are computed once — like the reference, widening
+    never re-indexes (the paper's core claim vs classic E2LSH).
+    """
+    files_ids = with_ids_and_sha(files)
+    _, reps = exact_duplicate_edges(files_ids)
+    signatures = compute_signatures(reps, cfg).cache()
+
+    rounds: list[dict] = []
+    all_pairs: DataFrame | None = None
+    rows_t = cfg.rows
+    max_rounds = max_rounds or cfg.max_rounds
+    for t in range(max_rounds):
+        cfg_t = replace(
+            cfg,
+            rows=rows_t,
+            bands=cfg.num_perm // rows_t,
+            num_perm=cfg.num_perm,
+        )
+        # re-band the cached signatures at the new width
+        from db_lsh_spark.functions.hashing import band_hashes as _bh  # noqa: F401
+        from db_lsh_spark.operators.signatures import SIGNATURE_SCHEMA  # noqa: F401
+
+        bands_t = _reband(signatures, cfg_t)
+        pairs_t, _ = candidate_pairs(bands_t, cfg_t)
+        all_pairs = pairs_t if all_pairs is None else (
+            all_pairs.unionByName(pairs_t).dropDuplicates(["id_a", "id_b"])
+        )
+        all_pairs = all_pairs.localCheckpoint(eager=True)
+        n = all_pairs.count()
+        rounds.append({"round": t, "rows_per_band": rows_t, "cum_pairs": n})
+        if n >= target_pairs or rows_t == 1:
+            break
+        rows_t = max(1, rows_t // 2)
+    signatures.unpersist()
+    return all_pairs, rounds
+
+
+def _reband(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Re-band cached minhash signatures at (cfg.bands, cfg.rows) without
+    recomputing them — pandas stage over the minhash column only."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    import numpy as np
+
+    from db_lsh_spark.functions.hashing import band_hashes
+
+    bands_n, rows_n = cfg.bands, cfg.rows
+    schema = StructType(
+        [
+            StructField("file_id", LongType(), False),
+            StructField("band", IntegerType(), False),
+            StructField("band_hash", LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fids = []
+            bidx = []
+            bh = []
+            for fid, mh in zip(pdf["file_id"], pdf["minhash"]):
+                hv = band_hashes(np.asarray(mh, dtype=np.int64), bands_n, rows_n)
+                fids.extend([fid] * bands_n)
+                bidx.extend(range(bands_n))
+                bh.extend(hv.tolist())
+            yield pd.DataFrame(
+                {"file_id": pd.array(fids, dtype="int64"),
+                 "band": pd.array(bidx, dtype="int32"),
+                 "band_hash": pd.array(bh, dtype="int64")}
+            )
+
+    return signatures.select("file_id", "minhash").mapInPandas(gen, schema)

@@ -1,0 +1,50 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Single place where execution knobs live so tests, bench and spark-submit
+jobs run the same plan shapes: AQE on (runtime skew-join splitting + shuffle
+coalescing — our substitute for the reference's hand-tuned page sizing,
+``dblsh.cpp:104-124``), Arrow for pandas UDFs, and a shuffle-partition count
+sized to the local core budget (on a real cluster: ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "db_lsh_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*] → os core count; else fall back to cores
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        if inner == "*":
+            shuffle_partitions = os.cpu_count() or cores
+        else:
+            shuffle_partitions = int(inner) if inner.isdigit() else cores
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spark 4.1 UnionBase.rewriteConstraints throws "key not found"
+        # (NoSuchElementException) when re-planning a union of frames with
+        # filters over shared-lineage attributes (hit by the CC edge union);
+        # constraint propagation buys little for this workload — off.
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()

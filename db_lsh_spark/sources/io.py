@@ -1,0 +1,126 @@
+"""Stage-checkpointed IO: resume-from-checkpoint + per-partition lineage.
+
+north_rule: "every stage writes per-partition lineage and metrics ... so
+the pipeline resumes from checkpoint mid-run". The reference's analogue is
+its ground-truth create-or-load (``Preprocess.cpp:268-296``: peek header,
+rebuild if stale) — generalized here to every stage.
+
+Design: each stage writes Parquet under ``<root>/<stage>/`` plus a
+``_MANIFEST.json`` carrying the config fingerprint, row count and wall
+time. A stage is *complete* iff its manifest exists and its fingerprint
+matches the current config — a changed config invalidates downstream
+caches exactly like the reference's stale-header check. Per-partition row
+counts (lineage) are appended to ``<root>/stage_metrics`` (the metrics
+table of SURVEY §2.1 S4).
+
+Iceberg note: this sandbox has no Iceberg runtime jar, so the store is
+Parquet + manifest implementing the same snapshot/resume contract
+(SURVEY 7.3). The catalog choice is isolated here: ``StageStore`` is the
+only module that touches paths, so swapping in
+``df.writeTo(table).createOrReplace()`` against a real Iceberg catalog is
+a one-module change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows: int
+    wall_ms: float
+    skipped: bool  # True when served from checkpoint
+
+
+class StageStore:
+    def __init__(self, root: str, fingerprint: str):
+        self.root = root
+        self.fingerprint = fingerprint
+        os.makedirs(root, exist_ok=True)
+        self.results: list[StageResult] = []
+
+    # -- manifest helpers ---------------------------------------------------
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), "_MANIFEST.json")
+
+    def is_complete(self, stage: str) -> bool:
+        try:
+            with open(self._manifest_path(stage)) as f:
+                m = json.load(f)
+            return m.get("fingerprint") == self.fingerprint
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._dir(stage), "data"))
+
+    # -- the stage gate -----------------------------------------------------
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        builder,  # () -> DataFrame
+        repartition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+    ) -> DataFrame:
+        """Execute-or-resume ``stage``. On execute: materialize the builder's
+        DataFrame to Parquet (optionally range-layout for min-max skipping —
+        the STR-bulkload analogue, SURVEY T3), write per-partition lineage
+        and the manifest. On resume: read the checkpoint and record a
+        skipped StageResult."""
+        if self.is_complete(stage):
+            df = self.read(spark, stage)
+            self.results.append(StageResult(stage, -1, 0.0, skipped=True))
+            return df
+
+        t0 = time.monotonic()
+        df = builder()
+        if repartition_by:
+            df = df.repartitionByRange(*repartition_by)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
+        out_dir = os.path.join(self._dir(stage), "data")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        df.write.mode("overwrite").parquet(out_dir)
+        persisted = spark.read.parquet(out_dir)
+
+        # per-partition lineage (rows per output partition)
+        lineage = (
+            persisted.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("fingerprint", F.lit(self.fingerprint))
+        )
+        metrics_dir = os.path.join(self.root, "stage_metrics")
+        lineage.write.mode("append").parquet(metrics_dir)
+
+        rows = persisted.count()
+        wall_ms = (time.monotonic() - t0) * 1000
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "fingerprint": self.fingerprint,
+                    "rows": rows,
+                    "wall_ms": wall_ms,
+                    "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                },
+                f,
+                indent=2,
+            )
+        self.results.append(StageResult(stage, rows, wall_ms, skipped=False))
+        return persisted
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "stage_metrics"))
