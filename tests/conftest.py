@@ -1,0 +1,37 @@
+"""Shared fixtures: one SparkSession per test session (JVM start ~20 s),
+one small deterministic files fixture."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from db_lsh_spark.config import DedupConfig, SynthConfig  # noqa: E402
+from db_lsh_spark.sources.synth import generate  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from db_lsh_spark.session import get_spark
+
+    s = get_spark(app_name="db_lsh_spark-tests", master="local[8]",
+                  shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def dedup_cfg() -> DedupConfig:
+    return DedupConfig()
+
+
+@pytest.fixture(scope="session")
+def fixture_small(dedup_cfg):
+    """400-file planted-duplicate fixture + goldens (deterministic)."""
+    return generate(SynthConfig(n_files=400), dedup_cfg)

@@ -1,0 +1,66 @@
+"""Connected components: fixed topologies (chain/star/two-cliques —
+SURVEY §5.2) + randomized equivalence against union-find."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from db_lsh_spark.oracle import UnionFind
+from db_lsh_spark.operators.cluster import (
+    assignments_with_singletons,
+    connected_components,
+)
+
+
+def _cc_spark(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df).collect()
+    return {r.file_id: r.cluster_id for r in out}
+
+
+def _cc_truth(edges: list[tuple[int, int]]) -> dict[int, int]:
+    # connected_components contract: self-loops dropped; nodes touching no
+    # real edge are singletons handled by assignments_with_singletons.
+    uf = UnionFind()
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            uf.union(a, b)
+            nodes.update((a, b))
+    return uf.components(sorted(nodes))
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(i, i + 1) for i in range(20)],                      # chain
+        [(0, i) for i in range(1, 15)],                       # star (min hub)
+        [(i, 0) for i in range(1, 15)],                       # star reversed
+        [(100, i) for i in range(1, 15)],                     # star, hub NOT min
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],       # two components
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]   # clique
+        + [(a, b) for a in range(20, 24) for b in range(a + 1, 24)],  # + clique
+        [(7, 7), (1, 2)],                                     # self-loop ignored
+    ],
+)
+def test_cc_fixed_topologies(spark, edges):
+    assert _cc_spark(spark, edges) == _cc_truth(edges)
+
+
+def test_cc_random_graphs_match_unionfind(spark):
+    rng = np.random.default_rng(42)
+    nodes = rng.choice(10_000, size=120, replace=False)
+    edges = [
+        (int(nodes[rng.integers(len(nodes))]), int(nodes[rng.integers(len(nodes))]))
+        for _ in range(150)
+    ]
+    assert _cc_spark(spark, edges) == _cc_truth(edges)
+
+
+def test_singletons_union(spark):
+    comp = connected_components(spark.createDataFrame([(1, 2)], ["src", "dst"]))
+    all_nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], ["file_id"])
+    rows = assignments_with_singletons(comp, all_nodes).collect()
+    got = {r.file_id: r.cluster_id for r in rows}
+    assert got == {1: 1, 2: 1, 3: 3, 9: 9}

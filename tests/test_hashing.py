@@ -1,0 +1,108 @@
+"""Unit + property tests for the shared hashing kernels (SURVEY §5.2:
+shingle determinism, MinHash≈Jaccard sanity, band cardinality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.functions.hashing import (
+    HashParams,
+    band_hashes,
+    batch_signatures,
+    jaccard,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    tokenize,
+)
+
+CFG = DedupConfig()
+PARAMS = HashParams.from_config(CFG)
+
+
+def test_params_seeded_deterministic():
+    p2 = HashParams.from_config(DedupConfig())
+    assert (PARAMS.keys == p2.keys).all()
+    p3 = HashParams.from_config(DedupConfig(seed=1))
+    assert (PARAMS.keys != p3.keys).any()
+
+
+def test_shingles_deterministic_and_positional():
+    toks = "a b c d e f g h".split()
+    s1 = shingle_hashes(toks, 5)
+    s2 = shingle_hashes(toks, 5)
+    assert (s1 == s2).all()
+    assert len(s1) == len(toks) - 5 + 1
+    # short docs produce exactly one shingle; empty docs a sentinel
+    assert len(shingle_hashes(["x", "y"], 5)) == 1
+    assert len(shingle_hashes([], 5)) == 1
+    assert (shingle_hashes([], 5) == shingle_hashes([], 5)).all()
+
+
+def test_identical_texts_identical_signatures():
+    mh, sh, bh = batch_signatures(["x y z w v u t s"] * 2, PARAMS)
+    assert (mh[0] == mh[1]).all() and sh[0] == sh[1] and (bh[0] == bh[1]).all()
+
+
+def test_minhash_estimates_jaccard():
+    """Estimator must sit within 4 sigma of the true Jaccard (the property
+    that broke the linear (a*h+b) mod p family — see hashing.py docstring)."""
+    cfg = DedupConfig(num_perm=1024, bands=128, rows=8)
+    p = HashParams.from_config(cfg)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        a = rng.integers(0, 2**32, size=400, dtype=np.uint64)
+        b = np.concatenate([a[:240], rng.integers(0, 2**32, size=160, dtype=np.uint64)])
+        sa, sb = set(a.tolist()), set(b.tolist())
+        tj = len(sa & sb) / len(sa | sb)
+        est = (minhash_signature(a, p) == minhash_signature(b, p)).mean()
+        sigma = (tj * (1 - tj) / cfg.num_perm) ** 0.5
+        assert abs(est - tj) < 4 * sigma + 1e-9, (est, tj)
+
+
+def test_band_hash_shape_and_band_independence():
+    sig = minhash_signature(np.arange(100, dtype=np.uint64), PARAMS)
+    bh = band_hashes(sig, CFG.bands, CFG.rows)
+    assert bh.shape == (CFG.bands,)
+    # identical row-slices in different bands must not collide:
+    flat = np.zeros(CFG.num_perm, dtype=np.int64)
+    bh2 = band_hashes(flat, CFG.bands, CFG.rows)
+    assert len(set(bh2.tolist())) == CFG.bands
+
+
+def test_simhash_near_duplicates_close():
+    t1 = tokenize("the quick brown fox jumps over the lazy dog " * 10)
+    t2 = tokenize("the quick brown fox leaps over the lazy dog " * 10)
+    t3 = tokenize("completely unrelated words appear in this text body here")
+    h1, h2, h3 = simhash64(t1), simhash64(t2), simhash64(t3)
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(h1, h2) < ham(h1, h3)
+    assert ham(h1, h1) == 0
+
+
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=40),
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=40),
+)
+@settings(max_examples=50, deadline=None)
+def test_jaccard_properties(ta, tb):
+    j = jaccard(ta, tb, 3)
+    assert 0.0 <= j <= 1.0
+    assert jaccard(ta, ta, 3) == 1.0
+    assert jaccard(ta, tb, 3) == pytest.approx(jaccard(tb, ta, 3))
+
+
+def test_batch_matches_single():
+    """The batch kernel (Spark UDF path) must equal per-text computation
+    (oracle path) — the parity invariant."""
+    texts = ["alpha beta gamma delta epsilon zeta", "one two three four five six seven"]
+    mh, sh, bh = batch_signatures(texts, PARAMS)
+    for i, t in enumerate(texts):
+        toks = tokenize(t)
+        sig = minhash_signature(shingle_hashes(toks, CFG.shingle_k), PARAMS)
+        assert (mh[i] == sig).all()
+        assert sh[i] == simhash64(toks)
+        assert (bh[i] == band_hashes(sig, CFG.bands, CFG.rows)).all()

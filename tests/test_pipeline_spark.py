@@ -1,0 +1,149 @@
+"""End-to-end Spark pipeline tests: oracle parity, sha256 invariant,
+permutation invariance, resume-from-checkpoint, widening monotonicity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import DedupConfig, SynthConfig
+from db_lsh_spark.oracle import pair_recall, run_oracle
+from db_lsh_spark.operators.candidates import candidate_pairs, simhash_prefilter
+from db_lsh_spark.operators.bands import explode_bands
+from db_lsh_spark.operators.signatures import (
+    compute_signatures,
+    exact_duplicate_edges,
+    with_ids_and_sha,
+)
+from db_lsh_spark.pipeline import run_dedup, widening_rounds
+from db_lsh_spark.sources.synth import generate
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark, fixture_small, dedup_cfg):
+    files = spark.createDataFrame(fixture_small.files)
+    out = run_dedup(spark, files, dedup_cfg, with_lcs=True)
+    clusters = out.clusters.toPandas()
+    pairs = out.pairs.toPandas()
+    return out, clusters, pairs
+
+
+def test_pipeline_matches_oracle_exactly(spark_out, fixture_small, dedup_cfg):
+    """THE gate: dup-pair recall >= 0.99 vs the single-node reference
+    (BASELINE.json) — in fact exact equality at this scale."""
+    _, clusters, _ = spark_out
+    orc = run_oracle(fixture_small.files, dedup_cfg)
+    assert pair_recall(clusters, orc.clusters) >= 0.99
+    m = clusters.merge(orc.clusters, on="file_id", suffixes=("_s", "_o"))
+    assert (m.cluster_id_s == m.cluster_id_o).all()
+
+
+def test_pipeline_matches_golden(spark_out, fixture_small):
+    _, clusters, _ = spark_out
+    assert pair_recall(clusters, fixture_small.golden_clusters) >= 0.99
+
+
+def test_sha256_invariant_end_to_end(spark, fixture_small):
+    """Per-row invariant (BASELINE.json input_hint): content sha256 equality
+    after the ingest stage rewrites rows."""
+    files = spark.createDataFrame(fixture_small.files.drop(columns=["sha256"]))
+    out = with_ids_and_sha(files)
+    mismatches = (
+        out.withColumn("sha_check", F.sha2(F.col("content"), 256))
+        .where(F.col("sha_check") != F.col("sha256"))
+        .count()
+    )
+    assert mismatches == 0
+    # and against the pandas-side hashlib values:
+    spark_sha = {r.file_id: r.sha256 for r in out.select("file_id", "sha256").collect()}
+    for fid, sha in zip(fixture_small.files.file_id, fixture_small.files.sha256):
+        assert spark_sha[int(fid)] == sha
+
+
+def test_verified_pairs_have_substring_evidence(spark_out, dedup_cfg):
+    _, _, pairs = spark_out
+    assert len(pairs) > 0
+    assert (pairs.jaccard >= dedup_cfg.jaccard_threshold).all()
+    assert (pairs.lcs_len >= dedup_cfg.lcs_min_len).all()
+
+
+def test_permutation_invariance(spark, fixture_small, dedup_cfg, spark_out):
+    """Shuffling input rows must not change the cluster sets (SURVEY §5.2
+    property test)."""
+    _, clusters, _ = spark_out
+    shuffled = fixture_small.files.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    out2 = run_dedup(spark, spark.createDataFrame(shuffled), dedup_cfg, with_lcs=False)
+    c2 = out2.clusters.toPandas()
+    m = clusters.merge(c2, on="file_id", suffixes=("_a", "_b"))
+    assert len(m) == len(clusters)
+    assert (m.cluster_id_a == m.cluster_id_b).all()
+
+
+def test_exact_dup_short_circuit(spark, fixture_small):
+    files = spark.createDataFrame(fixture_small.files)
+    fi = with_ids_and_sha(files)
+    edges, reps = exact_duplicate_edges(fi)
+    n_files = fi.count()
+    n_reps = reps.count()
+    n_edges = edges.count()
+    assert n_reps + n_edges == n_files  # partition into reps + pointers
+    assert reps.select("sha256").distinct().count() == n_reps  # one rep per sha
+
+
+def test_resume_from_checkpoint(spark, fixture_small, dedup_cfg, tmp_path):
+    root = str(tmp_path / "ckpt")
+    files = spark.createDataFrame(fixture_small.files)
+    out1 = run_dedup(spark, files, dedup_cfg, checkpoint_root=root, with_lcs=False)
+    c1 = out1.clusters.toPandas().sort_values("file_id").reset_index(drop=True)
+    assert all(not r.skipped for r in out1.store.results)
+    # simulate a mid-run kill after 'pairs': later manifests gone
+    os.remove(f"{root}/verified/_MANIFEST.json")
+    os.remove(f"{root}/clusters/_MANIFEST.json")
+    out2 = run_dedup(spark, files, dedup_cfg, checkpoint_root=root, with_lcs=False)
+    c2 = out2.clusters.toPandas().sort_values("file_id").reset_index(drop=True)
+    skipped = {r.name for r in out2.store.results if r.skipped}
+    assert skipped == {"ingest", "signatures", "bands", "pairs"}
+    assert c1.equals(c2)
+    # lineage metrics exist for every stage
+    stages = {r.stage for r in out2.store.metrics(spark).collect()}
+    assert {"ingest", "signatures", "bands", "pairs", "verified", "clusters"} <= stages
+
+
+def test_config_change_invalidates_checkpoint(spark, fixture_small, dedup_cfg, tmp_path):
+    root = str(tmp_path / "ckpt2")
+    files = spark.createDataFrame(fixture_small.files)
+    run_dedup(spark, files, dedup_cfg, checkpoint_root=root, with_lcs=False)
+    cfg2 = DedupConfig(jaccard_threshold=0.7)
+    out2 = run_dedup(spark, files, cfg2, checkpoint_root=root, with_lcs=False)
+    assert all(not r.skipped for r in out2.store.results)
+
+
+def test_simhash_prefilter_keeps_true_pairs(spark, fixture_small, dedup_cfg):
+    files = spark.createDataFrame(fixture_small.files)
+    fi = with_ids_and_sha(files)
+    _, reps = exact_duplicate_edges(fi)
+    sigs = compute_signatures(reps, dedup_cfg)
+    pairs, _ = candidate_pairs(explode_bands(sigs), dedup_cfg)
+    kept = simhash_prefilter(pairs, sigs, max_hamming=16)
+    # every golden dup pair among representatives must survive the prefilter
+    golden = fixture_small.golden_pairs
+    golden_dup = {(int(a), int(b)) for a, b, d in
+                  zip(golden.id_a, golden.id_b, golden.is_dup) if d}
+    cand = {(r.id_a, r.id_b) for r in pairs.collect()}
+    surv = {(r.id_a, r.id_b) for r in kept.collect()}
+    lost = (golden_dup & cand) - surv
+    assert not lost, f"simhash prefilter dropped true pairs: {sorted(lost)[:5]}"
+
+
+def test_widening_monotone_and_budgeted(spark, dedup_cfg):
+    """Widening rounds only ever add candidates and stop at the budget
+    (monotonicity + budget adherence, SURVEY §5.2)."""
+    res = generate(SynthConfig(n_files=150), dedup_cfg)
+    files = spark.createDataFrame(res.files)
+    pairs, rounds = widening_rounds(spark, files, dedup_cfg, target_pairs=10)
+    assert len(rounds) >= 1
+    cums = [r["cum_pairs"] for r in rounds]
+    assert cums == sorted(cums)  # monotone growth
+    assert cums[-1] >= 10 or rounds[-1]["rows_per_band"] == 1

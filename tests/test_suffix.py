@@ -1,0 +1,45 @@
+"""Suffix-array LCS vs a brute-force oracle (hypothesis property test)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from db_lsh_spark.functions.suffix import longest_common_substring, suffix_array
+
+import numpy as np
+
+
+def brute_lcs(a: str, b: str) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                k += 1
+            best = max(best, k)
+    return best
+
+
+@given(
+    st.text(alphabet="abc", max_size=30),
+    st.text(alphabet="abc", max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_lcs_matches_bruteforce(a, b):
+    assert longest_common_substring(a, b) == brute_lcs(a, b)
+
+
+def test_lcs_unicode_and_cap():
+    a, b = "héllo wörld", "wörld héllo"
+    assert longest_common_substring(a, b) == brute_lcs(a, b)
+    assert longest_common_substring("x" * 100, "x" * 100, cap=10) == 10
+    assert longest_common_substring("", "abc") == 0
+    assert longest_common_substring("abc", "") == 0
+
+
+def test_suffix_array_sorted():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(1, 5, size=200)
+    sa = suffix_array(codes)
+    suffixes = [tuple(codes[i:]) for i in sa]
+    assert suffixes == sorted(suffixes)

@@ -1,0 +1,67 @@
+"""Fixture generator + single-node oracle tests (the Ben analogue,
+SURVEY §5.2: oracle pattern, per-row invariant, determinism)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from db_lsh_spark.config import DedupConfig, SynthConfig
+from db_lsh_spark.oracle import cluster_pair_set, pair_recall, run_oracle, UnionFind
+from db_lsh_spark.sources.synth import generate
+
+
+def test_generator_deterministic(fixture_small, dedup_cfg):
+    res2 = generate(SynthConfig(n_files=400), dedup_cfg)
+    assert fixture_small.files.equals(res2.files)
+    assert fixture_small.golden_pairs.equals(res2.golden_pairs)
+    assert fixture_small.golden_clusters.equals(res2.golden_clusters)
+
+
+def test_sha256_column_is_true_sha(fixture_small):
+    f = fixture_small.files
+    for _, row in f.sample(20, random_state=0).iterrows():
+        assert row["sha256"] == hashlib.sha256(row["content"].encode()).hexdigest()
+
+
+def test_schema_matches_input_hint(fixture_small):
+    cols = set(fixture_small.files.columns)
+    assert {"repo", "path", "commit", "lang", "content"} <= cols  # BASELINE.json shape
+    assert {"file_id", "sha256"} <= cols
+    assert fixture_small.files["file_id"].is_unique
+
+
+def test_oracle_matches_golden_exactly(fixture_small, dedup_cfg):
+    orc = run_oracle(fixture_small.files, dedup_cfg)
+    m = orc.clusters.merge(fixture_small.golden_clusters, on="file_id",
+                           suffixes=("_o", "_g"))
+    assert len(m) == len(fixture_small.files)
+    assert (m.cluster_id_o == m.cluster_id_g).all()
+    assert pair_recall(orc.clusters, fixture_small.golden_clusters) == 1.0
+
+
+def test_oracle_lsh_equals_exact_all_pairs(fixture_small, dedup_cfg):
+    """LSH lane (band collisions) vs brute-force all-pairs: the candidate
+    generation must not lose any above-threshold pair at this scale."""
+    lsh = run_oracle(fixture_small.files, dedup_cfg)
+    exact = run_oracle(fixture_small.files, dedup_cfg, exact_all_pairs=True)
+    assert cluster_pair_set(lsh.clusters) == cluster_pair_set(exact.clusters)
+
+
+def test_unionfind_basics():
+    uf = UnionFind()
+    uf.union(5, 3)
+    uf.union(3, 1)
+    uf.union(10, 11)
+    comp = uf.components([1, 3, 5, 10, 11, 99])
+    assert comp[1] == comp[3] == comp[5] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[99] == 99
+
+
+def test_golden_pairs_have_exact_mutations_at_jaccard_1(fixture_small):
+    gp = fixture_small.golden_pairs
+    exact = gp[gp.mutation.str.contains("exact") & ~gp.mutation.str.contains("\\+")]
+    assert (exact.jaccard == 1.0).all()
+    assert gp.is_dup.sum() > 0
