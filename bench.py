@@ -1,0 +1,97 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Headline metric: end-to-end dedup throughput in files/sec over a
+deterministic synthetic ``files`` table scaled to the sf directory's size
+(BASELINE.json: "files/sec end-to-end dedup throughput"), plus per-query
+wall times for the engine's representative queries at
+``$SPARK_GRAFT_SF_DIR`` on ``local[$SPARK_GRAFT_CPUS]``.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Scaling evidence (north_rule two-cluster-size criterion, sandbox form) is
+produced by tools/scaling_run.py which runs THIS job at two parallelism
+levels; see BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # synthetic files table scale: ~60k files at sf0.1
+    n_files = int(os.environ.get("SPARK_GRAFT_NFILES", str(max(2000, int(600_000 * sf)))))
+
+    import __spark_entry__ as entrymod
+    from db_lsh_spark.config import DedupConfig, SynthConfig
+    from db_lsh_spark.pipeline import run_dedup
+    from db_lsh_spark.session import get_spark
+    from db_lsh_spark.sources.synth import write_fixture
+
+    dcfg = DedupConfig()
+    fixture_dir = f"/tmp/bench_fixture_{n_files}"
+    if not os.path.exists(f"{fixture_dir}/files.parquet"):
+        write_fixture(SynthConfig(n_files=n_files), fixture_dir, dcfg)
+
+    spark = get_spark(app_name="db_lsh_spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+
+    # ---- headline: end-to-end dedup on the synthetic source-code table ----
+    files = spark.read.parquet(f"{fixture_dir}/files.parquet")
+    t0 = time.monotonic()
+    out = run_dedup(spark, files, dcfg, checkpoint_root=None, with_lcs=False)
+    n_clusters = out.clusters.where("file_id != cluster_id").count()
+    dedup_s = time.monotonic() - t0
+    queries["dedup_files_e2e"] = round(dedup_s, 3)
+    files_per_sec = n_files / dedup_s
+
+    # ---- representative operator queries at the sf dir ----
+    bench_queries = [
+        "doc_lsh_near_dup_pairs",
+        "doc_dedup_clusters",
+        "doc_stats",
+        "emb_knn_bruteforce",
+        "emb_knn_lsh",
+        "tpch_q1",
+        "tpch_topk_orders_per_cust",
+        "tpch_nation_revenue",
+        "events_hourly",
+    ]
+    qmap = entrymod.queries()
+    for name in bench_queries:
+        t0 = time.monotonic()
+        # count() forces full execution without driver-side collect
+        qmap[name](spark, sf_dir).count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "files_per_sec_e2e_dedup",
+                "value": round(files_per_sec, 1),
+                "unit": "files/sec",
+                "queries": queries,
+                "sf": sf,
+                "n_files": n_files,
+                "n_dup_assignments": n_clusters,
+                "cpus": cpus,
+                "total_sec": total,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

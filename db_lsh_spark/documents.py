@@ -1,0 +1,64 @@
+"""Adapter: run the dedup engine over the driver's ``documents`` table
+(``doc_id``/``text`` → the engine's ``file_id``/``content``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.operators.bands import explode_bands
+from db_lsh_spark.operators.candidates import candidate_pairs
+from db_lsh_spark.operators.cluster import (
+    assignments_with_singletons,
+    connected_components,
+)
+from db_lsh_spark.operators.signatures import (
+    compute_signatures,
+    exact_duplicate_edges,
+    with_ids_and_sha,
+)
+from db_lsh_spark.operators.verify import verify_pairs
+
+
+def _as_files(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+
+
+def lsh_near_dup_pairs(
+    docs: DataFrame, cfg: DedupConfig, with_lcs: bool = False
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification over
+    documents → (id_a, id_b, jaccard). The approximate lane whose output, at
+    recall 1, equals the brute-force exact-Jaccard join (the oracle SQL)."""
+    files = with_ids_and_sha(_as_files(docs))
+    _, reps = exact_duplicate_edges(files)
+    sigs = compute_signatures(reps, cfg)
+    pairs, _ = candidate_pairs(explode_bands(sigs), cfg)
+    verified = verify_pairs(pairs, files, cfg, with_lcs=with_lcs)
+    return verified.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def dedup_clusters(
+    spark: SparkSession, docs: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Full dedup: near-dup clusters over documents → (cluster_id, doc_id).
+    Exact-duplicate edges (sha256) are unioned with verified LSH pairs
+    before connected components."""
+    files = with_ids_and_sha(_as_files(docs))
+    exact_edges, reps = exact_duplicate_edges(files)
+    sigs = compute_signatures(reps, cfg)
+    pairs, _ = candidate_pairs(explode_bands(sigs), cfg)
+    verified = verify_pairs(pairs, files, cfg, with_lcs=False)
+    near = verified.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    edges = near.unionByName(exact_edges.localCheckpoint(eager=True))
+    comp = connected_components(edges)
+    assign = assignments_with_singletons(comp, files)
+    return assign.select(
+        F.col("cluster_id"), F.col("file_id").alias("doc_id")
+    )

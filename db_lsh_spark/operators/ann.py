@@ -1,0 +1,165 @@
+"""Cosine similarity search over the ``embeddings`` table — the lane that
+mirrors the reference most directly (dense float vectors,
+``StructType.h:2-11``; brute-force ground truth ``Preprocess.cpp:195-227``;
+random projections ``dblsh.cpp:53-99``; query split ``Preprocess.cpp:75-78``).
+
+Two paths:
+- ``knn_bruteforce``: exact top-k by cosine via a broadcast join of the
+  (small) query set against the base table + per-query window rank — the
+  J2 ground-truth join. Scale shape: queries are broadcast (no shuffle of
+  the base table), the rank is a partial top-k per partition then merged.
+- ``knn_lsh``: sign-random-projection (hyperplane) LSH — band the sign bits,
+  bucket-join query/base codes, exact-cosine rerank inside candidates. The
+  scale path: candidates ≪ N per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from db_lsh_spark.config import AnnConfig
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_unit_vectors(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Cast to double + L2-normalize once, so cosine = dot product downstream
+    (one pass, avoids recomputing norms inside the join)."""
+    dbl = F.transform(F.col(col), lambda x: x.cast("double"))
+    return emb.withColumn("_unit", F.transform(dbl, lambda x: x / _norm(dbl)))
+
+
+def norms(emb: DataFrame) -> DataFrame:
+    """(vec_id, l2_norm) — rounded for cross-engine comparison."""
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select("vec_id", F.round(_norm(dbl), 6).alias("l2_norm"))
+
+
+def knn_bruteforce(
+    emb: DataFrame, cfg: AnnConfig, queries_are: str = "first_n"
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the query split (first ``n_queries``
+    vec_ids — the reference's held-out split, ``Preprocess.cpp:75-78``).
+
+    Output (query_id, rank, neighbor_id, cosine): rank by cosine rounded to
+    1e-6 descending, ties broken by neighbor_id — fully deterministic and
+    engine-portable. The query side is broadcast: the base table is scanned
+    once with no shuffle (the 100-TB-safe shape for a small probe set).
+    """
+    base = with_unit_vectors(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b")
+    )
+    qs = (
+        with_unit_vectors(emb)
+        .where(F.col("vec_id") < cfg.n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("_unit").alias("u_q"))
+    )
+    sims = (
+        base.join(F.broadcast(qs))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("u_q"), F.col("u_b")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= cfg.k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def sign_codes(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
+    """Sign-random-projection codes: n_planes Gaussian hyperplanes drawn
+    from MT19937(seed) on the driver (the HashParam discipline,
+    ``dblsh.cpp:53-78``), banded into (band, band_code) bucket keys.
+
+    JVM-only: the projection is an aggregate over zip_with against literal
+    plane arrays — no Python UDF for a 64-dim dot product.
+    """
+    rng = np.random.Generator(np.random.MT19937(cfg.seed))
+    planes = rng.normal(size=(cfg.n_planes, cfg.dim))
+    unit = with_unit_vectors(emb)
+    bit_cols = []
+    for p in range(cfg.n_planes):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        bit_cols.append(
+            F.when(_dot(F.col("_unit"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        )
+    bits = F.array(*bit_cols)
+    out = unit.withColumn("_bits", bits)
+    band_cols = []
+    for b in range(cfg.bands):
+        # pack this band's bits into an int code
+        code = F.lit(0)
+        for r in range(cfg.rows):
+            code = code * 2 + F.element_at(F.col("_bits"), b * cfg.rows + r + 1)
+        band_cols.append(F.struct(F.lit(b).alias("band"), code.alias("band_code")))
+    return out.select(
+        "vec_id", "_unit", F.explode(F.array(*band_cols)).alias("bc")
+    ).select("vec_id", "_unit", F.col("bc.band").alias("band"), F.col("bc.band_code").alias("band_code"))
+
+
+def knn_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
+    """LSH-bucketed ANN: candidates = base vectors sharing any (band,
+    band_code) with the query, exact-cosine reranked to top-k. Same output
+    schema as ``knn_bruteforce`` — recall vs it is the quality metric
+    (reference protocol: RECALL over 100 queries, ``main.cpp:148``)."""
+    codes = sign_codes(emb, cfg)
+    qs = codes.where(F.col("vec_id") < cfg.n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_unit").alias("u_q"),
+        "band",
+        "band_code",
+    )
+    base = codes.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b"), "band", "band_code"
+    )
+    cand = (
+        qs.join(base, ["band", "band_code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "u_q", "u_b")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sims = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("u_q"), F.col("u_b")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= cfg.k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def lsh_recall(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
+    """RECALL of the LSH lane vs brute force per query — the reference's
+    headline metric (``Query.cpp:157-163``): |lsh ∩ exact| / k, then the
+    run-level average (``main.cpp:148``)."""
+    exact = knn_bruteforce(emb, cfg).select("query_id", "neighbor_id")
+    approx = knn_lsh(emb, cfg).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg((F.count("*") / cfg.k).alias("recall"))
+    return per_q.agg(F.round(F.avg("recall"), 4).alias("avg_recall"))

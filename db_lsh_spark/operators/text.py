@@ -1,0 +1,140 @@
+"""Text-analysis operators for the training-data pipeline lane.
+
+All JVM-side (``pyspark.sql.functions`` only — whole-stage codegen, no
+Python in the hot path): token counting, type-token stats, quality scoring,
+n-gram shingling, document fingerprinting, language-ID heuristic, exact and
+near-duplicate detection over the ``documents`` table. Each operator has a
+DuckDB-SQL twin in ``__spark_entry__.oracle_sql`` — identical arithmetic,
+identical aliases (the driver's correctness gate).
+
+Shingling here is *string* shingles over whitespace tokens (SQL-expressible
+for the oracle); the engine's dedup pipeline proper uses the hashed-shingle
+kernels in functions/hashing.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker stopwords for the language-ID heuristic (deterministic, shared with
+# the SQL oracle; not a real langid model — the lane demonstrates the op)
+LANG_MARKERS = ("the", "a", "of", "and")
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens; matches DuckDB ``string_split(text, ' ')`` on the
+    single-space-normalized documents table."""
+    return F.split(F.col(text_col), " ")
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens, type-token ratio."""
+    t = tokens_col()
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 6).alias("ttr"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristic: length saturation x lexical diversity — the
+    'quality scoring' op of a training-data pipeline. score =
+    round(least(1, n_tokens/100) * ttr, 6)."""
+    s = doc_stats(docs)
+    return s.select(
+        "doc_id",
+        F.round(F.least(F.lit(1.0), F.col("n_tokens") / 100.0) * F.col("ttr"), 6).alias(
+            "quality"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-stopword language-ID heuristic: share of tokens that are
+    English markers; >= 0.03 → 'en' else 'other'. Deterministic arithmetic
+    mirrored in SQL (the documents fixture's text is synthetic — the point
+    is the operator shape, not linguistics)."""
+    t = tokens_col()
+    marker_arr = F.array(*[F.lit(m) for m in LANG_MARKERS])
+    marker_cnt = F.size(F.filter(t, lambda x: F.array_contains(marker_arr, x)))
+    ratio = F.round(marker_cnt / F.size(t), 6)
+    return docs.select(
+        "doc_id",
+        ratio.alias("marker_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """60-bit document fingerprint from md5 (rolling-hash analogue,
+    cross-engine reproducible: DuckDB computes the identical value)."""
+    return docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("fp60"),
+    )
+
+
+def shingles_col(k: int, text_col: str = "text"):
+    """Array of k-token string shingles (distinct), built with JVM
+    higher-order functions: transform over a position sequence + slice +
+    concat_ws. SQL-expressible twin: DuckDB list_transform/range."""
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+    )
+
+
+def shingle_count(docs: DataFrame, k: int = 5) -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(shingles_col(k)).alias("n_shingles")
+    )
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate groups by content hash (hash-groupBy dedup op).
+    md5 is used (not sha2) because both engines expose it with identical
+    hex output; group key + size + min doc_id returned."""
+    return (
+        docs.groupBy(F.md5("text").alias("content_md5"))
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+def near_dup_pairs_exact(docs: DataFrame, k: int = 5, threshold: float = 0.9) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (the brute-force lane):
+    explode distinct k-shingles → self-join on shingle → |intersection| per
+    pair → Jaccard vs distinct-shingle counts. O(sum bucket^2) — the
+    *oracle-checkable* twin of the MinHash-LSH lane. Entirely JVM."""
+    sh = docs.select("doc_id", F.explode(shingles_col(k)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))  # distinct by construction
+    a = sh.select(F.col("doc_id").alias("id_a"), "s")
+    b = sh.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

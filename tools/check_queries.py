@@ -1,0 +1,98 @@
+"""Local stand-in for the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet, compare row count + column names + an
+order-insensitive value hash. Usage:
+
+    python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    for c in cols:
+        if d[c].dtype == object:
+            d[c] = d[c].astype(str)
+        elif str(d[c].dtype).startswith("float"):
+            d[c] = d[c].round(6)
+    d = d.sort_values(cols).reset_index(drop=True)
+    return hashlib.sha256(pd.util.hash_pandas_object(d, index=False).values.tobytes()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from db_lsh_spark.session import get_spark
+
+    spark = get_spark(app_name="check_queries", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        sdf = fn(spark, sf_dir).toPandas()
+        spark_s = time.monotonic() - t0
+        if name not in oracles:
+            print(f"  {name:28s} rows={len(sdf):6d}  (no oracle — rows-only) {spark_s:5.1f}s")
+            continue
+        ddf = con.sql(oracles[name]).df()
+        ok_rows = len(sdf) == len(ddf)
+        ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
+        ok_hash = ok_rows and ok_cols and value_hash(sdf) == value_hash(ddf)
+        status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        print(
+            f"  {name:28s} rows={len(sdf):6d}/{len(ddf):6d} cols={'=' if ok_cols else 'X'} "
+            f"hash={'=' if ok_hash else 'X'} [{status}] {spark_s:5.1f}s"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if not ok_cols:
+                print(f"    spark cols: {sorted(sdf.columns)}")
+                print(f"    duck  cols: {sorted(ddf.columns)}")
+            elif not ok_hash and len(sdf) and len(ddf):
+                cols = sorted(sdf.columns)
+                a = sdf[cols].sort_values(cols).reset_index(drop=True)
+                b = ddf[cols].sort_values(cols).reset_index(drop=True)
+                if len(a) == len(b):
+                    for c in cols:
+                        av, bv = a[c], b[c]
+                        if str(av.dtype).startswith("float"):
+                            neq = (av.round(6) != bv.astype(float).round(6))
+                        else:
+                            neq = av.astype(str) != bv.astype(str)
+                        if neq.any():
+                            i = int(neq.idxmax())
+                            print(f"    first diff col={c} row={i}: spark={av[i]!r} duck={bv[i]!r}")
+                else:
+                    print(f"    row mismatch {len(a)} vs {len(b)}")
+    spark.stop()
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
