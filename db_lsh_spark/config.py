@@ -89,9 +89,13 @@ class AnnConfig:
 
     seed: int = 0
     dim: int = 64
-    n_planes: int = 16           # random hyperplanes for the sign-LSH code
-    bands: int = 4               # bands over the sign bits
-    rows: int = 4                # bits per band
+    n_planes: int = 24           # random hyperplanes for the sign-LSH code
+    bands: int = 8               # bands over the sign bits
+    rows: int = 3                # bits per band
+    probe_hamming: int = 1       # multi-probe: also probe codes within this
+    #                              Hamming distance — the ANN-lane analogue of
+    #                              DB-LSH's dynamic window widening
+    #                              (Query.cpp:86-100)
     k: int = 10                  # top-k neighbors (reference default k=50)
     n_queries: int = 100         # reference runs 100 queries (main.cpp:132)
 

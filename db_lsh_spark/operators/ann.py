@@ -122,13 +122,28 @@ def knn_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     """LSH-bucketed ANN: candidates = base vectors sharing any (band,
     band_code) with the query, exact-cosine reranked to top-k. Same output
     schema as ``knn_bruteforce`` — recall vs it is the quality metric
-    (reference protocol: RECALL over 100 queries, ``main.cpp:148``)."""
+    (reference protocol: RECALL over 100 queries, ``main.cpp:148``).
+
+    Multi-probe: the query side also probes band codes within
+    ``cfg.probe_hamming`` bit flips — the discrete analogue of the
+    reference's dynamic window widening (``Query.cpp:86-100``): more
+    buckets per probe instead of a rebuilt index. Expansion happens on the
+    (tiny) query side only; the base table is never duplicated."""
     codes = sign_codes(emb, cfg)
-    qs = codes.where(F.col("vec_id") < cfg.n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("_unit").alias("u_q"),
-        "band",
-        "band_code",
+    probe_codes = [F.col("band_code")]
+    if cfg.probe_hamming >= 1:
+        probe_codes += [
+            F.col("band_code").bitwiseXOR(F.lit(1 << i)) for i in range(cfg.rows)
+        ]
+    qs = (
+        codes.where(F.col("vec_id") < cfg.n_queries)
+        .withColumn("band_code", F.explode(F.array(*probe_codes)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("_unit").alias("u_q"),
+            "band",
+            "band_code",
+        )
     )
     base = codes.select(
         F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b"), "band", "band_code"

@@ -1,0 +1,94 @@
+"""Tests for the text-analysis lane and the cosine-ANN lane (the lane that
+mirrors the reference's vector search most directly)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import AnnConfig
+from db_lsh_spark.operators import ann as ann_ops
+from db_lsh_spark.operators import text as text_ops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_doc_stats_basics(docs):
+    row = text_ops.doc_stats(docs).where(F.col("doc_id") == 0).first()
+    first = docs.where(F.col("doc_id") == 0).first()
+    toks = first.text.split(" ")
+    assert row.n_tokens == len(toks)
+    assert row.n_distinct_tokens == len(set(toks))
+    assert row.n_chars_calc == len(first.text)
+
+
+def test_quality_bounds(docs):
+    q = text_ops.quality_score(docs).toPandas()
+    assert ((q.quality >= 0) & (q.quality <= 1)).all()
+
+
+def test_fingerprint_deterministic_and_distinct(docs):
+    fp1 = text_ops.fingerprint(docs).toPandas().sort_values("doc_id")
+    fp2 = text_ops.fingerprint(docs).toPandas().sort_values("doc_id")
+    assert (fp1.fp60.values == fp2.fp60.values).all()
+    # distinct texts → distinct 60-bit fingerprints (w.h.p.)
+    assert fp1.fp60.nunique() == len(fp1)
+
+
+def test_near_dup_pairs_symmetric_threshold(docs):
+    pairs = text_ops.near_dup_pairs_exact(docs, 5, 0.9).toPandas()
+    assert (pairs.id_a < pairs.id_b).all()
+    assert (pairs.jaccard >= 0.9).all()
+
+
+def test_knn_bruteforce_matches_numpy(emb):
+    """Spark top-k must equal a NumPy brute force (the ben_make pattern,
+    Preprocess.cpp:195-227)."""
+    cfg = AnnConfig(k=5, n_queries=5)
+    got = ann_ops.knn_bruteforce(emb, cfg).toPandas()
+    pdf = emb.toPandas().sort_values("vec_id")
+    M = np.stack(pdf.embedding.values).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf.vec_id.values
+    sims = M[:5] @ M.T
+    for qi in range(5):
+        s = np.round(sims[qi], 6)
+        order = sorted(
+            [(float(-s[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != qi]
+        )[:5]
+        expect = [nid for _, nid in order]
+        g = got[got.query_id == qi].sort_values("rank").neighbor_id.tolist()
+        assert g == expect, (qi, g, expect)
+
+
+def test_lsh_ann_recall(emb):
+    """The reference's headline metric: RECALL of the approximate lane vs
+    exact ground truth (main.cpp:148). Sign-LSH with 4x4 bands must reach
+    >= 0.9 on the fixture embeddings."""
+    cfg = AnnConfig(k=10, n_queries=20)
+    r = ann_ops.lsh_recall(emb, cfg).first().avg_recall
+    assert r >= 0.9, f"LSH ANN recall too low: {r}"
+
+
+def test_lsh_ann_subset_of_bruteforce_cosines(emb):
+    """Every LSH result's cosine must be <= the exact rank-equivalent (LSH
+    can only miss neighbors, never invent better ones)."""
+    cfg = AnnConfig(k=3, n_queries=5)
+    exact = ann_ops.knn_bruteforce(emb, cfg).toPandas()
+    approx = ann_ops.knn_lsh(emb, cfg).toPandas()
+    for qid in range(5):
+        e = exact[exact.query_id == qid].sort_values("rank").cosine.values
+        a = approx[approx.query_id == qid].sort_values("rank").cosine.values
+        for i in range(min(len(a), len(e))):
+            assert a[i] <= e[i] + 1e-9
