@@ -21,9 +21,15 @@ from db_lsh_spark.operators.verify import verify_pairs
 
 
 def _as_files(docs: DataFrame) -> DataFrame:
-    return docs.select(
+    out = docs.select(
         F.col("doc_id").alias("file_id"), F.col("text").alias("content")
     )
+    # same defensive re-spread as pipeline.run_dedup: keep UDF stages off a
+    # single-partition (one-row-group parquet) input
+    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if out.rdd.getNumPartitions() < max(2, target // 2):
+        out = out.repartition(target, "file_id")
+    return out
 
 
 def lsh_near_dup_pairs(

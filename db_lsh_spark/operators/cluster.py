@@ -65,17 +65,27 @@ def connected_components(
     singletons from the full node set (cheaper than shipping every node
     through the iteration).
     """
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        # order-insensitive edge-set signature: (count, xor of row hashes).
+        # One aggregate pass on a checkpointed frame (replaces a full
+        # exceptAll shuffle per round); edges are distinct so xor never
+        # cancels duplicates, and a changed set colliding on both count and
+        # a 64-bit xor is ~2^-64. bit_xor (not sum) — ANSI mode makes sum
+        # overflow-checked.
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).first()
+        return int(row.n), int(row.h)
+
     e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
     e = e.localCheckpoint(eager=True)
+    sig = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # convergence: identical edge sets. Two cheap aggregates on a
-        # checkpointed frame — no full re-materialization.
-        changed = (
-            e2.count() != e.count()
-            or e2.exceptAll(e).limit(1).count() > 0
-        )
-        e = e2
+        sig2 = _sig(e2)
+        changed = sig2 != sig
+        e, sig = e2, sig2
         if not changed:
             break
     else:

@@ -67,6 +67,13 @@ def run_dedup(
         return builder()
 
     files_ids = gate("ingest", lambda: with_ids_and_sha(files))
+    # Defensive re-spread: a non-splittable input (one parquet row group, a
+    # gzip file, ...) would otherwise ride a single partition through every
+    # narrow stage — AQE's broadcast joins happily preserve it — and the
+    # signature UDF would run on one task. One bounded shuffle fixes it.
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if files_ids.rdd.getNumPartitions() < max(2, target // 2):
+        files_ids = files_ids.repartition(target, "file_id")
     # exact-dup short-circuit is derived (cheap) — recomputed, not gated
     exact_edges, reps = exact_duplicate_edges(files_ids)
 

@@ -225,7 +225,10 @@ def write_fixture(cfg: SynthConfig, out_dir: str, dedup_cfg=None) -> SynthResult
 
     res = generate(cfg, dedup_cfg)
     os.makedirs(out_dir, exist_ok=True)
-    res.files.to_parquet(f"{out_dir}/files.parquet", index=False)
+    # small row groups keep the single file splittable: one giant row group
+    # would make every downstream narrow stage a single Spark task
+    res.files.to_parquet(f"{out_dir}/files.parquet", index=False,
+                         row_group_size=4096)
     res.golden_pairs.to_parquet(f"{out_dir}/golden_pairs.parquet", index=False)
     res.golden_clusters.to_parquet(f"{out_dir}/golden_clusters.parquet", index=False)
     return res
