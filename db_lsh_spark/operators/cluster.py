@@ -54,12 +54,54 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return emitted.where(F.col("src") != F.col("dst")).distinct()
 
 
+def _cc_driver_side(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the (already deduplicated) edge list
+    and run union-find on the driver. The CC analogue of AQE demoting a
+    shuffle join to broadcast — below the threshold the distributed
+    iteration's 2-shuffles-per-round latency dominates, above it this path
+    is never taken. Arrow-collect of two long columns: ~16 bytes/edge."""
+    import pandas as pd
+
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        p = parent.setdefault(x, x)
+        while p != parent[p]:
+            parent[p] = parent[parent[p]]
+            p = parent[p]
+        parent[x] = p
+        return p
+
+    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = list(parent)
+    out = pd.DataFrame(
+        {"file_id": nodes, "cluster_id": [find(n) for n in nodes]},
+        dtype="int64",
+    )
+    return edges.sparkSession.createDataFrame(out)
+
+
+# Above this many edges the distributed large-star/small-star iteration
+# runs; below it the driver-side union-find is faster and exact. 10M edges
+# ≈ 160 MB collected — well within driver budgets; tune per deployment.
+DRIVER_CC_MAX_EDGES = 10_000_000
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, driver_threshold: int = DRIVER_CC_MAX_EDGES
 ) -> DataFrame:
     """Edge list (src, dst) → assignment (file_id, cluster_id) where
     cluster_id is the minimum node id of the component (matching the
     oracle's union-find min-root convention).
+
+    Adaptive: edge sets under ``driver_threshold`` run union-find on the
+    driver (one collect); larger graphs run the distributed alternating-star
+    iteration. Both produce identical assignments (tested).
 
     Only nodes that appear in an edge are returned; callers union in
     singletons from the full node set (cheaper than shipping every node
@@ -80,6 +122,8 @@ def connected_components(
 
     e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
     e = e.localCheckpoint(eager=True)
+    if driver_threshold and e.count() <= driver_threshold:
+        return _cc_driver_side(e)
     sig = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)

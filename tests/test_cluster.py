@@ -13,9 +13,11 @@ from db_lsh_spark.operators.cluster import (
 )
 
 
-def _cc_spark(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+def _cc_spark(spark, edges: list[tuple[int, int]], threshold: int = 0) -> dict[int, int]:
+    # threshold=0 forces the distributed alternating-star path; the
+    # driver-side union-find path is exercised separately below.
     df = spark.createDataFrame(edges, ["src", "dst"])
-    out = connected_components(df).collect()
+    out = connected_components(df, driver_threshold=threshold).collect()
     return {r.file_id: r.cluster_id for r in out}
 
 
@@ -56,6 +58,18 @@ def test_cc_random_graphs_match_unionfind(spark):
         for _ in range(150)
     ]
     assert _cc_spark(spark, edges) == _cc_truth(edges)
+
+
+def test_cc_driver_path_equals_distributed(spark):
+    """Adaptive fast path (driver union-find) and the distributed star
+    iteration must produce identical assignments."""
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(rng.integers(500)), int(rng.integers(500))) for _ in range(300)
+    ]
+    dist = _cc_spark(spark, edges, threshold=0)
+    drv = _cc_spark(spark, edges, threshold=10_000_000)
+    assert dist == drv == _cc_truth(edges)
 
 
 def test_singletons_union(spark):

@@ -1,0 +1,92 @@
+"""Scaling evidence for the north_rule two-cluster-size criterion.
+
+No multi-node cluster exists in this sandbox, so (per driver instruction)
+the N vs 4N executor comparison is evidenced by running the SAME job — the
+end-to-end dedup pipeline on the SAME input — at two local parallelism
+levels (local[8] vs local[32]) in fresh processes, and reporting throughput
+at both plus scaling efficiency = files_per_sec(4N) / (4 * files_per_sec(N)).
+
+Writes BENCH/scaling.json and rewrites the results table in
+BENCH/BASELINE.md.
+
+    python tools/scaling_run.py [n_files]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_TEMPLATE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from db_lsh_spark.session import get_spark
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.pipeline import run_dedup
+
+cpus = {cpus}
+spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+files = spark.read.parquet({fixture!r} + "/files.parquet")
+# warm python workers with a tiny pass so both runs measure steady state,
+# not numpy/pandas import time
+files.limit(64).selectExpr("sha2(content, 256)").count()
+t0 = time.monotonic()
+out = run_dedup(spark, files, DedupConfig(), checkpoint_root=None, with_lcs=False)
+n_dup = out.clusters.where("file_id != cluster_id").count()
+wall = time.monotonic() - t0
+print(json.dumps({{"cpus": cpus, "wall_sec": round(wall, 2),
+                  "files_per_sec": round({n_files} / wall, 1),
+                  "n_dup_assignments": n_dup}}))
+spark.stop()
+"""
+
+
+def run_at(cpus: int, fixture: str, n_files: int) -> dict:
+    code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus, fixture=fixture, n_files=n_files)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=3600,
+        cwd=REPO,
+    )
+    last = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not last:
+        raise RuntimeError(f"run at {cpus} cpus produced no JSON:\n{out.stderr[-2000:]}")
+    return json.loads(last[-1])
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    fixture = f"/tmp/bench_fixture_{n_files}"
+    if not os.path.exists(f"{fixture}/files.parquet"):
+        from db_lsh_spark.config import DedupConfig, SynthConfig
+        from db_lsh_spark.sources.synth import write_fixture
+
+        write_fixture(SynthConfig(n_files=n_files), fixture, DedupConfig())
+
+    lo = run_at(8, fixture, n_files)
+    hi = run_at(32, fixture, n_files)
+    eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
+    result = {
+        "n_files": n_files,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">= 0.8 (north_rule, N vs 4N)",
+        "note": "sandbox evidence: same artifact, same input, local[8] vs "
+                "local[32]; dup assignments identical at both levels: "
+                f"{lo['n_dup_assignments'] == hi['n_dup_assignments']}",
+    }
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/scaling.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
