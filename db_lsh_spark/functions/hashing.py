@@ -39,21 +39,26 @@ _MASK32 = np.uint64(0xFFFFFFFF)
 
 @dataclass(frozen=True)
 class HashParams:
-    """Seeded MinHash permutation keys — the ``HashParam`` analogue
-    (``StructType.h:21-28``). Drawn once from MT19937(seed) on the driver and
-    broadcast (reference: ``dblsh.cpp:53-78``, seed fixed at
-    ``dblsh.cpp:64``)."""
+    """Seeded MinHash parameters — the ``HashParam`` analogue
+    (``StructType.h:21-28``). Drawn once from MT19937(seed) on the driver
+    and shipped in task closures (reference: ``dblsh.cpp:53-78``, seed
+    fixed at ``dblsh.cpp:64``). One-permutation hashing needs a single
+    64-bit key; ``num_perm`` is the bin count (power of two)."""
 
-    keys: np.ndarray  # (num_perm,) uint64 permutation keys
+    key: np.uint64
+    num_perm: int
     shingle_k: int
     bands: int
     rows: int
 
     @classmethod
     def from_config(cls, cfg: DedupConfig) -> "HashParams":
+        if cfg.num_perm & (cfg.num_perm - 1):
+            raise ValueError("num_perm must be a power of two (OPH binning)")
         rng = np.random.Generator(np.random.MT19937(cfg.seed))
-        keys = rng.integers(0, 1 << 64, size=cfg.num_perm, dtype=np.uint64)
-        return cls(keys=keys, shingle_k=cfg.shingle_k, bands=cfg.bands, rows=cfg.rows)
+        key = np.uint64(rng.integers(0, 1 << 64, dtype=np.uint64))
+        return cls(key=key, num_perm=cfg.num_perm, shingle_k=cfg.shingle_k,
+                   bands=cfg.bands, rows=cfg.rows)
 
 
 def sha256_hex(text: str) -> str:
@@ -124,19 +129,64 @@ def _splitmix64(z: np.ndarray) -> np.ndarray:
 
 
 def minhash_signature(shingles32: np.ndarray, params: HashParams) -> np.ndarray:
-    """MinHash signature: ``sig_p = min_s splitmix64(s XOR key_p)``.
+    """Densified one-permutation MinHash (Shrivastava & Li, ICML 2014).
 
-    Each keyed splitmix64 acts as an independent pseudo-random permutation
-    of the 64-bit domain, giving the textbook ``P(sig_a == sig_b) =
-    Jaccard(A, B)`` estimator (see module docstring for why not the linear
-    family). Returns (num_perm,) int64 (bit view of uint64 — Arrow/Parquet
-    friendly, equality-comparable). The role mirrors the reference's
-    per-point K-dim projection (``dblsh.cpp:80-99``); the min-reduction is
-    SURVEY.md A3.
+    One splitmix64 pass maps each shingle to a 64-bit value; the top
+    log2(P) bits pick a bin, the value is min-reduced per bin, and empty
+    bins borrow from the nearest filled bin to the right (cyclic) with an
+    offset per hop — the "rotation densification" that keeps
+    ``P(sig_a[p] == sig_b[p]) ≈ Jaccard(A, B)`` unbiased while costing
+    O(|shingles| + P) instead of O(P * |shingles|): the 128x work
+    reduction that makes the signature stage compute-proportional at
+    10^12-file scale. splitmix64 rather than a linear (a*h+b) mod p family
+    — see module docstring. Returns (num_perm,) int64 (uint64 bit view).
+
+    The role mirrors the reference's per-point K-dim projection
+    (``dblsh.cpp:80-99``); the min-reduction is SURVEY.md A3.
     """
-    s = np.unique(shingles32.astype(np.uint64))
-    vals = _splitmix64(s[None, :] ^ params.keys[:, None])
-    return vals.min(axis=1).view(np.int64)
+    sig = _oph_scatter(shingles32.astype(np.uint64), params)
+    return _densify(sig.reshape(1, -1), params.key)[0].view(np.int64)
+
+
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _oph_scatter(shingles: np.ndarray, params: HashParams) -> np.ndarray:
+    """One-permutation scatter-min for a single document."""
+    P = params.num_perm
+    h = _splitmix64(shingles ^ params.key)
+    bins = (h >> np.uint64(64 - P.bit_length() + 1)).astype(np.int64)
+    sig = np.full(P, _EMPTY, dtype=np.uint64)
+    np.minimum.at(sig, bins, h)
+    return sig
+
+
+def _densify(sig: np.ndarray, key: np.uint64) -> np.ndarray:
+    """Rotation densification over a (n, P) signature matrix: empty bin p
+    takes value(filled bin p+j, cyclic) + j*C for the smallest j > 0.
+    Vectorized across documents; the loop is over j and exits as soon as
+    every bin of every row is filled (j is bounded by the largest empty
+    gap, tiny in practice)."""
+    P = sig.shape[1]
+    out = sig.copy()
+    offset = 0
+    c = int(_GOLDEN | np.uint64(1))
+    rolled = sig
+    with np.errstate(over="ignore"):  # uint64 wraparound is intentional
+        for _ in range(P):
+            empty = out == _EMPTY
+            if not empty.any():
+                break
+            rolled = np.roll(rolled, -1, axis=1)
+            offset = (offset + c) & 0xFFFFFFFFFFFFFFFF
+            fill = rolled + np.uint64(offset)
+            # don't propagate emptiness: empty source stays empty this round
+            fill[rolled == _EMPTY] = _EMPTY
+            out = np.where(empty, fill, out)
+    # a fully-empty row cannot occur: every doc has >= 1 shingle
+    if (out == _EMPTY).any():
+        raise AssertionError("densify: unfillable empty bins")
+    return out
 
 
 def simhash64(tokens: list[str], cache: dict | None = None) -> int:
@@ -181,21 +231,97 @@ def batch_signatures(
     int64) for a batch of texts with one shared token-hash cache.
 
     This is THE hot kernel the Spark pandas UDFs call per Arrow batch, and
-    the oracle calls once over the whole table — same code path.
+    the oracle calls once over the whole table — same code path, same
+    values as the per-document functions above (asserted in tests).
+
+    Batch-vectorized: all documents' shingle hashes are concatenated and
+    each MinHash permutation is one splitmix64 sweep + one segmented
+    ``np.minimum.reduceat`` — no per-document Python in the reduction
+    (min over duplicates equals min over distinct, so no per-doc unique
+    pass is needed). SimHash likewise uses one segmented ``add.reduceat``
+    over the unpacked token-hash bits.
     """
     n = len(texts)
-    mh = np.empty((n, len(params.keys)), dtype=np.int64)
+    P = params.num_perm
+    mh = np.empty((n, P), dtype=np.int64)
     sh = np.empty(n, dtype=np.int64)
     bh = np.empty((n, params.bands), dtype=np.int64)
+    if n == 0:
+        return mh, sh, bh
+
     cache: dict = {}
-    for i, text in enumerate(texts):
+    shingle_arrays: list[np.ndarray] = []
+    token_arrays: list[np.ndarray] = []
+    for text in texts:
         toks = tokenize(text if text is not None else "")
-        shingles = shingle_hashes(toks, params.shingle_k, cache)
-        sig = minhash_signature(shingles, params)
-        mh[i] = sig
-        sh[i] = simhash64(toks, cache)
-        bh[i] = band_hashes(sig, params.bands, params.rows)
+        th = token_hashes(toks, cache)
+        token_arrays.append(th)
+        shingle_arrays.append(_shingles_from_token_hashes(th, params.shingle_k))
+
+    # ---- MinHash: ONE splitmix64 pass + batched scatter-min (OPH) ----
+    all_sh = np.concatenate(shingle_arrays).astype(np.uint64)
+    lens = np.array([len(a) for a in shingle_arrays], dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    h = _splitmix64(all_sh ^ params.key)
+    bins = (h >> np.uint64(64 - P.bit_length() + 1)).astype(np.int64)
+    sig = np.full((n, P), _EMPTY, dtype=np.uint64)
+    np.minimum.at(sig, (doc_idx, bins), h)
+    mh[:] = _densify(sig, params.key).view(np.int64)
+
+    # ---- SimHash: segmented bit votes over concatenated token hashes ----
+    lens_t = np.array([len(a) for a in token_arrays], dtype=np.int64)
+    # empty docs get one sentinel hash so reduceat segments stay non-empty
+    token_arrays = [
+        a if len(a) else np.array([_FNV_OFFSET], dtype=np.uint64)
+        for a in token_arrays
+    ]
+    all_t = np.concatenate(token_arrays)
+    starts_t = np.zeros(n, dtype=np.int64)
+    np.cumsum([len(a) for a in token_arrays[:-1]], out=starts_t[1:])
+    # 64 segmented 1-D popcount sums (2-D reduceat is a slow inner loop;
+    # 1-D reduceat is memory-speed)
+    acc_sh = np.zeros(n, dtype=np.uint64)
+    eff_lens = lens_t.clip(min=1)
+    for j in range(64):
+        bit_j = (all_t >> np.uint64(j)) & _U64(1)
+        ones = np.add.reduceat(bit_j, starts_t)  # sum of bit j per doc
+        # majority vote: bit set iff 2*ones > len  (= sum(2b-1) > 0)
+        acc_sh |= ((2 * ones > eff_lens.astype(np.uint64))
+                   .astype(np.uint64) << np.uint64(j))
+    sh[:] = acc_sh.view(np.int64)
+    sh[lens_t == 0] = 0  # definition: empty doc → simhash 0
+
+    # ---- band hashes: vectorized across the whole batch ----
+    bh[:] = _band_hashes_batch(mh, params.bands, params.rows)
     return mh, sh, bh
+
+
+def _shingles_from_token_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """Same rolling polynomial as ``shingle_hashes`` but starting from
+    precomputed token hashes (shared cache upstream)."""
+    n = len(th)
+    if n == 0:
+        th = np.array([_FNV_OFFSET], dtype=np.uint64)
+        n = 1
+    kk = min(k, n)
+    acc = th[: n - kk + 1].copy()
+    for j in range(1, kk):
+        acc = acc * _FNV_PRIME + th[j : n - kk + 1 + j]
+    return (acc ^ (acc >> np.uint64(32))) & _MASK32
+
+
+def _band_hashes_batch(signatures: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n, P) signatures → (n, bands) bucket keys; same FNV mixing as
+    ``band_hashes`` vectorized over the batch axis."""
+    sig = signatures.astype(np.uint64).reshape(len(signatures), bands, rows)
+    acc = np.broadcast_to(
+        _FNV_OFFSET ^ (np.arange(bands, dtype=np.uint64) * _GOLDEN),
+        (len(signatures), bands),
+    ).copy()
+    for j in range(rows):
+        acc = (acc ^ sig[:, :, j]) * _FNV_PRIME
+        acc ^= acc >> np.uint64(29)
+    return acc.view(np.int64)
 
 
 def jaccard(tokens_a: list[str], tokens_b: list[str], k: int) -> float:

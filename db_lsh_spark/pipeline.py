@@ -74,6 +74,13 @@ def run_dedup(
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if files_ids.rdd.getNumPartitions() < max(2, target // 2):
         files_ids = files_ids.repartition(target, "file_id")
+    # The ingested table is referenced ~5x downstream (exact-dup edges,
+    # signature reps, BOTH sides of the verify content join, singleton
+    # union). Persist it once — the analogue of the reference's full-memory
+    # page cache (dblsh.cpp:127-128); Spark spills to disk where it can't.
+    from pyspark import StorageLevel
+
+    files_ids = files_ids.persist(StorageLevel.MEMORY_AND_DISK)
     # exact-dup short-circuit is derived (cheap) — recomputed, not gated
     exact_edges, reps = exact_duplicate_edges(files_ids)
 

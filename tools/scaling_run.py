@@ -33,9 +33,17 @@ spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 files = spark.read.parquet({fixture!r} + "/files.parquet")
-# warm python workers with a tiny pass so both runs measure steady state,
-# not numpy/pandas import time
-files.limit(64).selectExpr("sha2(content, 256)").count()
+# warm ALL python workers (one per core) so both runs measure steady
+# state, not the numpy/pandas import storm: a trivial pandas UDF over
+# exactly `cpus` partitions forks + warms every worker. sha2 alone would
+# not — it never leaves the JVM.
+import pandas as _pd
+def _warm(it):
+    import numpy as _np  # noqa: F401
+    from db_lsh_spark.functions.hashing import batch_signatures  # noqa: F401
+    for pdf in it:
+        yield pdf
+spark.range(cpus * 8).repartition(cpus).mapInPandas(_warm, "id long").count()
 t0 = time.monotonic()
 out = run_dedup(spark, files, DedupConfig(), checkpoint_root=None, with_lcs=False)
 n_dup = out.clusters.where("file_id != cluster_id").count()
@@ -47,17 +55,29 @@ spark.stop()
 """
 
 
-def run_at(cpus: int, fixture: str, n_files: int) -> dict:
+def run_at(cpus: int, fixture: str, n_files: int, repeats: int = 2) -> dict:
+    """Run the job pinned to exactly ``cpus`` CPUs (taskset) — local[N] on
+    a 32-core box otherwise still uses all cores for JVM GC, parquet
+    decompression and the OS, understating the true N-core walltime. Best
+    of ``repeats`` runs (damps sandbox noise)."""
     code = RUN_TEMPLATE.format(repo=REPO, cpus=cpus, fixture=fixture, n_files=n_files)
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True, text=True, timeout=3600,
-        cwd=REPO,
-    )
-    last = [l for l in out.stdout.splitlines() if l.startswith("{")]
-    if not last:
-        raise RuntimeError(f"run at {cpus} cpus produced no JSON:\n{out.stderr[-2000:]}")
-    return json.loads(last[-1])
+    cpu_list = f"0-{cpus - 1}"
+    best: dict | None = None
+    for _ in range(repeats):
+        out = subprocess.run(
+            ["taskset", "-c", cpu_list, sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=3600,
+            cwd=REPO,
+        )
+        last = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not last:
+            raise RuntimeError(
+                f"run at {cpus} cpus produced no JSON:\n{out.stderr[-2000:]}"
+            )
+        r = json.loads(last[-1])
+        if best is None or r["wall_sec"] < best["wall_sec"]:
+            best = r
+    return best
 
 
 def main() -> None:
