@@ -37,6 +37,17 @@ SIGNATURE_SCHEMA = StructType(
     ]
 )
 
+# pipeline default: banding needs only the folded band hashes — shipping
+# the full minhash array through Arrow + parquet is 8x the bytes for
+# nothing (widening/re-banding paths opt back in via include_minhash=True)
+SIGNATURE_SCHEMA_SLIM = StructType(
+    [
+        StructField("file_id", LongType(), False),
+        StructField("simhash", LongType(), False),
+        StructField("band_hash", ArrayType(LongType(), False), False),
+    ]
+)
+
 
 def with_ids_and_sha(files: DataFrame, id_col: str = "file_id") -> DataFrame:
     """Ingest: attach the per-row sha256 invariant and (if absent) a dense
@@ -77,25 +88,30 @@ def exact_duplicate_edges(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     return edges, reps
 
 
-def compute_signatures(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(file_id, content) → SIGNATURE_SCHEMA via vectorized pandas kernel.
+def compute_signatures(
+    reps: DataFrame, cfg: DedupConfig, include_minhash: bool = False
+) -> DataFrame:
+    """(file_id, content) → signature rows via the vectorized pandas kernel.
 
     ``HashParams`` is built once on the driver from the seeded config and
     shipped in the task closure (a few KB — the broadcast-variable analogue
     of the reference's ``HashParam``, ``dblsh.cpp:53-78``).
+
+    ``include_minhash=False`` (default) emits the slim schema — band hashes
+    and simhash only; set True where the raw signature is needed
+    (widening/re-banding, diagnostics).
     """
     params = HashParams.from_config(cfg)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mh, sh, bh = batch_signatures(pdf["content"].tolist(), params)
-            yield pd.DataFrame(
-                {
-                    "file_id": pdf["file_id"].astype("int64"),
-                    "minhash": list(mh),
-                    "simhash": sh,
-                    "band_hash": list(bh),
-                }
-            )
+            cols = {"file_id": pdf["file_id"].astype("int64")}
+            if include_minhash:
+                cols["minhash"] = list(mh)
+            cols["simhash"] = sh
+            cols["band_hash"] = list(bh)
+            yield pd.DataFrame(cols)
 
-    return reps.select("file_id", "content").mapInPandas(gen, SIGNATURE_SCHEMA)
+    schema = SIGNATURE_SCHEMA if include_minhash else SIGNATURE_SCHEMA_SLIM
+    return reps.select("file_id", "content").mapInPandas(gen, schema)

