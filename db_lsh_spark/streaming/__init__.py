@@ -1,0 +1,9 @@
+"""Structured Streaming lane.
+
+The reference is strictly batch (SURVEY §2.9) — one-shot ``main``
+(``main.cpp:33-127``). The Spark-native engine adds the streaming
+counterparts a production ingest needs: watermarked windowed aggregation
+over the events stream, and incremental near-duplicate detection of newly
+arriving documents against the existing banded signature index
+(micro-batch ``foreachBatch`` probe — the streaming rendition of the
+reference's query lane, ``Query.cpp:40-115``)."""

@@ -1,0 +1,114 @@
+"""Streaming operators: windowed event aggregation + incremental dedup.
+
+Both run on the Structured Streaming engine proper (file source →
+micro-batches → sinks), not a hand-rolled loop; watermarks bound state for
+late data. Tested by materializing a stream from parquet chunks and
+asserting equality with the batch computation (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.operators.bands import explode_bands
+from db_lsh_spark.operators.signatures import compute_signatures, with_ids_and_sha
+from db_lsh_spark.operators.verify import verify_pairs
+
+
+def read_event_stream(
+    spark: SparkSession, src_dir: str, schema, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream: each new parquet file in ``src_dir`` becomes part
+    of a micro-batch (the standard landing-zone ingest shape)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (SURVEY §2.9: the windowed
+    agg the reference lacks): counts + value sums per (window, event_type).
+    The watermark bounds state: events later than ``watermark`` are
+    dropped, everything else is aggregated exactly once (append mode)."""
+    # watermarks require TIMESTAMP (tz-aware); parquet written with NTZ
+    # timestamps must be cast (session timezone is pinned to UTC in
+    # session.py so the cast is deterministic)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def incremental_dedup_query(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_files: DataFrame,
+    cfg: DedupConfig,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental near-dup detection: per micro-batch, signature the new
+    documents, probe the static banded index on (band, band_hash), verify
+    with exact Jaccard against the indexed contents, and append verified
+    pairs to ``out_dir``.
+
+    This is the streaming rendition of the reference's query path
+    (``Query::cal_hash`` + ``sift``, ``Query.cpp:40-115``): the index is
+    built once, each arriving document is hashed once and probes L buckets.
+    State lives in the (static) index, not the stream — no unbounded
+    streaming state. ``foreachBatch`` is the documented pattern for
+    stream-static joins that need multi-step batch logic.
+    """
+    indexed = with_ids_and_sha(index_files)
+    index_sigs = compute_signatures(indexed, cfg)
+    index_bands = explode_bands(index_sigs).localCheckpoint(eager=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probe = with_ids_and_sha(
+            batch_df.select(
+                F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+            )
+        )
+        probe_bands = explode_bands(compute_signatures(probe, cfg))
+        cand = (
+            probe_bands.withColumnRenamed("file_id", "id_a")
+            .join(index_bands.withColumnRenamed("file_id", "id_b"),
+                  ["band", "band_hash"])
+            .where(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        contents = probe.select(
+            F.col("file_id"), F.col("content")
+        ).unionByName(indexed.select("file_id", "content")).dropDuplicates(["file_id"])
+        verified = verify_pairs(cand, contents, cfg, with_lcs=False)
+        (verified.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

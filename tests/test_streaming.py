@@ -1,0 +1,115 @@
+"""Structured Streaming lane: stream==batch equivalence for the windowed
+event aggregation, and incremental dedup finding the planted near-dups."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import DedupConfig, SynthConfig
+from db_lsh_spark.sources.synth import generate
+from db_lsh_spark.streaming.jobs import (
+    incremental_dedup_query,
+    read_event_stream,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    # materialize the stream source as chronologically ordered files (a real
+    # landing zone): random file order would make older events arrive after
+    # the watermark passed and be dropped as late — correct semantics, but
+    # not what this equality test exercises
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    from pyspark.sql.window import Window
+
+    import glob
+    import shutil
+
+    chunked = events.withColumn(
+        "_chunk", F.ntile(6).over(Window.orderBy("ts"))
+    )
+    for i in range(1, 7):
+        # one spark-written file per chronological chunk (keeps parquet
+        # logical types identical to the source schema); moved to the
+        # source root — the file stream source does not recurse
+        tmp_dir = str(tmp_path / f"w{i}")
+        (chunked.where(F.col("_chunk") == i).drop("_chunk")
+         .coalesce(1).write.parquet(tmp_dir))
+        part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/chunk{i}.parquet")
+    stream = read_event_stream(spark, src, events.schema, max_files_per_trigger=2)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="100 hours")
+    out = str(tmp_path / "stream_out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    # append mode with a generous watermark emits only CLOSED windows — every
+    # emitted row must match batch exactly, and most windows must be emitted
+    gp = got.toPandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    bp = batch.toPandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    merged = gp.merge(bp, on=["window_start", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(gp) and len(gp) > 0
+    assert (merged.n_events_s == merged.n_events_b).all()
+    assert (merged.sum_value_s == merged.sum_value_b).all()
+
+
+def test_incremental_dedup_finds_planted_pairs(spark, tmp_path, dedup_cfg):
+    res = generate(SynthConfig(n_files=200), dedup_cfg)
+    files = res.files
+    # index = first 150 files; stream = remaining 50 arriving in chunks
+    index_pdf = files.iloc[:150]
+    stream_pdf = files.iloc[150:]
+    index_df = spark.createDataFrame(index_pdf)
+    src = str(tmp_path / "doc_src")
+    os.makedirs(src)
+    stream_docs = stream_pdf.rename(columns={"file_id": "doc_id", "content": "text"})[
+        ["doc_id", "text"]
+    ]
+    for i, chunk in enumerate([stream_docs.iloc[:25], stream_docs.iloc[25:]]):
+        chunk.to_parquet(f"{src}/part{i}.parquet", index=False)
+
+    schema = spark.createDataFrame(stream_docs.iloc[:1]).schema
+    doc_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "pairs_out")
+    q = incremental_dedup_query(
+        spark, doc_stream, index_df, dedup_cfg, out, str(tmp_path / "ck")
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(out).toPandas()
+
+    # expectation: every golden dup pair crossing the (index, stream) split
+    # whose jaccard clears the threshold must be found
+    stream_ids = set(stream_pdf.file_id)
+    index_ids = set(index_pdf.file_id)
+    want = {
+        tuple(sorted((a, b)))
+        for a, b, d in zip(res.golden_pairs.id_a, res.golden_pairs.id_b,
+                           res.golden_pairs.is_dup)
+        if d and ((a in stream_ids) != (b in stream_ids))
+        and (a in stream_ids | index_ids and b in stream_ids | index_ids)
+    }
+    found = {tuple(sorted((a, b))) for a, b in zip(got.id_a, got.id_b)}
+    assert want <= found, f"missing cross-split pairs: {sorted(want - found)[:5]}"
+    assert (got.jaccard >= dedup_cfg.jaccard_threshold).all()

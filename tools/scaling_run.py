@@ -130,8 +130,14 @@ def main() -> None:
 
         write_fixture(SynthConfig(n_files=n_files), fixture, DedupConfig())
 
-    lo = run_at(8, fixture, n_files)
-    hi = run_at(32, fixture, n_files)
+    # interleave levels (lo, hi, lo, hi) — the host shows bursty run-to-run
+    # variance, interleaving keeps the comparison fair; best-of per level
+    lo = run_at(8, fixture, n_files, repeats=1)
+    hi = run_at(32, fixture, n_files, repeats=1)
+    lo2 = run_at(8, fixture, n_files, repeats=1)
+    hi2 = run_at(32, fixture, n_files, repeats=1)
+    lo = lo if lo["wall_sec"] <= lo2["wall_sec"] else lo2
+    hi = hi if hi["wall_sec"] <= hi2["wall_sec"] else hi2
     ceiling = hardware_ceiling(fixture)
     eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
     rel = eff / ceiling["hardware_scaling_ceiling"] if ceiling[
