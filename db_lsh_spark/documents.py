@@ -15,6 +15,7 @@ from db_lsh_spark.operators.cluster import (
 from db_lsh_spark.operators.signatures import (
     compute_signatures,
     exact_duplicate_edges,
+    semi_filter_reps,
     with_ids_and_sha,
 )
 from db_lsh_spark.operators.verify import verify_pairs
@@ -39,8 +40,8 @@ def lsh_near_dup_pairs(
     documents → (id_a, id_b, jaccard). The approximate lane whose output, at
     recall 1, equals the brute-force exact-Jaccard join (the oracle SQL)."""
     files = with_ids_and_sha(_as_files(docs))
-    _, reps = exact_duplicate_edges(files)
-    sigs = compute_signatures(reps, cfg)
+    _, rep_ids = exact_duplicate_edges(files)
+    sigs = semi_filter_reps(compute_signatures(files, cfg), rep_ids)
     pairs, _ = candidate_pairs(explode_bands(sigs), cfg)
     verified = verify_pairs(pairs, files, cfg, with_lcs=with_lcs)
     return verified.select(
@@ -55,8 +56,8 @@ def dedup_clusters(
     Exact-duplicate edges (sha256) are unioned with verified LSH pairs
     before connected components."""
     files = with_ids_and_sha(_as_files(docs))
-    exact_edges, reps = exact_duplicate_edges(files)
-    sigs = compute_signatures(reps, cfg)
+    exact_edges, rep_ids = exact_duplicate_edges(files)
+    sigs = semi_filter_reps(compute_signatures(files, cfg), rep_ids)
     pairs, _ = candidate_pairs(explode_bands(sigs), cfg)
     verified = verify_pairs(pairs, files, cfg, with_lcs=False)
     near = verified.select(

@@ -69,23 +69,34 @@ def with_ids_and_sha(files: DataFrame, id_col: str = "file_id") -> DataFrame:
 
 def exact_duplicate_edges(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     """sha256 short-circuit (SURVEY 7.3): byte-identical files never reach
-    pairwise LSH. Returns (edges, representatives):
+    pairwise LSH. Returns (edges, rep_ids):
 
     - edges(src, dst): file → min file_id of its sha256 group (src != dst)
-    - representatives: one row per distinct sha256 (the group min), the
-      only rows that flow into the signature/LSH stages.
+    - rep_ids(file_id): one row per distinct sha256 (the group min) — the
+      ids whose signatures flow into the banded index.
 
-    One shuffle on sha256; a 10^6-copy vendored file costs 10^6 rows, not
-    10^12 candidate pairs.
+    Scale shape: ONLY the pruned (file_id, sha256) projection is shuffled
+    (~70 bytes/row); contents never move here. Joining contents through a
+    sha256 shuffle tripled the signature stage's cost at 1M files — the
+    rep filter is instead applied to the (slim) signature table via a semi
+    join on file_id (``semi_filter_reps``). A 10^6-copy vendored file costs
+    10^6 meta rows, not 10^12 candidate pairs.
     """
-    grp = files.groupBy("sha256").agg(F.min("file_id").alias("rep_id"))
-    with_rep = files.join(grp, "sha256")  # shuffle join on sha256
+    meta = files.select("file_id", "sha256")
+    grp = meta.groupBy("sha256").agg(F.min("file_id").alias("rep_id"))
     edges = (
-        with_rep.where(F.col("file_id") != F.col("rep_id"))
+        meta.join(grp, "sha256")
+        .where(F.col("file_id") != F.col("rep_id"))
         .select(F.col("file_id").alias("src"), F.col("rep_id").alias("dst"))
     )
-    reps = with_rep.where(F.col("file_id") == F.col("rep_id")).drop("rep_id")
-    return edges, reps
+    rep_ids = grp.select(F.col("rep_id").alias("file_id"))
+    return edges, rep_ids
+
+
+def semi_filter_reps(df: DataFrame, rep_ids: DataFrame) -> DataFrame:
+    """Keep rows whose file_id is a sha256-group representative (left semi
+    join — shuffles only the slim side, never contents)."""
+    return df.join(rep_ids, "file_id", "left_semi")
 
 
 def compute_signatures(

@@ -84,12 +84,16 @@ def test_permutation_invariance(spark, fixture_small, dedup_cfg, spark_out):
 def test_exact_dup_short_circuit(spark, fixture_small):
     files = spark.createDataFrame(fixture_small.files)
     fi = with_ids_and_sha(files)
-    edges, reps = exact_duplicate_edges(fi)
+    edges, rep_ids = exact_duplicate_edges(fi)
     n_files = fi.count()
-    n_reps = reps.count()
+    n_reps = rep_ids.count()
     n_edges = edges.count()
     assert n_reps + n_edges == n_files  # partition into reps + pointers
-    assert reps.select("sha256").distinct().count() == n_reps  # one rep per sha
+    # rep ids == distinct sha count, and the semi filter keeps exactly them
+    assert fi.select("sha256").distinct().count() == n_reps
+    from db_lsh_spark.operators.signatures import semi_filter_reps
+
+    assert semi_filter_reps(fi, rep_ids).count() == n_reps
 
 
 def test_resume_from_checkpoint(spark, fixture_small, dedup_cfg, tmp_path):
@@ -123,8 +127,10 @@ def test_config_change_invalidates_checkpoint(spark, fixture_small, dedup_cfg, t
 def test_simhash_prefilter_keeps_true_pairs(spark, fixture_small, dedup_cfg):
     files = spark.createDataFrame(fixture_small.files)
     fi = with_ids_and_sha(files)
-    _, reps = exact_duplicate_edges(fi)
-    sigs = compute_signatures(reps, dedup_cfg)
+    from db_lsh_spark.operators.signatures import semi_filter_reps
+
+    _, rep_ids = exact_duplicate_edges(fi)
+    sigs = semi_filter_reps(compute_signatures(fi, dedup_cfg), rep_ids)
     pairs, _ = candidate_pairs(explode_bands(sigs), dedup_cfg)
     kept = simhash_prefilter(pairs, sigs, max_hamming=16)
     # every golden dup pair among representatives must survive the prefilter
