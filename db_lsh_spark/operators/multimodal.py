@@ -1,0 +1,255 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+A 100-TB training-data pipeline carries media as ``binary`` payload columns
+with a typed metadata struct; decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages. The image/audio
+codec libraries are NOT present in this environment, so the byte→pixels
+decode step is STUBBED by a deterministic fake (seeded PRNG expansion of
+the payload digest — see ``_fake_decode``) while everything Spark-side is
+real and tested: schemas, UDF signatures, Arrow batch shapes, the 1→N
+frame-sample explosion, and the numeric feature math on the decoded
+arrays. Production swaps ``decode_payload`` for PIL/ffmpeg; nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("codec", StringType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), False),
+        StructField("meta", MEDIA_META, False),
+    ]
+)
+
+
+def decode_payload(payload: bytes, codec: str) -> np.ndarray:
+    """REAL decode entry point — intentionally unimplemented here.
+
+    The container has no PIL/libjpeg/ffmpeg; production replaces this with
+    the actual codec call. The pipeline itself never calls it directly —
+    stages call :func:`_fake_decode` via ``_decode`` so they stay testable.
+    """
+    raise NotImplementedError(
+        f"no codec library available for {codec!r} in this environment; "
+        "swap decode_payload for a PIL/ffmpeg-backed implementation"
+    )
+
+
+def _fake_decode(payload: bytes, n_values: int) -> np.ndarray:
+    """Deterministic stand-in decode: expand sha256(payload) through a
+    seeded PRNG into ``n_values`` uint8 samples. Same payload → same
+    'pixels' on every executor — the property the tests pin down."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.Generator(np.random.Philox(seed))
+    return rng.integers(0, 256, size=n_values, dtype=np.uint8)
+
+
+def _decode(payload: bytes, meta: dict | pd.Series) -> np.ndarray:
+    h = int(meta["height"] or 0) or 1
+    w = int(meta["width"] or 0) or 1
+    c = int(meta["channels"] or 0) or 1
+    nf = int(meta["n_frames"] or 0) or 1
+    return _fake_decode(payload, nf * h * w * c).reshape(nf, h, w, c)
+
+
+# --------------------------------------------------------------------------
+def synth_media(n: int, seed: int = 0) -> pd.DataFrame:
+    """Deterministic media fixture: seeded payload bytes + coherent meta."""
+    rng = np.random.Generator(np.random.MT19937(seed))
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            h, w, c, nf, sr = int(rng.integers(16, 64)), int(rng.integers(16, 64)), 3, 1, None
+        elif kind == "audio":
+            h, w, c, nf, sr = 1, int(rng.integers(1000, 8000)), 1, 1, 16000
+        else:
+            h, w, c, nf, sr = 16, 16, 3, int(rng.integers(4, 12)), None
+        payload = rng.bytes(int(rng.integers(64, 256)))
+        rows.append(
+            dict(
+                media_id=i,
+                kind=kind,
+                payload=payload,
+                meta=dict(width=w, height=h, channels=c,
+                          sample_rate=sr, n_frames=nf, codec=f"fake-{kind}"),
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------------------
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mean_rgb", ArrayType(FloatType()), False),
+        StructField("std_rgb", ArrayType(FloatType()), False),
+        StructField("hist16", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Per-image features: channel means/stds + 16-bin intensity histogram
+    (the embedding stand-in for image near-dup). Decode is the stub; the
+    feature math is real NumPy over the decoded array."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                arr = _decode(r.payload, r.meta).astype(np.float32)
+                img = arr[0]  # (h, w, c)
+                hist, _ = np.histogram(img, bins=16, range=(0, 256))
+                hist = hist / max(1, img.size)
+                out.append(
+                    (
+                        int(r.media_id),
+                        img.mean(axis=(0, 1)).tolist(),
+                        img.std(axis=(0, 1)).tolist(),
+                        hist.astype(np.float32).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "mean_rgb", "std_rgb", "hist16"]
+            )
+
+    return (
+        media.where(media.kind == "image")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(gen, IMAGE_FEATURES_SCHEMA)
+    )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("meta", MEDIA_META, False),
+    ]
+)
+
+
+def image_resize(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Block-average resize to (out_h, out_w); emits a re-encoded payload
+    (raw bytes of the resized array — the fake 'codec') + updated meta.
+    Real nearest-bucket average math; only the codec is fake."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                img = _decode(r.payload, r.meta)[0].astype(np.float32)
+                h, w, c = img.shape
+                ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                resized = img[ys][:, xs].astype(np.uint8)
+                meta = dict(r.meta)
+                meta.update(width=out_w, height=out_h)
+                out.append((int(r.media_id), resized.tobytes(), meta))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
+
+    return (
+        media.where(media.kind == "image")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(gen, RESIZED_SCHEMA)
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_mean", FloatType(), False),
+        StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling — the UDTF-shaped 1→N stage: each video row
+    yields one output row per sampled frame (stride ``every_n``)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                frames = _decode(r.payload, r.meta)
+                for idx in range(0, frames.shape[0], every_n):
+                    f = frames[idx]
+                    out.append(
+                        (int(r.media_id), int(idx), float(f.mean()), f.tobytes())
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_mean", "frame_payload"]
+            )
+
+    return (
+        media.where(media.kind == "video")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(gen, FRAME_SCHEMA)
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("rms", FloatType(), False),
+        StructField("zero_crossings", IntegerType(), False),
+        StructField("duration_sec", FloatType(), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio summary features over the (fake-)decoded PCM stream."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                pcm = _decode(r.payload, r.meta).ravel().astype(np.float32) - 128.0
+                rms = float(np.sqrt((pcm**2).mean()))
+                zc = int(((pcm[:-1] * pcm[1:]) < 0).sum())
+                dur = len(pcm) / float(r.meta["sample_rate"] or 16000)
+                out.append((int(r.media_id), rms, zc, dur))
+            yield pd.DataFrame(
+                out, columns=["media_id", "rms", "zero_crossings", "duration_sec"]
+            )
+
+    return (
+        media.where(media.kind == "audio")
+        .select("media_id", "payload", "meta")
+        .mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
+    )

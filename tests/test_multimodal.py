@@ -1,0 +1,76 @@
+"""Multimodal lane: the decode is a documented stub, but the Spark plumbing
+(schemas, Arrow batch shapes, 1→N frame explosion, determinism across
+partitionings) is real and pinned here."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from db_lsh_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    audio_features,
+    decode_payload,
+    frame_sample,
+    image_features,
+    image_resize,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    pdf = synth_media(60, seed=7)
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA).cache()
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00", "jpeg")
+
+
+def test_synth_media_deterministic():
+    a, b = synth_media(20, seed=1), synth_media(20, seed=1)
+    assert (a.media_id == b.media_id).all()
+    assert all(x == y for x, y in zip(a.payload, b.payload))
+
+
+def test_image_features_shape_and_determinism(spark, media):
+    f1 = image_features(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert len(f1) == 20  # every 3rd of 60 is an image
+    assert all(len(v) == 3 for v in f1.mean_rgb)
+    assert all(len(v) == 16 for v in f1.hist16)
+    assert all(abs(sum(v) - 1.0) < 1e-3 for v in f1.hist16)  # normalized
+    # repartitioning must not change results (executor determinism)
+    f2 = (
+        image_features(media.repartition(7))
+        .toPandas().sort_values("media_id").reset_index(drop=True)
+    )
+    assert all(np.allclose(a, b) for a, b in zip(f1.mean_rgb, f2.mean_rgb))
+
+
+def test_image_resize_dims(spark, media):
+    out = image_resize(media, 8, 8).toPandas()
+    assert len(out) == 20
+    for _, r in out.iterrows():
+        assert r.meta["width"] == 8 and r.meta["height"] == 8
+        assert len(r.payload) == 8 * 8 * 3  # raw uint8 bytes of the resize
+
+
+def test_frame_sample_cardinality(spark, media):
+    pdf = synth_media(60, seed=7)
+    videos = pdf[pdf.kind == "video"]
+    expect = sum((int(m["n_frames"]) + 1) // 2 for m in videos.meta)
+    out = frame_sample(media, every_n=2).toPandas()
+    assert len(out) == expect  # exact 1→N explosion
+    assert (out.frame_idx % 2 == 0).all()
+    one = videos.iloc[0]
+    got = out[out.media_id == one.media_id]
+    assert len(got.iloc[0].frame_payload) == 16 * 16 * 3
+
+
+def test_audio_features(spark, media):
+    out = audio_features(media).toPandas()
+    assert len(out) == 20
+    assert (out.rms > 0).all()
+    assert (out.duration_sec > 0).all()
