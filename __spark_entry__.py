@@ -115,6 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
     )
 
+    q["emb_near_dup_pairs"] = lambda s, d: ann_ops.cosine_near_dup_pairs(
+        _emb(s, d), 0.45
+    )
+
     # ---- generic operator lane (TPC-H-ish tables; SURVEY §2.3/2.4/2.6) ----
     def _q1(s: SparkSession, d: str) -> DataFrame:
         li = _t(s, d, "lineitem")
@@ -334,6 +338,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
         FROM ranked WHERE rank <= 10
+    """
+    sql["emb_near_dup_pairs"] = """
+        WITH u AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_aggregate(
+                           list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))) AS e
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e), 6) AS cosine
+        FROM u a JOIN u b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e), 6) >= 0.45
     """
     sql["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,

@@ -169,6 +169,26 @@ def knn_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     )
 
 
+def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+    """Embedding near-duplicate pairs: all (id_a < id_b) with cosine >=
+    threshold — the brute-force embedding-dedup lane (exact; the LSH-probed
+    variant reuses ``knn_lsh`` buckets when the corpus is angularly tight).
+    Join shape: self cross join pruned by the id inequality; at scale this
+    lane runs on the LSH-bucketed path, brute force is the oracle."""
+    u = with_unit_vectors(emb).select("vec_id", "_unit")
+    a = u.select(F.col("vec_id").alias("id_a"), F.col("_unit").alias("ua"))
+    b = u.select(F.col("vec_id").alias("id_b"), F.col("_unit").alias("ub"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_recall(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     """RECALL of the LSH lane vs brute force per query — the reference's
     headline metric (``Query.cpp:157-163``): |lsh ∩ exact| / k, then the

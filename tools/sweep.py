@@ -1,0 +1,76 @@
+"""Parameter sweep — the analogue of the reference's beta- and k-sweeps
+(``main.cpp:109-122`` and ``expe_k``, ``main.cpp:185-241``): rerun the
+pipeline across banding configurations and thresholds against a fixed
+fixture, recording recall vs the exact all-pairs oracle and throughput.
+Emits BENCH/sweep.json and one metrics row per config (the CSV-sink
+analogue, ``main.cpp:166-182``).
+
+    python tools/sweep.py [n_files]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from db_lsh_spark.config import DedupConfig, SynthConfig  # noqa: E402
+from db_lsh_spark.oracle import pair_recall, run_oracle  # noqa: E402
+from db_lsh_spark.pipeline import run_dedup  # noqa: E402
+from db_lsh_spark.session import get_spark  # noqa: E402
+from db_lsh_spark.sources.synth import generate  # noqa: E402
+
+# (bands, rows) at fixed num_perm=128: more rows per band → tighter buckets
+# (higher precision, lower recall) — the discrete rendition of the
+# reference's w/beta knobs
+GRID = [
+    {"bands": 32, "rows": 4},
+    {"bands": 16, "rows": 8},
+    {"bands": 8, "rows": 16},
+]
+THRESHOLDS = [0.7, 0.8, 0.9]
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    spark = get_spark(app_name="sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows_out = []
+    for g in GRID:
+        for thr in THRESHOLDS:
+            cfg = DedupConfig(bands=g["bands"], rows=g["rows"],
+                              jaccard_threshold=thr)
+            res = generate(SynthConfig(n_files=n_files), cfg)
+            files = spark.createDataFrame(res.files)
+            # exact all-pairs ground truth at this threshold (ben_make)
+            exact = run_oracle(res.files, cfg, exact_all_pairs=True)
+            t0 = time.monotonic()
+            out = run_dedup(spark, files, cfg, checkpoint_root=None,
+                            with_lcs=False)
+            clusters = out.clusters.toPandas()
+            wall = time.monotonic() - t0
+            rec = pair_recall(clusters, exact.clusters)
+            prec = pair_recall(exact.clusters, clusters)
+            rows_out.append(
+                {
+                    "bands": g["bands"], "rows": g["rows"], "threshold": thr,
+                    "recall": round(rec, 4), "reverse_recall": round(prec, 4),
+                    "files_per_sec": round(n_files / wall, 1),
+                    "wall_sec": round(wall, 2),
+                    "verified_pairs": out.pairs.count(),
+                }
+            )
+            print(json.dumps(rows_out[-1]))
+    spark.stop()
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/sweep.json", "w") as f:
+        json.dump({"n_files": n_files, "grid": rows_out}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
