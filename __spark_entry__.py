@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), SHINGLE_K
     ).select("doc_id", F.col("n_shingles").cast("long").alias("n_shingles"))
     q["doc_exact_dup_groups"] = lambda s, d: text_ops.exact_dup_groups(_docs(s, d))
+    q["doc_bpe_token_count"] = lambda s, d: text_ops.bpe_token_count(_docs(s, d))
     q["doc_near_dup_pairs"] = lambda s, d: text_ops.near_dup_pairs_exact(
         _docs(s, d), SHINGLE_K, NEAR_DUP_THRESHOLD
     )
@@ -245,6 +246,12 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id) AS min_doc_id
         FROM documents
         GROUP BY 1 HAVING count(*) > 1
+    """
+    sql["doc_bpe_token_count"] = """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
+                   AS n_bpe_tokens
+        FROM documents
     """
     _pairs_cte = f"""
         WITH sh AS (

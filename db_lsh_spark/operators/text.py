@@ -68,6 +68,21 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish subword pre-tokenization: letter runs, digit runs, single
+# punctuation — the split GPT-style tokenizers apply before merges. The
+# count is the standard "token count" proxy for training-data budgeting.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_SPLIT_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """60-bit document fingerprint from md5 (rolling-hash analogue,
     cross-engine reproducible: DuckDB computes the identical value)."""

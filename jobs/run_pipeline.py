@@ -1,0 +1,88 @@
+"""spark-submit entry point for the dedup pipeline (north_rule: "run via
+spark-submit --py-files on multi-executor clusters").
+
+    zip -r db_lsh_spark.zip db_lsh_spark
+    spark-submit --py-files db_lsh_spark.zip jobs/run_pipeline.py \
+        --input /data/files_parquet \
+        --output /data/dedup_out \
+        --checkpoint /data/dedup_ckpt \
+        [--threshold 0.8] [--bands 16] [--rows 8] [--shingle-k 5]
+
+The same artifact runs unchanged on local[N] (the sandbox scaling
+evidence) and on a real cluster — only --master/--num-executors differ on
+the spark-submit line. Stages checkpoint to --checkpoint and resume
+automatically after a mid-run kill (StageStore manifests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="parquet dir of the files table")
+    p.add_argument("--output", required=True, help="output dir (clusters + pairs)")
+    p.add_argument("--checkpoint", default=None, help="stage checkpoint root")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--rows", type=int, default=8)
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--num-perm", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--with-lcs", action="store_true",
+                   help="compute suffix-array LCS evidence on verified pairs")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+
+    # spark-submit provides master/executors; only engine-level SQL conf here
+    spark = (
+        SparkSession.builder.appName("db-lsh-spark-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    cfg = DedupConfig(
+        seed=args.seed,
+        shingle_k=args.shingle_k,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        rows=args.rows,
+        jaccard_threshold=args.threshold,
+    )
+    files = spark.read.parquet(args.input)
+    t0 = time.monotonic()
+    out = run_dedup(spark, files, cfg, checkpoint_root=args.checkpoint,
+                    with_lcs=args.with_lcs)
+    out.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    out.pairs.write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
+    n_files = out.clusters.count()
+    n_dup = out.clusters.where("file_id != cluster_id").count()
+    wall = time.monotonic() - t0
+    summary = {
+        "n_files": n_files,
+        "n_dup_assignments": n_dup,
+        "wall_sec": round(wall, 2),
+        "files_per_sec": round(n_files / wall, 1),
+        "config_fingerprint": cfg.fingerprint(),
+        "stages": [
+            {"name": r.name, "rows": r.rows, "wall_ms": round(r.wall_ms, 1),
+             "resumed_from_checkpoint": r.skipped}
+            for r in (out.store.results if out.store else [])
+        ],
+    }
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,107 @@
+"""Physical-plan shape tests: the optimizations SURVEY §4 claims are
+'built-in' must actually appear in the plans — predicate pushdown to the
+parquet scan, column pruning, broadcast of small dimensions, whole-stage
+codegen around JVM expressions, and no Python in JVM-only lanes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey")
+    plan = _formatted(q)
+    # ReadSchema carries only the projected column, not all 11
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_small_dim_join_is_broadcast(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_nation_revenue"](spark, SF)
+    df.collect()  # let AQE finalize
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_physical(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_semi_customers"](spark, SF)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+
+
+def test_jvm_lane_has_no_python(spark):
+    """Text-analysis operators must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython / mapInPandas nodes, and whole-stage codegen present."""
+    import __spark_entry__ as e
+
+    for name in ["doc_stats", "doc_quality", "doc_fingerprint", "tpch_q1",
+                 "doc_bpe_token_count", "events_hourly"]:
+        df = e.queries()[name](spark, SF)
+        plan = _plan(df)
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+        codegen = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+        assert "WholeStageCodegen subtree" in codegen, name
+
+
+def test_knn_query_side_is_broadcast(spark):
+    """The brute-force kNN must broadcast the (small) query split — the base
+    table is scanned once with no shuffle of its side."""
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators.ann import knn_bruteforce
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = knn_bruteforce(emb, AnnConfig(k=5, n_queries=5))
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bands_layout_enables_rowgroup_skipping(spark, tmp_path):
+    """The persisted banded index (repartitionByRange + sortWithinPartitions
+    — the STR-bulkload analogue T3) must support min-max pruning: a probe
+    of one band reads fewer row groups than the table holds."""
+    from db_lsh_spark.config import DedupConfig, SynthConfig
+    from db_lsh_spark.operators.bands import explode_bands
+    from db_lsh_spark.operators.signatures import compute_signatures, with_ids_and_sha
+    from db_lsh_spark.sources.synth import generate
+
+    res = generate(SynthConfig(n_files=300), DedupConfig())
+    files = spark.createDataFrame(res.files)
+    sig = compute_signatures(with_ids_and_sha(files), DedupConfig())
+    out = str(tmp_path / "bands")
+    (explode_bands(sig).repartitionByRange(8, "band", "band_hash")
+     .sortWithinPartitions("band", "band_hash")
+     .write.parquet(out))
+    bands = spark.read.parquet(out)
+    probe = bands.where(F.col("band") == 3)
+    plan = _formatted(probe)
+    assert "PushedFilters" in plan and "EqualTo(band,3)" in plan
+    # correctness of the layout: one band's rows all live in few partitions
+    assert probe.count() == 300
