@@ -130,14 +130,15 @@ def main() -> None:
 
         write_fixture(SynthConfig(n_files=n_files), fixture, DedupConfig())
 
-    # interleave levels (lo, hi, lo, hi) — the host shows bursty run-to-run
-    # variance, interleaving keeps the comparison fair; best-of per level
-    lo = run_at(8, fixture, n_files, repeats=1)
-    hi = run_at(32, fixture, n_files, repeats=1)
-    lo2 = run_at(8, fixture, n_files, repeats=1)
-    hi2 = run_at(32, fixture, n_files, repeats=1)
-    lo = lo if lo["wall_sec"] <= lo2["wall_sec"] else lo2
-    hi = hi if hi["wall_sec"] <= hi2["wall_sec"] else hi2
+    # interleave levels (lo, hi, lo, hi, ...) — the host shows bursty 2x
+    # run-to-run variance; interleaving keeps the comparison fair and
+    # best-of-k per level reports capability rather than noise
+    los, his = [], []
+    for _ in range(3):
+        los.append(run_at(8, fixture, n_files, repeats=1))
+        his.append(run_at(32, fixture, n_files, repeats=1))
+    lo = min(los, key=lambda r: r["wall_sec"])
+    hi = min(his, key=lambda r: r["wall_sec"])
     ceiling = hardware_ceiling(fixture)
     eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
     rel = eff / ceiling["hardware_scaling_ceiling"] if ceiling[
@@ -146,6 +147,7 @@ def main() -> None:
         "n_files": n_files,
         "low": lo,
         "high": hi,
+        "all_runs": {"low": los, "high": his},
         "scaling_efficiency": round(eff, 3),
         "hardware_control": ceiling,
         "efficiency_vs_hardware_ceiling": round(rel, 3) if rel else None,
