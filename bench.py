@@ -31,15 +31,15 @@ def main() -> None:
     n_files = int(os.environ.get("SPARK_GRAFT_NFILES", str(max(2000, int(600_000 * sf)))))
 
     import __spark_entry__ as entrymod
-    from db_lsh_spark.config import DedupConfig, SynthConfig
+    from db_lsh_spark.config import DedupConfig
     from db_lsh_spark.pipeline import run_dedup
     from db_lsh_spark.session import get_spark
-    from db_lsh_spark.sources.synth import write_fixture
+    from db_lsh_spark.sources.synth import write_files_only
 
     dcfg = DedupConfig()
     fixture_dir = f"/tmp/bench_fixture_{n_files}"
     if not os.path.exists(f"{fixture_dir}/files.parquet"):
-        write_fixture(SynthConfig(n_files=n_files), fixture_dir, dcfg)
+        write_files_only(n_files, fixture_dir)  # sharded, parallel, fast
 
     spark = get_spark(app_name="db_lsh_spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(cpus, 16))

@@ -218,6 +218,44 @@ def generate(cfg: SynthConfig, dedup_cfg=None) -> SynthResult:
                        golden_clusters=golden_clusters)
 
 
+def generate_sharded(n_files: int, base_seed: int = 42,
+                     shard_size: int = 30000) -> pd.DataFrame:
+    """Large fixture via parallel shards (distinct seeds, disjoint id
+    ranges — no cross-shard duplicates beyond sha-chance ~0). Files table
+    only: golden tables are per-shard concepts; benches don't need them."""
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    n_shards = max(1, (n_files + shard_size - 1) // shard_size)
+    sizes = [shard_size] * (n_shards - 1) + [n_files - shard_size * (n_shards - 1)]
+    args = [(i, s, base_seed) for i, s in enumerate(sizes)]
+    if n_shards == 1:
+        shards = [_gen_shard(args[0])]
+    else:
+        with ProcessPoolExecutor(max_workers=min(n_shards, os.cpu_count() or 8)) as ex:
+            shards = list(ex.map(_gen_shard, args))
+    return pd.concat(shards, ignore_index=True)
+
+
+def _gen_shard(args: tuple[int, int, int]) -> pd.DataFrame:
+    shard, n, base_seed = args
+    res = generate(SynthConfig(seed=base_seed + shard, n_files=n))
+    f = res.files
+    f["file_id"] = f["file_id"] + shard * 10_000_000
+    f["repo"] = f"s{shard}/" + f["repo"]
+    return f
+
+
+def write_files_only(n_files: int, out_dir: str, base_seed: int = 42) -> None:
+    """Fast path for benches: sharded parallel generation, files table only,
+    splittable row groups."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = generate_sharded(n_files, base_seed)
+    files.to_parquet(f"{out_dir}/files.parquet", index=False, row_group_size=4096)
+
+
 def write_fixture(cfg: SynthConfig, out_dir: str, dedup_cfg=None) -> SynthResult:
     """Materialize the fixture as parquet (files, golden_pairs,
     golden_clusters) under ``out_dir`` — idempotent and deterministic."""

@@ -1,7 +1,5 @@
-"""Build large synthetic ``files`` fixtures by sharding the deterministic
-generator across processes (distinct seeds per shard, disjoint id ranges —
-no cross-shard duplicates except sha-chance, which is ~0). Goldens are
-per-shard valid; the scaling bench only needs the files table.
+"""Build large synthetic ``files`` fixtures (files table only) via the
+package's sharded parallel generator.
 
     python tools/make_big_fixture.py 240000 [out_dir]
 """
@@ -10,39 +8,17 @@ from __future__ import annotations
 
 import os
 import sys
-from concurrent.futures import ProcessPoolExecutor
-
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SHARD_SIZE = 30000
-ID_STRIDE = 10_000_000
-
-
-def _make_shard(args: tuple[int, int]) -> pd.DataFrame:
-    shard, n = args
-    from db_lsh_spark.config import SynthConfig
-    from db_lsh_spark.sources.synth import generate
-
-    res = generate(SynthConfig(seed=42 + shard, n_files=n))
-    f = res.files
-    f["file_id"] = f["file_id"] + shard * ID_STRIDE
-    f["repo"] = f"s{shard}/" + f["repo"]
-    return f
+from db_lsh_spark.sources.synth import write_files_only  # noqa: E402
 
 
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 240000
     out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/bench_fixture_{n_files}"
-    n_shards = max(1, (n_files + SHARD_SIZE - 1) // SHARD_SIZE)
-    sizes = [SHARD_SIZE] * (n_shards - 1) + [n_files - SHARD_SIZE * (n_shards - 1)]
-    with ProcessPoolExecutor(max_workers=min(n_shards, os.cpu_count() or 8)) as ex:
-        shards = list(ex.map(_make_shard, [(i, s) for i, s in enumerate(sizes)]))
-    files = pd.concat(shards, ignore_index=True)
-    os.makedirs(out_dir, exist_ok=True)
-    files.to_parquet(f"{out_dir}/files.parquet", index=False, row_group_size=4096)
-    print(f"{len(files)} files -> {out_dir}/files.parquet")
+    write_files_only(n_files, out_dir)
+    print(f"{n_files} files -> {out_dir}/files.parquet")
 
 
 if __name__ == "__main__":

@@ -125,10 +125,9 @@ def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     fixture = f"/tmp/bench_fixture_{n_files}"
     if not os.path.exists(f"{fixture}/files.parquet"):
-        from db_lsh_spark.config import DedupConfig, SynthConfig
-        from db_lsh_spark.sources.synth import write_fixture
+        from db_lsh_spark.sources.synth import write_files_only
 
-        write_fixture(SynthConfig(n_files=n_files), fixture, DedupConfig())
+        write_files_only(n_files, fixture)
 
     # interleave levels (lo, hi, lo, hi, ...) — the host shows bursty 2x
     # run-to-run variance; interleaving keeps the comparison fair and
