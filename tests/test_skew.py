@@ -1,0 +1,90 @@
+"""Skew hardening: planted mega-groups (the vendored-lodash scenario,
+SURVEY 7.3) must keep candidate volume bounded and recall intact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.operators.bands import bucket_stats, cap_buckets, explode_bands
+from db_lsh_spark.operators.candidates import candidate_pairs
+from db_lsh_spark.operators.signatures import (
+    compute_signatures,
+    exact_duplicate_edges,
+    with_ids_and_sha,
+)
+from db_lsh_spark.pipeline import run_dedup
+
+
+def _mega_fixture(n_copies: int = 300, n_exact: int = 500) -> pd.DataFrame:
+    """One file vendored everywhere: n_exact byte-identical copies (must be
+    sha-short-circuited) + n_copies near-copies with one token changed
+    (collide in nearly every band → one mega bucket)."""
+    rng = np.random.default_rng(0)
+    base_tokens = [f"tok{i}" for i in range(120)]
+    rows = []
+    fid = 0
+    base = " ".join(base_tokens)
+    for _ in range(n_exact):
+        rows.append(dict(file_id=fid, repo=f"r{fid%7}", path=f"p{fid}",
+                         commit="c", lang="js", content=base))
+        fid += 1
+    for _ in range(n_copies):
+        toks = base_tokens.copy()
+        toks[int(rng.integers(5, 115))] = f"mut{fid}"
+        rows.append(dict(file_id=fid, repo=f"r{fid%7}", path=f"p{fid}",
+                         commit="c", lang="js", content=" ".join(toks)))
+        fid += 1
+    # background of unrelated files
+    for _ in range(200):
+        toks = [f"bg{fid}_{i}{int(rng.integers(1e6))}" for i in range(80)]
+        rows.append(dict(file_id=fid, repo=f"r{fid%7}", path=f"p{fid}",
+                         commit="c", lang="js", content=" ".join(toks)))
+        fid += 1
+    return pd.DataFrame(rows)
+
+
+def test_exact_mega_group_never_reaches_lsh(spark, dedup_cfg):
+    pdf = _mega_fixture(n_copies=0, n_exact=800)
+    fi = with_ids_and_sha(spark.createDataFrame(pdf))
+    edges, rep_ids = exact_duplicate_edges(fi)
+    # 800 byte-identical copies → 799 pointer edges + 1 representative:
+    # linear, not quadratic (the 10^6-copy / 10^12-pair failure mode)
+    assert edges.count() == 799
+    assert rep_ids.join(fi, "file_id").where(
+        F.col("content").isNotNull()).count() == 201  # 1 rep + 200 background
+
+
+def test_near_dup_mega_bucket_is_capped_and_censused(spark):
+    cfg = DedupConfig(max_bucket=100)  # force the cap below the group size
+    pdf = _mega_fixture(n_copies=300, n_exact=0)
+    fi = with_ids_and_sha(spark.createDataFrame(pdf))
+    sigs = compute_signatures(fi, cfg)
+    bands = explode_bands(sigs)
+    stats = bucket_stats(bands).toPandas()
+    assert stats.bucket_size.max() >= 150  # a mega bucket exists
+    capped, overflow = cap_buckets(bands, cfg.max_bucket)
+    assert capped.groupBy("band", "band_hash").count().agg(
+        F.max("count")).first()[0] <= cfg.max_bucket
+    # capping is never silent: the census records what was dropped
+    ov = overflow.toPandas()
+    assert ov.dropped_members.sum() > 0
+    pairs, _ = candidate_pairs(bands, cfg)
+    # pair volume bounded by bands * C(max_bucket,2), far below C(300,2)*b
+    assert pairs.count() <= cfg.bands * cfg.max_bucket * (cfg.max_bucket - 1) / 2
+
+
+def test_mega_group_recall_within_cap(spark, dedup_cfg):
+    """With the default cap above the group size, a 300-member near-dup
+    family plus 500 exact copies resolves to ONE cluster."""
+    pdf = _mega_fixture(n_copies=120, n_exact=200)
+    out = run_dedup(spark, spark.createDataFrame(pdf), dedup_cfg, with_lcs=False)
+    clusters = out.clusters.toPandas()
+    fam = clusters[clusters.file_id < 320]
+    assert fam.cluster_id.nunique() == 1, "mega family fragmented"
+    # background files remain singletons
+    bg = clusters[clusters.file_id >= 320]
+    assert (bg.cluster_id == bg.file_id).all()
