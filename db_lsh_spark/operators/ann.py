@@ -92,30 +92,46 @@ def sign_codes(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     from MT19937(seed) on the driver (the HashParam discipline,
     ``dblsh.cpp:53-78``), banded into (band, band_code) bucket keys.
 
-    JVM-only: the projection is an aggregate over zip_with against literal
-    plane arrays — no Python UDF for a 64-dim dot product.
+    The projection is one NumPy matmul per Arrow batch (the direct analogue
+    of the reference's projection pass, ``dblsh.cpp:80-99``) — a literal
+    24x64 expression tree in codegen was measurably slower than the BLAS
+    call. Bands are packed JVM-side from the returned bit codes.
     """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     rng = np.random.Generator(np.random.MT19937(cfg.seed))
     planes = rng.normal(size=(cfg.n_planes, cfg.dim))
-    unit = with_unit_vectors(emb)
-    bit_cols = []
-    for p in range(cfg.n_planes):
-        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
-        bit_cols.append(
-            F.when(_dot(F.col("_unit"), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        )
-    bits = F.array(*bit_cols)
-    out = unit.withColumn("_bits", bits)
-    band_cols = []
-    for b in range(cfg.bands):
-        # pack this band's bits into an int code
-        code = F.lit(0)
-        for r in range(cfg.rows):
-            code = code * 2 + F.element_at(F.col("_bits"), b * cfg.rows + r + 1)
-        band_cols.append(F.struct(F.lit(b).alias("band"), code.alias("band_code")))
-    return out.select(
-        "vec_id", "_unit", F.explode(F.array(*band_cols)).alias("bc")
-    ).select("vec_id", "_unit", F.col("bc.band").alias("band"), F.col("bc.band_code").alias("band_code"))
+    bands_n, rows_n = cfg.bands, cfg.rows
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("band", IntegerType(), False),
+            StructField("band_code", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = np.ascontiguousarray(planes.T)  # (dim, n_planes)
+        pack = 1 << np.arange(rows_n - 1, -1, -1)  # MSB-first, matches tests
+        for pdf in batches:
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (M @ weights >= 0).astype(np.int64)  # unit-norm irrelevant to sign
+            codes = bits.reshape(len(pdf), bands_n, rows_n) @ pack  # (n, bands)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), bands_n),
+                    "band": np.tile(np.arange(bands_n, dtype=np.int32), n),
+                    "band_code": codes.astype(np.int32).ravel(),
+                }
+            )
+
+    codes = emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+    unit = with_unit_vectors(emb).select("vec_id", "_unit")
+    return codes.join(unit, "vec_id").select("vec_id", "_unit", "band", "band_code")
 
 
 def knn_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
