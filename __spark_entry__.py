@@ -43,6 +43,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ byte-identical clones of doc_id < 20 at doc_id+1_000_000 —
+    the deterministic seeded-duplicates table (oracle builds the same CTE)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    clones = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(clones)
+
+
 # --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: all near-duplicate clusters (size >= 2) in the sf0.001
@@ -82,6 +92,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), SHINGLE_K
     ).select("doc_id", F.col("n_shingles").cast("long").alias("n_shingles"))
     q["doc_exact_dup_groups"] = lambda s, d: text_ops.exact_dup_groups(_docs(s, d))
+
+    # the sf fixtures carry no byte-identical documents, making the plain
+    # exact-dup check vacuous (0 rows == 0 rows); these two run the same
+    # operators over documents ∪ deterministic clones of the first 20 docs
+    # (doc_id + 1_000_000), exercising the sha256 short-circuit AND the
+    # expansion of verified rep-pairs back through dup-group membership
+    q["doc_exact_dup_groups_seeded"] = lambda s, d: text_ops.exact_dup_groups(
+        _docs_with_dups(s, d)
+    )
+
+    def _lsh_pairs_seeded(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import lsh_near_dup_pairs
+
+        return lsh_near_dup_pairs(_docs_with_dups(s, d), DOC_DEDUP_CFG)
+
+    q["doc_lsh_near_dup_pairs_seeded"] = _lsh_pairs_seeded
     q["doc_bpe_token_count"] = lambda s, d: text_ops.bpe_token_count(_docs(s, d))
     q["doc_near_dup_pairs"] = lambda s, d: text_ops.near_dup_pairs_exact(
         _docs(s, d), SHINGLE_K, NEAR_DUP_THRESHOLD
@@ -114,14 +140,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
     )
-    # approximate lane — no SQL oracle (driver records rows-only check);
-    # quality is instead asserted by tests/test_ann.py recall >= 0.9
+    # approximate lane, oracled by the BRUTE-FORCE SQL: with exact-cosine
+    # rerank, LSH output == exact top-k iff every true neighbor is a bucket
+    # candidate — the recall-1 claim, same pattern as doc_lsh_near_dup_pairs
+    # (reference protocol: RECALL vs ground truth, Query.cpp:157-163)
     q["emb_knn_lsh"] = lambda s, d: ann_ops.knn_lsh(_emb(s, d), ANN_CFG).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
     )
 
+    # quantitative eval row: avg recall + avg distance RATIO (Query.cpp:143-163,
+    # main.cpp:148-149) — the oracle asserts the contract values (1.0, 1.0)
+    q["emb_lsh_recall"] = lambda s, d: ann_ops.lsh_recall_ratio(_emb(s, d), ANN_CFG)
+
     q["emb_near_dup_pairs"] = lambda s, d: ann_ops.cosine_near_dup_pairs(
         _emb(s, d), 0.45
+    )
+    # the scale path (banded sign-LSH equi-join + exact-cosine verify) must
+    # equal the brute-force result — same oracle SQL
+    q["emb_near_dup_pairs_lsh"] = lambda s, d: ann_ops.cosine_near_dup_pairs_lsh(
+        _emb(s, d), 0.45, ANN_CFG
     )
 
     # ---- generic operator lane (TPC-H-ish tables; SURVEY §2.3/2.4/2.6) ----
@@ -251,12 +288,48 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         GROUP BY 1 HAVING count(*) > 1
     """
+    _dups_cte = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+    """
+    sql["doc_exact_dup_groups_seeded"] = f"""
+        WITH docs2 AS ({_dups_cte})
+        SELECT md5(text) AS content_md5,
+               count(*) AS group_size,
+               min(doc_id) AS min_doc_id
+        FROM docs2
+        GROUP BY 1 HAVING count(*) > 1
+    """
     sql["doc_bpe_token_count"] = """
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
                    AS n_bpe_tokens
         FROM documents
     """
+    def _pairs_sql(src: str, preamble: str = "") -> str:
+        return f"""
+        WITH {preamble}sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len({toks}) - 4, 1) + 1),
+                       i -> array_to_string(({toks})[i:i+4], ' ')))) AS s
+            FROM {src}
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= 0.9
+        """
+
     _pairs_cte = f"""
         WITH sh AS (
             SELECT doc_id,
@@ -281,6 +354,11 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_near_dup_pairs"] = _pairs_cte
     # the LSH lane must equal the brute-force result (recall-1 claim)
     sql["doc_lsh_near_dup_pairs"] = _pairs_cte
+    # same contract over the seeded-duplicates table — non-vacuous exercise
+    # of the sha256 short-circuit + dup-group pair expansion
+    sql["doc_lsh_near_dup_pairs_seeded"] = _pairs_sql(
+        "docs2", preamble=f"docs2 AS ({_dups_cte}), "
+    )
     # clusters: connected components of the thresholded pair graph. At the
     # test threshold the components are stars around a base doc, but the
     # general recursive closure is expressed here (DuckDB recursive CTE
@@ -350,6 +428,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
         FROM ranked WHERE rank <= 10
     """
+    # LSH lane == exact lane at this config (recall-1, verified empirically
+    # and by the analytic miss bound in operators/ann.py): same oracle
+    sql["emb_knn_lsh"] = sql["emb_knn_bruteforce"]
+    # contract values: recall 1.0 and distance-ratio 1.0 (identical lists);
+    # the reference's <0.9 sanity abort (main.cpp:149) is the boolean flag
+    sql["emb_lsh_recall"] = """
+        SELECT CAST(1.0 AS DOUBLE) AS avg_recall,
+               CAST(1.0 AS DOUBLE) AS avg_ratio,
+               TRUE AS ratio_sane
+    """
     sql["emb_near_dup_pairs"] = """
         WITH u AS (
             SELECT vec_id,
@@ -363,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         FROM u a JOIN u b ON a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.e, b.e), 6) >= 0.45
     """
+    sql["emb_near_dup_pairs_lsh"] = sql["emb_near_dup_pairs"]
     sql["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -62,6 +62,7 @@ def main() -> None:
         "doc_stats",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
+        "emb_near_dup_pairs_lsh",
         "tpch_q1",
         "tpch_topk_orders_per_cust",
         "tpch_nation_revenue",

@@ -55,6 +55,7 @@ class DedupConfig:
     beta: float = 0.1            # candidate-budget fraction (Query.cpp:81)
     min_probe_bands: int = 16    # bands used in round 1 (can widen)
     salt_threshold: int = 5000   # bucket size above which we salt/segment
+    salt_buckets: int = 32       # sub-buckets for the salted two-phase cap
     max_content_chars: int = 200_000  # cap for suffix-array verification
     lcs_min_len: int = 64        # substring-evidence threshold (chars)
 

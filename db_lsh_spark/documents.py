@@ -16,6 +16,7 @@ from db_lsh_spark.operators.signatures import (
     compute_signatures,
     exact_duplicate_edges,
     semi_filter_reps,
+    sha_group_members,
     with_ids_and_sha,
 )
 from db_lsh_spark.operators.verify import verify_pairs
@@ -38,13 +39,48 @@ def lsh_near_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification over
     documents → (id_a, id_b, jaccard). The approximate lane whose output, at
-    recall 1, equals the brute-force exact-Jaccard join (the oracle SQL)."""
+    recall 1, equals the brute-force exact-Jaccard join (the oracle SQL).
+
+    The LSH join itself runs only on sha256-group REPRESENTATIVES (the
+    short-circuit that keeps a 10^6-copy vendored file from producing 10^12
+    candidate probes). The pair CONTRACT, though, is over all documents —
+    identical texts have Jaccard 1 — so verified rep-level pairs are
+    expanded back through group membership afterwards:
+
+    - cross pairs: (a, b) for a ∈ group(rep_a), b ∈ group(rep_b) inherits
+      jaccard(rep_a, rep_b) (identical texts ⇒ identical shingle sets);
+    - intra pairs: every pair inside one sha256 group at jaccard 1.0.
+
+    The expansion is output-linear in the true pair count — inherently
+    quadratic in dup-group size, like the answer itself. Callers that only
+    need clusters use ``dedup_clusters`` (star edges, linear in group size).
+    """
     files = with_ids_and_sha(_as_files(docs))
-    _, rep_ids = exact_duplicate_edges(files)
+    members = sha_group_members(files)
+    rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
     sigs = semi_filter_reps(compute_signatures(files, cfg), rep_ids)
     pairs, _ = candidate_pairs(explode_bands(sigs), cfg)
     verified = verify_pairs(pairs, files, cfg, with_lcs=with_lcs)
-    return verified.select(
+
+    m_a = members.select(F.col("rep_id").alias("id_a"), F.col("file_id").alias("fa"))
+    m_b = members.select(F.col("rep_id").alias("id_b"), F.col("file_id").alias("fb"))
+    cross = (
+        verified.join(m_a, "id_a")
+        .join(m_b, "id_b")
+        .select(
+            F.least("fa", "fb").alias("id_a"),
+            F.greatest("fa", "fb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    g1 = members.select("rep_id", F.col("file_id").alias("id_a"))
+    g2 = members.select("rep_id", F.col("file_id").alias("id_b"))
+    intra = (
+        g1.join(g2, "rep_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra).select(
         "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
     )
 

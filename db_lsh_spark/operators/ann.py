@@ -3,7 +3,7 @@ mirrors the reference most directly (dense float vectors,
 ``StructType.h:2-11``; brute-force ground truth ``Preprocess.cpp:195-227``;
 random projections ``dblsh.cpp:53-99``; query split ``Preprocess.cpp:75-78``).
 
-Two paths:
+Paths:
 - ``knn_bruteforce``: exact top-k by cosine via a broadcast join of the
   (small) query set against the base table + per-query window rank — the
   J2 ground-truth join. Scale shape: queries are broadcast (no shuffle of
@@ -11,9 +11,29 @@ Two paths:
 - ``knn_lsh``: sign-random-projection (hyperplane) LSH — band the sign bits,
   bucket-join query/base codes, exact-cosine rerank inside candidates. The
   scale path: candidates ≪ N per query.
+- ``knn_lsh_adaptive``: per-query probe widening under a candidate budget
+  (T = βN + k) — the batch rendition of the reference's dynamic window
+  growth (``Query.cpp:76-100``).
+- ``cosine_near_dup_pairs`` (brute force, the oracle) and
+  ``cosine_near_dup_pairs_lsh`` (banded self-join + exact-cosine verify,
+  the scale path).
+
+Join discipline (100-TB shape): the banded tables carry ONLY
+(vec_id, band, band_code) — never the float vectors. Vectors are fetched
+per candidate id after the bucket join + dedup, the same
+verify-join pattern as the text lane (``pipeline.py``). Selectivity
+caveat, stated rather than hidden: sign-LSH contrast is governed by
+ρ = ln p1 / ln p2 with p_bit = 1 − θ/π; near the isotropic-noise floor
+(cosine ≈ 0.45 ⇒ p1 ≈ 0.65 vs p2 = 0.5) ρ → 1 and the candidate set
+approaches all pairs — no LSH family can do better there. At real
+embedding-dedup thresholds (cosine ≥ 0.8, p1 ≥ 0.79) the same plan prunes
+hard; banding/probe depth are config, tuned per threshold exactly as the
+reference tunes its window schedule.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
@@ -49,16 +69,28 @@ def norms(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.round(_norm(dbl), 6).alias("l2_norm"))
 
 
+def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k per query: cosine (rounded 1e-6) desc, ties by
+    neighbor_id asc — engine-portable ranking shared by every kNN path."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def knn_bruteforce(
     emb: DataFrame, cfg: AnnConfig, queries_are: str = "first_n"
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the query split (first ``n_queries``
     vec_ids — the reference's held-out split, ``Preprocess.cpp:75-78``).
 
-    Output (query_id, rank, neighbor_id, cosine): rank by cosine rounded to
-    1e-6 descending, ties broken by neighbor_id — fully deterministic and
-    engine-portable. The query side is broadcast: the base table is scanned
-    once with no shuffle (the 100-TB-safe shape for a small probe set).
+    Output (query_id, rank, neighbor_id, cosine). The query side is
+    broadcast: the base table is scanned once with no shuffle (the
+    100-TB-safe shape for a small probe set).
     """
     base = with_unit_vectors(emb).select(
         F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b")
@@ -77,20 +109,19 @@ def knn_bruteforce(
             F.round(_dot(F.col("u_q"), F.col("u_b")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= cfg.k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _rank_topk(sims, cfg.k)
 
 
 def sign_codes(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     """Sign-random-projection codes: n_planes Gaussian hyperplanes drawn
     from MT19937(seed) on the driver (the HashParam discipline,
     ``dblsh.cpp:53-78``), banded into (band, band_code) bucket keys.
+
+    Output is SLIM — (vec_id, band, band_code) only. The float vectors are
+    deliberately NOT joined here: the banded table is what shuffles in the
+    bucket join, and carrying a dim-float array × bands per vector through
+    that exchange multiplies shuffle bytes by ~50× for nothing. Callers
+    fetch unit vectors per candidate id afterwards (verify-join pattern).
 
     The projection is one NumPy matmul per Arrow batch (the direct analogue
     of the reference's projection pass, ``dblsh.cpp:80-99``) — a literal
@@ -129,73 +160,190 @@ def sign_codes(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
                 }
             )
 
-    codes = emb.select("vec_id", "embedding").mapInPandas(gen, schema)
-    unit = with_unit_vectors(emb).select("vec_id", "_unit")
-    return codes.join(unit, "vec_id").select("vec_id", "_unit", "band", "band_code")
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
+def _probe_code_exprs(rows: int, radius: int) -> list:
+    """Band-code expressions at EXACT Hamming distance ``radius`` from
+    ``band_code`` (bit-flip enumeration — the discrete analogue of the
+    reference's window ring at radius c^t, ``Query.cpp:86-100``)."""
+    if radius == 0:
+        return [F.col("band_code")]
+    out = []
+    for bits in combinations(range(rows), radius):
+        mask = 0
+        for b in bits:
+            mask |= 1 << b
+        out.append(F.col("band_code").bitwiseXOR(F.lit(mask)))
+    return out
+
+
+def probe_expand(codes: DataFrame, rows: int, max_hamming: int) -> DataFrame:
+    """Explode each (vec_id, band, band_code) row into every code within
+    Hamming distance ``max_hamming`` — multi-probe on ONE side of a bucket
+    join makes the join match buckets within that distance without ever
+    duplicating the other (big) side."""
+    exprs: list = []
+    for r in range(max_hamming + 1):
+        exprs += _probe_code_exprs(rows, r)
+    return codes.withColumn("band_code", F.explode(F.array(*exprs)))
+
+
+def _rerank_candidates(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id) candidates → exact-cosine top-k. Unit vectors
+    are fetched HERE, per candidate id — after the bucket join + dedup — so
+    the banded shuffle stays slim (query side broadcast: it is n_queries·≤N
+    rows of two longs)."""
+    units = with_unit_vectors(emb).select("vec_id", "_unit")
+    uq = units.select(F.col("vec_id").alias("query_id"), F.col("_unit").alias("u_q"))
+    ub = units.select(F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b"))
+    sims = (
+        cand.join(ub, "neighbor_id")
+        .join(F.broadcast(uq), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("u_q"), F.col("u_b")), 6).alias("cosine"),
+        )
+    )
+    return _rank_topk(sims, k)
 
 
 def knn_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     """LSH-bucketed ANN: candidates = base vectors sharing any (band,
-    band_code) with the query, exact-cosine reranked to top-k. Same output
-    schema as ``knn_bruteforce`` — recall vs it is the quality metric
-    (reference protocol: RECALL over 100 queries, ``main.cpp:148``).
+    band_code) bucket with the query within ``cfg.probe_hamming`` bit flips,
+    exact-cosine reranked to top-k. Same output schema as
+    ``knn_bruteforce`` — recall vs it is the quality metric (reference
+    protocol: RECALL over the query split, ``main.cpp:148``).
 
-    Multi-probe: the query side also probes band codes within
-    ``cfg.probe_hamming`` bit flips — the discrete analogue of the
-    reference's dynamic window widening (``Query.cpp:86-100``): more
-    buckets per probe instead of a rebuilt index. Expansion happens on the
-    (tiny) query side only; the base table is never duplicated."""
+    Multi-probe expansion happens on the (tiny) query side only; the base
+    table is never duplicated and the banded join shuffles only
+    (vec_id, band, band_code)."""
     codes = sign_codes(emb, cfg)
-    probe_codes = [F.col("band_code")]
-    if cfg.probe_hamming >= 1:
-        probe_codes += [
-            F.col("band_code").bitwiseXOR(F.lit(1 << i)) for i in range(cfg.rows)
-        ]
-    qs = (
-        codes.where(F.col("vec_id") < cfg.n_queries)
-        .withColumn("band_code", F.explode(F.array(*probe_codes)))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("_unit").alias("u_q"),
-            "band",
-            "band_code",
-        )
-    )
-    base = codes.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b"), "band", "band_code"
-    )
+    qs = probe_expand(
+        codes.where(F.col("vec_id") < cfg.n_queries), cfg.rows, cfg.probe_hamming
+    ).select(F.col("vec_id").alias("query_id"), "band", "band_code")
+    base = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
     cand = (
-        qs.join(base, ["band", "band_code"])
+        F.broadcast(qs).join(base, ["band", "band_code"])
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "u_q", "u_b")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sims = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("u_q"), F.col("u_b")), 6).alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= cfg.k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _rerank_candidates(cand, emb, cfg.k)
+
+
+def knn_lsh_adaptive(
+    emb: DataFrame, cfg: AnnConfig, budget: int | None = None
+) -> tuple[DataFrame, list[dict]]:
+    """Query-adaptive multi-probe kNN — the reference's candidate-budget
+    loop (T = βN + k, ``Query.cpp:76-81``; widen until T candidates,
+    ``Query.cpp:86-100``) rendered batch-native.
+
+    Round t probes band codes at EXACT Hamming radius t, for the queries
+    still under ``budget`` distinct candidates; satisfied queries stop
+    probing. The base table is scanned per round but never expanded; all
+    per-round state is the (tiny) accumulated candidate-id table.
+
+    Returns (topk DataFrame, per-round stats). Rounds are bounded by
+    cfg.rows (radius > rows is the full keyspace).
+    """
+    budget = budget or cfg.candidate_budget(emb.count())
+    codes = sign_codes(emb, cfg).localCheckpoint(eager=True)
+    base = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
+    qcodes = codes.where(F.col("vec_id") < cfg.n_queries)
+
+    cand: DataFrame | None = None
+    pending: DataFrame | None = None  # query_ids still under budget
+    rounds: list[dict] = []
+    for radius in range(cfg.rows + 1):
+        probe_src = qcodes if pending is None else qcodes.join(
+            pending, qcodes.vec_id == pending.query_id, "left_semi"
+        )
+        exprs = _probe_code_exprs(cfg.rows, radius)
+        probes = probe_src.withColumn(
+            "band_code", F.explode(F.array(*exprs))
+        ).select(F.col("vec_id").alias("query_id"), "band", "band_code")
+        new = (
+            F.broadcast(probes).join(base, ["band", "band_code"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = new if cand is None else cand.unionByName(new)
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"]).localCheckpoint(
+            eager=True
+        )
+        counts = cand.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+        pending_rows = counts.where(F.col("n_cand") < budget).collect()
+        rounds.append(
+            {
+                "radius": radius,
+                "cum_candidates": cand.count(),
+                "queries_under_budget": len(pending_rows),
+            }
+        )
+        if not pending_rows:
+            break
+        pending = cand.sparkSession.createDataFrame(
+            [(int(r.query_id),) for r in pending_rows], "query_id long"
+        )
+    return _rerank_candidates(cand, emb, cfg.k), rounds
 
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
-    """Embedding near-duplicate pairs: all (id_a < id_b) with cosine >=
-    threshold — the brute-force embedding-dedup lane (exact; the LSH-probed
-    variant reuses ``knn_lsh`` buckets when the corpus is angularly tight).
-    Join shape: self cross join pruned by the id inequality; at scale this
-    lane runs on the LSH-bucketed path, brute force is the oracle."""
+    """Embedding near-duplicate pairs, BRUTE FORCE: all (id_a < id_b) with
+    cosine >= threshold via a self cross join. This is the ground-truth /
+    oracle lane only (``Preprocess.cpp:195-227`` analogue) — the production
+    path is ``cosine_near_dup_pairs_lsh``; keeping both green against the
+    same SQL is the recall-1 claim."""
     u = with_unit_vectors(emb).select("vec_id", "_unit")
     a = u.select(F.col("vec_id").alias("id_a"), F.col("_unit").alias("ua"))
     b = u.select(F.col("vec_id").alias("id_b"), F.col("_unit").alias("ub"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    emb: DataFrame, threshold: float, cfg: AnnConfig
+) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-bucketed — the scale path that
+    replaces the O(N²) cross join with a banded equi-join (the same shape
+    as the text lane's candidate join, ``Query.cpp:50-115``):
+
+    1. slim sign codes (vec_id, band, band_code);
+    2. LEFT side probe-expanded to Hamming ≤ cfg.probe_hamming — two
+       vectors become candidates iff some band's codes are within that
+       distance (multi-probe widening on one side only);
+    3. shuffle hash join on (band, band_code), id_a < id_b, dedup;
+    4. unit vectors fetched per candidate id, exact cosine >= threshold.
+
+    Plan invariant (tested): no BroadcastNestedLoopJoin / CartesianProduct
+    anywhere — every join is an equi-join.
+    """
+    codes = sign_codes(emb, cfg)
+    left = probe_expand(codes, cfg.rows, cfg.probe_hamming).select(
+        F.col("vec_id").alias("id_a"), "band", "band_code"
+    )
+    right = codes.select(F.col("vec_id").alias("id_b"), "band", "band_code")
+    cand = (
+        left.join(right, ["band", "band_code"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    units = with_unit_vectors(emb).select("vec_id", "_unit")
+    ua = units.select(F.col("vec_id").alias("id_a"), F.col("_unit").alias("ua"))
+    ub = units.select(F.col("vec_id").alias("id_b"), F.col("_unit").alias("ub"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -214,3 +362,45 @@ def lsh_recall(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
     per_q = hits.groupBy("query_id").agg((F.count("*") / cfg.k).alias("recall"))
     return per_q.agg(F.round(F.avg("recall"), 4).alias("avg_recall"))
+
+
+def lsh_recall_ratio(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
+    """One-row eval of the LSH lane: the reference's two headline metrics
+    side by side (CSV header ``main.cpp:171``):
+
+    - avg_recall — |approx ∩ exact| / k averaged over queries
+      (``Query.cpp:157-163``);
+    - avg_ratio  — mean over (query, rank) of approx/exact cosine DISTANCE
+      (1 − cosine) at the same rank (``Query.cpp:143-155``; always ≥ 1,
+      exactly 1.0 iff the approx list equals the exact list). The
+      reference's <0.9 sanity abort (``main.cpp:149``) is the ``ratio_sane``
+      flag here — a ratio below 1 − ε means a corrupted comparison, not a
+      good index.
+    """
+    # each lane materialized once; both metrics derive from the snapshots
+    exact = knn_bruteforce(emb, cfg).localCheckpoint(eager=True)
+    approx = knn_lsh(emb, cfg).localCheckpoint(eager=True)
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    rec = (
+        hits.groupBy("query_id")
+        .agg((F.count("*") / cfg.k).alias("recall"))
+        .agg(F.round(F.avg("recall"), 4).alias("avg_recall"))
+    )
+    joined = exact.select(
+        "query_id", "rank", F.col("cosine").alias("c_exact")
+    ).join(
+        approx.select("query_id", "rank", F.col("cosine").alias("c_approx")),
+        ["query_id", "rank"],
+    )
+    d_exact = F.lit(1.0) - F.col("c_exact")
+    d_approx = F.lit(1.0) - F.col("c_approx")
+    ratio = F.when(d_exact < 1e-9, F.lit(1.0)).otherwise(d_approx / d_exact)
+    rat = joined.select(ratio.alias("ratio")).agg(
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        (F.min("ratio") >= 1.0 - 1e-6).alias("ratio_sane"),
+    )
+    return rec.crossJoin(rat)

@@ -34,7 +34,9 @@ def bucket_stats(bands: DataFrame) -> DataFrame:
     )
 
 
-def cap_buckets(bands: DataFrame, max_bucket: int) -> tuple[DataFrame, DataFrame]:
+def cap_buckets(
+    bands: DataFrame, max_bucket: int, salt_buckets: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Bound per-bucket membership to ``max_bucket`` rows (deterministic:
     lowest file_ids kept) — the distributed analogue of the reference's
     candidate budget T = beta*N + k (``Query.cpp:81``, early exit
@@ -46,10 +48,47 @@ def cap_buckets(bands: DataFrame, max_bucket: int) -> tuple[DataFrame, DataFrame
     capped here is genuinely low-information collisions; membership in the
     other b-1 bands is unaffected, which is what keeps recall high.
 
+    With ``salt_buckets`` set, the cap runs in two salted phases
+    (north_rule: skew handled explicitly via salting): phase 1 ranks within
+    (band, band_hash, salt) — a mega-bucket's sort is split across
+    ``salt_buckets`` tasks instead of one — keeping at most ``max_bucket``
+    rows per sub-bucket; phase 2 ranks the ≤ salt_buckets·max_bucket
+    survivors globally per bucket. The output is IDENTICAL to the
+    single-phase cap (the globally lowest max_bucket file_ids each survive
+    phase 1 within their own salt group — proven by the equivalence test),
+    but no task ever sorts more than max(bucket/salt_buckets,
+    salt_buckets·max_bucket) rows.
+
     Returns (capped_bands, overflow_census) — the census is logged to the
     metrics table so capping is never silent (SURVEY §5 discipline).
     """
     from pyspark.sql import Window
+
+    if salt_buckets:
+        salted = salt_column(bands, ["file_id"], salt_buckets)
+        w1 = Window.partitionBy("band", "band_hash", "salt").orderBy("file_id")
+        phase1 = (
+            salted.withColumn("_r", F.row_number().over(w1))
+            .where(F.col("_r") <= max_bucket)
+            .drop("_r", "salt")
+        )
+        w2 = Window.partitionBy("band", "band_hash").orderBy("file_id")
+        capped = (
+            phase1.withColumn("_r", F.row_number().over(w2))
+            .where(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
+        # census from the (map-side combined) size agg — exact and cheap
+        overflow = (
+            bucket_stats(bands)
+            .where(F.col("bucket_size") > max_bucket)
+            .select(
+                "band",
+                "band_hash",
+                (F.col("bucket_size") - max_bucket).alias("dropped_members"),
+            )
+        )
+        return capped, overflow
 
     w = Window.partitionBy("band", "band_hash").orderBy("file_id")
     ranked = bands.withColumn("_rank", F.row_number().over(w))

@@ -20,13 +20,19 @@ from db_lsh_spark.operators.bands import cap_buckets
 
 
 def candidate_pairs(
-    bands: DataFrame, cfg: DedupConfig
+    bands: DataFrame, cfg: DedupConfig, salt_buckets: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join on (band, band_hash) → distinct (id_a < id_b) pairs.
 
     Scale notes (the part the reference never had to solve):
     - buckets are capped at ``cfg.max_bucket`` members first (budget T
       analogue) — pair blowup is bounded by max_bucket^2/2 per bucket;
+    - with ``salt_buckets`` set the cap runs salted two-phase
+      (``cap_buckets``) so a mega-bucket never lands on one sort task —
+      the pipeline activates this when its bucket census crosses
+      ``cfg.salt_threshold`` (probing a LIVE plan would recompute the
+      signature stage, so the decision belongs to callers that hold a
+      materialized bands table);
     - the join keys are (band, band_hash): high cardinality, so the
       shuffle is well spread; residual skew is handled by AQE skew-join
       (enabled in session.py);
@@ -36,7 +42,7 @@ def candidate_pairs(
 
     Returns (pairs, overflow_census).
     """
-    capped, overflow = cap_buckets(bands, cfg.max_bucket)
+    capped, overflow = cap_buckets(bands, cfg.max_bucket, salt_buckets)
     left = capped.select("band", "band_hash", F.col("file_id").alias("id_a"))
     right = capped.select("band", "band_hash", F.col("file_id").alias("id_b"))
     pairs = (

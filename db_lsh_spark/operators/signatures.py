@@ -51,20 +51,53 @@ SIGNATURE_SCHEMA_SLIM = StructType(
 
 def with_ids_and_sha(files: DataFrame, id_col: str = "file_id") -> DataFrame:
     """Ingest: attach the per-row sha256 invariant and (if absent) a dense
-    deterministic file_id (row_number over (repo, path, commit) —
-    FIXTURES.md). Column pruning keeps the scan narrow when content is the
-    only derived input."""
+    deterministic file_id ordered by (repo, path, commit) — FIXTURES.md.
+    Column pruning keeps the scan narrow when content is the only derived
+    input."""
     out = files
     if "sha256" not in out.columns:
         out = out.withColumn("sha256", F.sha2(F.col("content"), 256))
     if id_col not in out.columns:
-        from pyspark.sql import Window
-
-        w = Window.orderBy("repo", "path", "commit")
-        # row_number over a global window is fine for fixtures; real inputs
-        # carry a precomputed id (the generator always writes one).
-        out = out.withColumn(id_col, F.row_number().over(w).cast("long") - 1)
+        out = _distributed_dense_ids(out, id_col)
     return out
+
+
+def _distributed_dense_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Dense 0..N-1 ids ordered by the natural key, WITHOUT a global
+    single-partition sort: range-partition on the key, rank within each
+    partition, then add per-partition offsets (a P-row collect + broadcast
+    — the standard distributed dense-rank shape).
+
+    Determinism: ``repartitionByRange`` samples with a fixed per-partition
+    seed, so the same input yields the same partitioning, local ranks and
+    offsets run-to-run.
+    """
+    from pyspark.sql import Window
+
+    keys = [c for c in ("repo", "path", "commit") if c in df.columns] or ["sha256"]
+    spark = df.sparkSession
+    npart = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    ranged = df.repartitionByRange(npart, *[F.col(k) for k in keys]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w).cast("long") - 1 + F.col("_off")),
+        )
+        .drop("_pid", "_off")
+    )
 
 
 def exact_duplicate_edges(files: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -91,6 +124,15 @@ def exact_duplicate_edges(files: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     rep_ids = grp.select(F.col("rep_id").alias("file_id"))
     return edges, rep_ids
+
+
+def sha_group_members(files: DataFrame) -> DataFrame:
+    """(file_id, rep_id): every file mapped to its sha256-group
+    representative (rep_id == file_id for the representative itself and for
+    all unique files). The slim projection only — contents never move."""
+    meta = files.select("file_id", "sha256")
+    grp = meta.groupBy("sha256").agg(F.min("file_id").alias("rep_id"))
+    return meta.join(grp, "sha256").select("file_id", "rep_id")
 
 
 def semi_filter_reps(df: DataFrame, rep_ids: DataFrame) -> DataFrame:

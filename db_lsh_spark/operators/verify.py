@@ -55,6 +55,17 @@ def verify_pairs(
     computes Jaccard for every pair but runs the O(n log n) suffix-array
     pass only on pairs that already pass the threshold — LCS is evidence,
     not a gate.
+
+    Contract notes (cross-engine determinism):
+    - the threshold is applied to Jaccard ROUNDED to 6 decimals, matching
+      both brute-force twins (``text.near_dup_pairs_exact`` and the DuckDB
+      oracle) — a boundary value like 0.8999996 is judged identically
+      everywhere;
+    - Jaccard here is computed over 32-bit-hashed shingles while the twins
+      use string shingles; a hash collision can in principle merge two
+      distinct shingles and nudge the value. At k=5 word shingles the
+      collision rate is ~n_shingles²/2^33 per doc (≪1e-4 for any realistic
+      doc), and the rounding rule keeps the boundary behavior identical.
     """
     a = files.select(F.col("file_id").alias("id_a"), F.col("content").alias("content_a"))
     b = files.select(F.col("file_id").alias("id_b"), F.col("content").alias("content_b"))
@@ -92,7 +103,7 @@ def verify_pairs(
                 sb = sarr(int(id_b), cb)
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
                 union = len(sa) + len(sb) - inter
-                j = inter / union if union else 1.0
+                j = round(inter / union, 6) if union else 1.0
                 if j >= threshold:
                     lcs = (
                         longest_common_substring(ca or "", cb or "", cap=cap)

@@ -100,7 +100,22 @@ def run_dedup(
         repartition_by=["band", "band_hash"],
         sort_within=["band", "band_hash", "file_id"],
     )
-    pairs_cand = gate("pairs", lambda: candidate_pairs(bands, cfg)[0])
+    # Adaptive skew salting: when the bands stage is MATERIALIZED, one cheap
+    # census over the checkpoint decides whether any bucket crosses
+    # cfg.salt_threshold — if so, the cap runs salted two-phase so no task
+    # sorts a mega-bucket alone. (On a live plan the census would recompute
+    # the signature UDF, so the unstored path keeps the single-phase cap;
+    # AQE skew-join still splits the join side.)
+    salt: int | None = None
+    if store is not None and cfg.salt_threshold:
+        from db_lsh_spark.operators.bands import bucket_stats
+
+        hot = bucket_stats(bands).where(
+            F.col("bucket_size") > cfg.salt_threshold
+        )
+        if not hot.isEmpty():
+            salt = cfg.salt_buckets
+    pairs_cand = gate("pairs", lambda: candidate_pairs(bands, cfg, salt)[0])
 
     def build_verified() -> DataFrame:
         cand_ids = (
@@ -197,7 +212,8 @@ def widening_rounds(
 
 def _reband(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Re-band cached minhash signatures at (cfg.bands, cfg.rows) without
-    recomputing them — pandas stage over the minhash column only."""
+    recomputing them — one vectorized kernel call per Arrow batch (the same
+    ``_band_hashes_batch`` the signature stage uses; no per-row Python)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -205,7 +221,7 @@ def _reband(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     import numpy as np
 
-    from db_lsh_spark.functions.hashing import band_hashes
+    from db_lsh_spark.functions.hashing import _band_hashes_batch
 
     bands_n, rows_n = cfg.bands, cfg.rows
     schema = StructType(
@@ -218,18 +234,17 @@ def _reband(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fids = []
-            bidx = []
-            bh = []
-            for fid, mh in zip(pdf["file_id"], pdf["minhash"]):
-                hv = band_hashes(np.asarray(mh, dtype=np.int64), bands_n, rows_n)
-                fids.extend([fid] * bands_n)
-                bidx.extend(range(bands_n))
-                bh.extend(hv.tolist())
+            if not len(pdf):
+                continue
+            mh = np.stack(pdf["minhash"].to_numpy()).astype(np.int64)  # (n, P)
+            hv = _band_hashes_batch(mh, bands_n, rows_n)  # (n, bands)
+            n = len(pdf)
             yield pd.DataFrame(
-                {"file_id": pd.array(fids, dtype="int64"),
-                 "band": pd.array(bidx, dtype="int32"),
-                 "band_hash": pd.array(bh, dtype="int64")}
+                {
+                    "file_id": np.repeat(pdf["file_id"].to_numpy(np.int64), bands_n),
+                    "band": np.tile(np.arange(bands_n, dtype=np.int32), n),
+                    "band_hash": hv.ravel(),
+                }
             )
 
     return signatures.select("file_id", "minhash").mapInPandas(gen, schema)

@@ -10,8 +10,9 @@ Design: each stage writes Parquet under ``<root>/<stage>/`` plus a
 time. A stage is *complete* iff its manifest exists and its fingerprint
 matches the current config — a changed config invalidates downstream
 caches exactly like the reference's stale-header check. Per-partition row
-counts (lineage) are appended to ``<root>/stage_metrics`` (the metrics
-table of SURVEY §2.1 S4).
+counts (lineage) are overwritten per stage under
+``<root>/stage_metrics/<stage>/`` (the metrics table of SURVEY §2.1 S4) —
+idempotent under crash-and-rerun.
 
 Iceberg note: this sandbox has no Iceberg runtime jar, so the store is
 Parquet + manifest implementing the same snapshot/resume contract
@@ -95,17 +96,22 @@ class StageStore:
         df.write.mode("overwrite").parquet(out_dir)
         persisted = spark.read.parquet(out_dir)
 
-        # per-partition lineage (rows per output partition)
+        # per-partition lineage (rows per output partition). Written to a
+        # per-stage subdirectory with OVERWRITE so a crash-and-rerun (or a
+        # config-invalidated re-execution) REPLACES the stage's lineage rows
+        # instead of appending duplicates — re-runs are idempotent.
         lineage = (
             persisted.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
             .withColumn("stage", F.lit(stage))
             .withColumn("fingerprint", F.lit(self.fingerprint))
-        )
-        metrics_dir = os.path.join(self.root, "stage_metrics")
-        lineage.write.mode("append").parquet(metrics_dir)
+        ).localCheckpoint(eager=True)
+        metrics_dir = os.path.join(self.root, "stage_metrics", stage)
+        lineage.write.mode("overwrite").parquet(metrics_dir)
 
-        rows = persisted.count()
+        # total rows from the lineage aggregate — the count() re-read of the
+        # full stage output was a measurable stage-boundary cost at 1M files
+        rows = lineage.agg(F.coalesce(F.sum("rows_out"), F.lit(0))).first()[0]
         wall_ms = (time.monotonic() - t0) * 1000
         with open(self._manifest_path(stage), "w") as f:
             json.dump(
@@ -123,4 +129,8 @@ class StageStore:
         return persisted
 
     def metrics(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.root, "stage_metrics"))
+        # per-stage subdirectories (non-partition layout) → recursive lookup
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(self.root, "stage_metrics"))
+        )

@@ -91,17 +91,27 @@ def incremental_dedup_query(
             )
         )
         probe_bands = explode_bands(compute_signatures(probe, cfg))
+        # engine-wide pair normalization: id_a < id_b, regardless of which
+        # side (probe vs index) contributed which id
         cand = (
-            probe_bands.withColumnRenamed("file_id", "id_a")
-            .join(index_bands.withColumnRenamed("file_id", "id_b"),
+            probe_bands.withColumnRenamed("file_id", "pid")
+            .join(index_bands.withColumnRenamed("file_id", "iid"),
                   ["band", "band_hash"])
-            .where(F.col("id_a") != F.col("id_b"))
-            .select("id_a", "id_b")
+            .where(F.col("pid") != F.col("iid"))
+            .select(
+                F.least("pid", "iid").alias("id_a"),
+                F.greatest("pid", "iid").alias("id_b"),
+            )
             .dropDuplicates(["id_a", "id_b"])
         )
-        contents = probe.select(
-            F.col("file_id"), F.col("content")
-        ).unionByName(indexed.select("file_id", "content")).dropDuplicates(["file_id"])
+        # content lookup prefers the PROBE side deterministically: an index
+        # row whose file_id collides with a streamed doc_id is dropped via
+        # anti join (not an arbitrary dropDuplicates pick)
+        contents = probe.select("file_id", "content").unionByName(
+            indexed.select("file_id", "content").join(
+                probe.select("file_id"), "file_id", "left_anti"
+            )
+        )
         verified = verify_pairs(cand, contents, cfg, with_lcs=False)
         (verified.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))

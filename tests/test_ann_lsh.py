@@ -1,0 +1,103 @@
+"""Round-2 ANN-lane tests: LSH-bucketed near-dup pairs, adaptive probe
+widening, recall/RATIO eval, and the slim banded-table invariant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import AnnConfig
+from db_lsh_spark.operators import ann as ann_ops
+
+SF = "/root/testdata/sf0.001"
+CFG = AnnConfig(k=10, n_queries=20)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_sign_codes_slim(emb):
+    """The banded table must carry only (vec_id, band, band_code) — no float
+    vectors through the bucket-join shuffle (VERDICT r01 finding #2)."""
+    codes = ann_ops.sign_codes(emb, CFG)
+    assert codes.columns == ["vec_id", "band", "band_code"]
+
+
+def test_near_dup_pairs_lsh_equals_bruteforce(emb):
+    """Recall-1 claim: the banded sign-LSH pair join + exact-cosine verify
+    must emit exactly the brute-force pair set (the text-lane pattern)."""
+    thr = 0.45
+    exact = ann_ops.cosine_near_dup_pairs(emb, thr).toPandas()
+    approx = ann_ops.cosine_near_dup_pairs_lsh(emb, thr, CFG).toPandas()
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b", "cosine"]].values.tolist()))
+    assert key(approx) == key(exact)
+
+
+def test_near_dup_pairs_lsh_no_cartesian(emb):
+    """Plan invariant: every join in the LSH pair lane is an equi-join —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    plan = ann_ops.cosine_near_dup_pairs_lsh(
+        emb, 0.45, CFG
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_probe_expand_covers_hamming_ball(spark):
+    """probe_expand at max_hamming=h must emit exactly the Hamming-ball
+    codes (C(r,0)+...+C(r,h) per row), each once."""
+    rows = 4
+    df = spark.createDataFrame([(1, 0, 0b1010)], "vec_id long, band int, band_code int")
+    got = sorted(
+        r.band_code for r in ann_ops.probe_expand(df, rows, 2).collect()
+    )
+    base = 0b1010
+    ball = {base}
+    for i in range(rows):
+        ball.add(base ^ (1 << i))
+        for j in range(i + 1, rows):
+            ball.add(base ^ (1 << i) ^ (1 << j))
+    assert got == sorted(ball)
+    assert len(got) == 1 + 4 + 6
+
+
+def test_knn_lsh_adaptive_matches_bruteforce(emb):
+    """Budget-driven widening (T = beta*N + k, Query.cpp:76-100): a budget
+    of N-1 can only be met at full radius — every query must widen through
+    all rings, after which the exact-cosine rerank equals ground truth."""
+    cfg = AnnConfig(k=5, n_queries=5)
+    n = emb.count()
+    topk, rounds = ann_ops.knn_lsh_adaptive(emb, cfg, budget=n - 1)
+    assert len(rounds) > 1  # widening actually happened
+    got = topk.toPandas()
+    exact = ann_ops.knn_bruteforce(emb, cfg).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id"]].values.tolist())
+    )
+    assert key(got) == key(exact)
+    assert rounds[0]["radius"] == 0
+    assert rounds[-1]["queries_under_budget"] == 0 or (
+        rounds[-1]["radius"] == cfg.rows
+    )
+    # widening monotone: cumulative candidates never shrink
+    cums = [r["cum_candidates"] for r in rounds]
+    assert cums == sorted(cums)
+
+
+def test_knn_lsh_adaptive_stops_when_budget_met(emb):
+    """A tiny budget must satisfy every query at radius 0 — one round."""
+    cfg = AnnConfig(k=3, n_queries=3)
+    _, rounds = ann_ops.knn_lsh_adaptive(emb, cfg, budget=1)
+    assert len(rounds) == 1 and rounds[0]["radius"] == 0
+
+
+def test_lsh_recall_ratio_contract(emb):
+    """At the engine config the LSH lane is exact on the fixture: recall
+    1.0, distance RATIO 1.0, and the reference's sanity flag holds
+    (Query.cpp:143-163, main.cpp:148-149)."""
+    row = ann_ops.lsh_recall_ratio(emb, CFG).first()
+    assert row.avg_recall == 1.0
+    assert row.avg_ratio == 1.0
+    assert bool(row.ratio_sane)

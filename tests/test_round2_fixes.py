@@ -1,0 +1,134 @@
+"""Round-2 hardening tests: salted two-phase bucket cap, dup-group pair
+expansion, distributed id assignment, and lineage idempotency."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.operators.bands import cap_buckets, explode_bands
+from db_lsh_spark.operators.signatures import (
+    compute_signatures,
+    with_ids_and_sha,
+)
+from db_lsh_spark.pipeline import run_dedup
+
+from tests.test_skew import _mega_fixture
+
+
+# ---------------------------------------------------------------- salting
+def test_salted_cap_equals_single_phase(spark):
+    """The salted two-phase cap must keep EXACTLY the same rows as the
+    single-phase cap (globally lowest max_bucket file_ids per bucket)."""
+    cfg = DedupConfig(max_bucket=50)
+    pdf = _mega_fixture(n_copies=300, n_exact=0)
+    fi = with_ids_and_sha(spark.createDataFrame(pdf))
+    bands = explode_bands(compute_signatures(fi, cfg)).localCheckpoint(eager=True)
+    plain, ov_plain = cap_buckets(bands, cfg.max_bucket)
+    salted, ov_salt = cap_buckets(bands, cfg.max_bucket, salt_buckets=8)
+    key = ["band", "band_hash", "file_id"]
+    a = plain.select(*key).toPandas().sort_values(key).reset_index(drop=True)
+    b = salted.select(*key).toPandas().sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    # census totals agree (per-bucket dropped counts identical)
+    pa = ov_plain.toPandas().sort_values(["band", "band_hash"]).reset_index(drop=True)
+    pb = ov_salt.toPandas().sort_values(["band", "band_hash"]).reset_index(drop=True)
+    assert pa.equals(pb)
+
+
+def test_pipeline_activates_salting_on_hot_buckets(spark, tmp_path):
+    """With salt_threshold below the planted mega-bucket size and a stage
+    store (materialized bands), the pipeline takes the salted path and the
+    clusters are unchanged vs the unsalted run."""
+    pdf = _mega_fixture(n_copies=150, n_exact=0)
+    files = spark.createDataFrame(pdf)
+    cfg_hot = DedupConfig(max_bucket=100, salt_threshold=50, salt_buckets=4)
+    out_salted = run_dedup(
+        spark, files, cfg_hot, checkpoint_root=str(tmp_path / "s"), with_lcs=False
+    )
+    c_salted = out_salted.clusters.toPandas().sort_values("file_id")
+    cfg_off = DedupConfig(max_bucket=100, salt_threshold=0, salt_buckets=4)
+    out_plain = run_dedup(
+        spark, files, cfg_off, checkpoint_root=str(tmp_path / "p"), with_lcs=False
+    )
+    c_plain = out_plain.clusters.toPandas().sort_values("file_id")
+    assert (c_salted.cluster_id.values == c_plain.cluster_id.values).all()
+
+
+# ------------------------------------------------- dup-group pair expansion
+def test_lsh_pairs_expand_through_exact_dup_groups(spark, dedup_cfg):
+    """ADVICE r01 (medium): pairs involving non-representative byte-identical
+    docs must be emitted — intra-group pairs at jaccard 1.0 and cross pairs
+    inheriting the representatives' jaccard."""
+    from db_lsh_spark.documents import lsh_near_dup_pairs
+
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join((["w0x"] + [f"w{i}" for i in range(1, 60)]))
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                # 0 and 1 byte-identical; 2 near-dup of both; 3 unrelated
+                "text": [base, base, near, " ".join(f"z{i}" for i in range(60))],
+            }
+        )
+    )
+    got = lsh_near_dup_pairs(docs, dedup_cfg).toPandas()
+    pairs = {(int(r.id_a), int(r.id_b)): float(r.jaccard) for _, r in got.iterrows()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # intra-group
+    assert (0, 2) in pairs and (1, 2) in pairs  # cross pairs, both members
+    assert pairs[(0, 2)] == pairs[(1, 2)]  # inherited jaccard
+    assert not any(3 in p for p in pairs)
+
+
+# ------------------------------------------------------- distributed ids
+def test_distributed_ids_dense_and_ordered(spark):
+    """The id fallback must produce dense 0..N-1 ids ordered by
+    (repo, path, commit) without any global single-partition window."""
+    rows = [
+        dict(repo=f"r{i % 5}", path=f"p{i:04d}", commit="c", content=f"body {i}")
+        for i in range(257)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+    out = with_ids_and_sha(df)
+    pdf = out.select("repo", "path", "commit", "file_id").toPandas()
+    assert sorted(pdf.file_id) == list(range(257))
+    expect = pdf.sort_values(["repo", "path", "commit"]).file_id.tolist()
+    assert expect == list(range(257))
+    # determinism across runs
+    pdf2 = with_ids_and_sha(df).select("path", "file_id").toPandas()
+    m = pdf.merge(pdf2, on="path", suffixes=("_a", "_b"))
+    assert (m.file_id_a == m.file_id_b).all()
+
+
+def test_no_global_window_in_id_plan(spark):
+    """Plan check: the id assignment must not contain a global (empty
+    partition spec) window — the single-partition-sort trap."""
+    rows = [dict(repo="r", path=f"p{i}", commit="c", content=f"x{i}") for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    plan = with_ids_and_sha(df)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line.lower():
+            assert "_pid" in line, f"global window found: {line.strip()}"
+
+
+# -------------------------------------------------- lineage idempotency
+def test_stage_rerun_replaces_lineage(spark, fixture_small, dedup_cfg, tmp_path):
+    """ADVICE r01: a re-executed stage (crash between data write and
+    manifest) must REPLACE its lineage rows, not append duplicates."""
+    root = str(tmp_path / "ck")
+    files = spark.createDataFrame(fixture_small.files)
+    out1 = run_dedup(spark, files, dedup_cfg, checkpoint_root=root, with_lcs=False)
+    m1 = out1.store.metrics(spark).where(F.col("stage") == "pairs").toPandas()
+    # simulate crash-before-manifest: stage re-executes on the next run
+    os.remove(f"{root}/pairs/_MANIFEST.json")
+    os.remove(f"{root}/verified/_MANIFEST.json")
+    os.remove(f"{root}/clusters/_MANIFEST.json")
+    out2 = run_dedup(spark, files, dedup_cfg, checkpoint_root=root, with_lcs=False)
+    m2 = out2.store.metrics(spark).where(F.col("stage") == "pairs").toPandas()
+    assert m2.rows_out.sum() == m1.rows_out.sum()
+    assert len(m2) == len(m1), "re-run appended duplicate lineage rows"
