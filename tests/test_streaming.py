@@ -113,3 +113,45 @@ def test_incremental_dedup_finds_planted_pairs(spark, tmp_path, dedup_cfg):
     found = {tuple(sorted((a, b))) for a, b in zip(got.id_a, got.id_b)}
     assert want <= found, f"missing cross-split pairs: {sorted(want - found)[:5]}"
     assert (got.jaccard >= dedup_cfg.jaccard_threshold).all()
+
+def test_incremental_dedup_pairs_normalized_and_probe_content_preferred(
+    spark, tmp_path, dedup_cfg
+):
+    """Round-2 hardening (ADVICE r01): (a) emitted pairs carry the
+    engine-wide id_a < id_b normalization even though the probe side feeds
+    the left join input; (b) when a streamed doc_id collides with an indexed
+    file_id, the PROBE content wins deterministically — verification must
+    judge the streamed text, not an arbitrary survivor."""
+    base = " ".join(f"tok{i}" for i in range(80))
+    near = " ".join(["tok0x"] + [f"tok{i}" for i in range(1, 80)])
+    other = " ".join(f"z{i}" for i in range(80))
+    import pandas as pd
+
+    # index: id 5 (near-dup of streamed 2), id 2 (collides with streamed id,
+    # but content is UNRELATED — if index content won, (2,5) would be a pair
+    # via the indexed text's relation... keep it unrelated so any (2,5)
+    # match must come from the streamed content)
+    index_df = spark.createDataFrame(
+        pd.DataFrame({"file_id": [5, 2], "content": [base, other]})
+    )
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [2], "text": [near]}).to_parquet(
+        f"{src}/p0.parquet", index=False
+    )
+    schema = "doc_id long, text string"
+    doc_stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out2")
+    q = incremental_dedup_query(
+        spark, doc_stream, index_df, dedup_cfg, out, str(tmp_path / "ck2")
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas()
+    # normalization: probe id 2 < index id 5 → emitted as (2, 5)
+    assert (got.id_a < got.id_b).all()
+    pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    # streamed text (near) vs indexed 5 (base) clears the threshold; the
+    # colliding indexed content (other) would NOT — pair exists iff probe won
+    assert (2, 5) in pairs

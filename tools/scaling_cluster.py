@@ -1,0 +1,116 @@
+"""Executor-mode scaling evidence (north_rule two-cluster-size criterion).
+
+``tools/scaling_run.py`` compares thread-mode local[8] vs local[32] in one
+JVM; this harness runs SEPARATE EXECUTOR JVMS via ``local-cluster[N, C, M]``
+— N executor processes × C cores each, package shipped through
+``spark.submit.pyFiles`` exactly as spark-submit --py-files would — which is
+the closer sandbox model of the N → 4N executor criterion: each executor
+owns its own heap, GC, shuffle client and python workers.
+
+    python tools/scaling_cluster.py [n_files]
+
+Writes BENCH/scaling_cluster.json. Levels are taskset-pinned (2 executors ×
+4 cores on CPUs 0-7 vs 8 executors × 4 cores on CPUs 0-31), interleaved
+best-of-3 per level, full-pipeline warmup per process (python worker fork +
+JVM JIT are per-session fixed costs, not scaling signal).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_TEMPLATE = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from db_lsh_spark.session import get_spark
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.pipeline import run_dedup
+
+n_exec, cores_each, mem_mb = {n_exec}, {cores_each}, {mem_mb}
+total = n_exec * cores_each
+spark = get_spark(app_name=f"scaling-cluster-{{n_exec}}x{{cores_each}}",
+                  master=f"local-cluster[{{n_exec}},{{cores_each}},{{mem_mb}}]",
+                  shuffle_partitions=total)
+spark.sparkContext.setLogLevel("ERROR")
+files = spark.read.parquet({fixture!r} + "/files.parquet")
+# full-pipeline warmup on a slice: forks+warms python workers on every
+# executor, JITs every stage shape
+run_dedup(spark, files.limit(4000), DedupConfig(), checkpoint_root=None,
+          with_lcs=False).clusters.count()
+t0 = time.monotonic()
+out = run_dedup(spark, files, DedupConfig(), checkpoint_root=None, with_lcs=False)
+n_dup = out.clusters.where("file_id != cluster_id").count()
+wall = time.monotonic() - t0
+print(json.dumps({{"executors": n_exec, "cores_each": cores_each,
+                  "total_cores": total, "wall_sec": round(wall, 2),
+                  "files_per_sec": round({n_files} / wall, 1),
+                  "n_dup_assignments": n_dup}}))
+spark.stop()
+"""
+
+
+def run_at(n_exec: int, cores_each: int, mem_mb: int, fixture: str,
+           n_files: int) -> dict:
+    total = n_exec * cores_each
+    code = RUN_TEMPLATE.format(
+        repo=REPO, n_exec=n_exec, cores_each=cores_each, mem_mb=mem_mb,
+        fixture=fixture, n_files=n_files,
+    )
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{total - 1}", sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    last = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not last:
+        raise RuntimeError(
+            f"run at {n_exec}x{cores_each} produced no JSON:\n{out.stderr[-3000:]}"
+        )
+    return json.loads(last[-1])
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 960_000
+    fixture = f"/tmp/bench_fixture_{n_files}"
+    if not os.path.exists(f"{fixture}/files.parquet"):
+        sys.path.insert(0, REPO)
+        from db_lsh_spark.sources.synth import write_files_only
+
+        write_files_only(n_files, fixture)
+
+    mem_mb = 6144  # per-executor → equal GB/core at both levels
+    los, his = [], []
+    for _ in range(3):  # interleaved vs the host's bursty timing
+        los.append(run_at(2, 4, mem_mb, fixture, n_files))
+        his.append(run_at(8, 4, mem_mb, fixture, n_files))
+    lo = min(los, key=lambda r: r["wall_sec"])
+    hi = min(his, key=lambda r: r["wall_sec"])
+    eff = hi["files_per_sec"] / (4 * lo["files_per_sec"])
+    result = {
+        "n_files": n_files,
+        "mode": "local-cluster (separate executor JVMs, pyFiles-shipped)",
+        "low": lo,
+        "high": hi,
+        "all_runs": {"low": los, "high": his},
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">= 0.8 (north_rule, N vs 4N executors)",
+        "identical_results": lo["n_dup_assignments"] == hi["n_dup_assignments"],
+        "note": "2 executors x 4 cores (taskset 0-7) vs 8 executors x 4 cores "
+                "(taskset 0-31) on ONE shared-memory host; per-core memory "
+                "equal at both levels. A real 4N-executor cluster adds memory "
+                "bandwidth with the cores; this host shares one memory "
+                "subsystem across all executors (see hardware_control in "
+                "BENCH/scaling.json).",
+    }
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/scaling_cluster.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

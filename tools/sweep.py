@@ -2,6 +2,9 @@
 (``main.cpp:109-122`` and ``expe_k``, ``main.cpp:185-241``): rerun the
 pipeline across banding configurations and thresholds against a fixed
 fixture, recording recall vs the exact all-pairs oracle and throughput.
+Also sweeps the ANN lane (probe depth × banding), emitting the reference's
+two headline metrics per config — RECALL and approx/exact distance RATIO
+(``Query.cpp:143-163``, CSV header ``main.cpp:171``).
 Emits BENCH/sweep.json and one metrics row per config (the CSV-sink
 analogue, ``main.cpp:166-182``).
 
@@ -65,11 +68,42 @@ def main() -> None:
                 }
             )
             print(json.dumps(rows_out[-1]))
+
+    # ---- ANN lane sweep: probe depth × banding, recall + RATIO per config
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators import ann as ann_ops
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    emb.count()
+    ann_rows = []
+    for bands, rows in ((8, 3), (6, 4), (12, 2)):
+        for probe in (0, 1):
+            cfg = AnnConfig(
+                bands=bands, rows=rows, n_planes=bands * rows,
+                probe_hamming=probe, k=10, n_queries=20,
+            )
+            t0 = time.monotonic()
+            m = ann_ops.lsh_recall_ratio(emb, cfg).first()
+            wall = time.monotonic() - t0
+            ann_rows.append(
+                {
+                    "bands": bands, "rows": rows, "probe_hamming": probe,
+                    "avg_recall": float(m.avg_recall),
+                    "avg_ratio": float(m.avg_ratio),
+                    "ratio_sane": bool(m.ratio_sane),
+                    "wall_sec": round(wall, 2),
+                }
+            )
+            print(json.dumps(ann_rows[-1]))
     spark.stop()
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/sweep.json", "w") as f:
-        json.dump({"n_files": n_files, "grid": rows_out}, f, indent=2)
+        json.dump(
+            {"n_files": n_files, "grid": rows_out, "ann_grid": ann_rows},
+            f,
+            indent=2,
+        )
 
 
 if __name__ == "__main__":
