@@ -330,30 +330,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= 0.9
         """
 
-    _pairs_cte = f"""
-        WITH sh AS (
-            SELECT doc_id,
-                   unnest(list_distinct(list_transform(
-                       range(1, greatest(len({toks}) - 4, 1) + 1),
-                       i -> array_to_string(({toks})[i:i+4], ' ')))) AS s
-            FROM documents
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
-        FROM inter
-        JOIN sizes sa ON id_a = sa.doc_id
-        JOIN sizes sb ON id_b = sb.doc_id
-        WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= 0.9
-    """
-    sql["doc_near_dup_pairs"] = _pairs_cte
+    sql["doc_near_dup_pairs"] = _pairs_sql("documents")
     # the LSH lane must equal the brute-force result (recall-1 claim)
-    sql["doc_lsh_near_dup_pairs"] = _pairs_cte
+    sql["doc_lsh_near_dup_pairs"] = _pairs_sql("documents")
     # same contract over the seeded-duplicates table — non-vacuous exercise
     # of the sha256 short-circuit + dup-group pair expansion
     sql["doc_lsh_near_dup_pairs_seeded"] = _pairs_sql(

@@ -99,10 +99,16 @@ class AnnConfig:
     #                              (Query.cpp:86-100)
     k: int = 10                  # top-k neighbors (reference default k=50)
     n_queries: int = 100         # reference runs 100 queries (main.cpp:132)
+    beta: float = 0.1            # candidate-budget fraction (Query.cpp:81)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.n_planes:
             raise ValueError("bands*rows must equal n_planes")
+
+    def candidate_budget(self, n: int) -> int:
+        """T = beta*N + k — the reference's per-query candidate budget
+        (``Query.cpp:81``), driving the adaptive probe-widening loop."""
+        return int(self.beta * n) + self.k
 
     def fingerprint(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()

@@ -148,6 +148,8 @@ def sign_codes(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
         weights = np.ascontiguousarray(planes.T)  # (dim, n_planes)
         pack = 1 << np.arange(rows_n - 1, -1, -1)  # MSB-first, matches tests
         for pdf in batches:
+            if not len(pdf):
+                continue
             M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             bits = (M @ weights >= 0).astype(np.int64)  # unit-norm irrelevant to sign
             codes = bits.reshape(len(pdf), bands_n, rows_n) @ pack  # (n, bands)
@@ -189,13 +191,18 @@ def probe_expand(codes: DataFrame, rows: int, max_hamming: int) -> DataFrame:
     return codes.withColumn("band_code", F.explode(F.array(*exprs)))
 
 
-def _rerank_candidates(cand: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+def _rerank_candidates(
+    cand: DataFrame, emb: DataFrame, k: int, n_queries: int
+) -> DataFrame:
     """(query_id, neighbor_id) candidates → exact-cosine top-k. Unit vectors
     are fetched HERE, per candidate id — after the bucket join + dedup — so
-    the banded shuffle stays slim (query side broadcast: it is n_queries·≤N
-    rows of two longs)."""
+    the banded shuffle stays slim. Only the (small) QUERY SPLIT's unit
+    vectors are broadcast; the base side joins by neighbor_id as a normal
+    shuffle hash join."""
     units = with_unit_vectors(emb).select("vec_id", "_unit")
-    uq = units.select(F.col("vec_id").alias("query_id"), F.col("_unit").alias("u_q"))
+    uq = units.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_unit").alias("u_q")
+    )
     ub = units.select(F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b"))
     sims = (
         cand.join(ub, "neighbor_id")
@@ -230,7 +237,7 @@ def knn_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _rerank_candidates(cand, emb, cfg.k)
+    return _rerank_candidates(cand, emb, cfg.k, cfg.n_queries)
 
 
 def knn_lsh_adaptive(
@@ -252,6 +259,13 @@ def knn_lsh_adaptive(
     codes = sign_codes(emb, cfg).localCheckpoint(eager=True)
     base = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
     qcodes = codes.where(F.col("vec_id") < cfg.n_queries)
+    # the full query-id set, collected once (the query split is small by
+    # contract) — candidate counts must be judged against ALL queries, not
+    # just those that found something: a query whose radius-0 buckets are
+    # empty is exactly the one that must keep widening
+    all_qids = sorted(
+        r.vec_id for r in qcodes.select("vec_id").distinct().collect()
+    )
 
     cand: DataFrame | None = None
     pending: DataFrame | None = None  # query_ids still under budget
@@ -273,21 +287,26 @@ def knn_lsh_adaptive(
         cand = cand.dropDuplicates(["query_id", "neighbor_id"]).localCheckpoint(
             eager=True
         )
-        counts = cand.groupBy("query_id").agg(F.count("*").alias("n_cand"))
-        pending_rows = counts.where(F.col("n_cand") < budget).collect()
+        counts = {
+            r.query_id: r.n_cand
+            for r in cand.groupBy("query_id")
+            .agg(F.count("*").alias("n_cand"))
+            .collect()
+        }
+        pending_ids = [q for q in all_qids if counts.get(q, 0) < budget]
         rounds.append(
             {
                 "radius": radius,
-                "cum_candidates": cand.count(),
-                "queries_under_budget": len(pending_rows),
+                "cum_candidates": int(sum(counts.values())),
+                "queries_under_budget": len(pending_ids),
             }
         )
-        if not pending_rows:
+        if not pending_ids:
             break
         pending = cand.sparkSession.createDataFrame(
-            [(int(r.query_id),) for r in pending_rows], "query_id long"
+            [(int(q),) for q in pending_ids], "query_id long"
         )
-    return _rerank_candidates(cand, emb, cfg.k), rounds
+    return _rerank_candidates(cand, emb, cfg.k, cfg.n_queries), rounds
 
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
@@ -353,15 +372,35 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
+def _per_query_recall(
+    approx: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """(query_id, recall) over EVERY query in the exact ground truth — a
+    query whose approx list intersects nothing still contributes recall 0
+    (averaging only over queries-with-hits would inflate the metric
+    exactly when the index is worst)."""
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg((F.count("*") / k).alias("recall"))
+    )
+    all_q = exact.select("query_id").distinct()
+    return all_q.join(hits, "query_id", "left").select(
+        "query_id", F.coalesce("recall", F.lit(0.0)).alias("recall")
+    )
+
+
 def lsh_recall(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     """RECALL of the LSH lane vs brute force per query — the reference's
     headline metric (``Query.cpp:157-163``): |lsh ∩ exact| / k, then the
     run-level average (``main.cpp:148``)."""
-    exact = knn_bruteforce(emb, cfg).select("query_id", "neighbor_id")
-    approx = knn_lsh(emb, cfg).select("query_id", "neighbor_id")
-    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
-    per_q = hits.groupBy("query_id").agg((F.count("*") / cfg.k).alias("recall"))
-    return per_q.agg(F.round(F.avg("recall"), 4).alias("avg_recall"))
+    exact = knn_bruteforce(emb, cfg)
+    approx = knn_lsh(emb, cfg)
+    return _per_query_recall(approx, exact, cfg.k).agg(
+        F.round(F.avg("recall"), 4).alias("avg_recall")
+    )
 
 
 def lsh_recall_ratio(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
@@ -380,16 +419,13 @@ def lsh_recall_ratio(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     # each lane materialized once; both metrics derive from the snapshots
     exact = knn_bruteforce(emb, cfg).localCheckpoint(eager=True)
     approx = knn_lsh(emb, cfg).localCheckpoint(eager=True)
-    hits = approx.select("query_id", "neighbor_id").join(
-        exact.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
+    rec = _per_query_recall(approx, exact, cfg.k).agg(
+        F.round(F.avg("recall"), 4).alias("avg_recall")
     )
-    rec = (
-        hits.groupBy("query_id")
-        .agg((F.count("*") / cfg.k).alias("recall"))
-        .agg(F.round(F.avg("recall"), 4).alias("avg_recall"))
-    )
+    # RATIO is computed over the ranks the approx lane actually RETURNED
+    # (inner join on (query_id, rank)) — the reference likewise divides
+    # only the distances of returned results (Query.cpp:143-155); unfilled
+    # ranks are reported through avg_recall, so read the two together.
     joined = exact.select(
         "query_id", "rank", F.col("cosine").alias("c_exact")
     ).join(

@@ -105,17 +105,21 @@ def run_dedup(
     # cfg.salt_threshold — if so, the cap runs salted two-phase so no task
     # sorts a mega-bucket alone. (On a live plan the census would recompute
     # the signature UDF, so the unstored path keeps the single-phase cap;
-    # AQE skew-join still splits the join side.)
-    salt: int | None = None
-    if store is not None and cfg.salt_threshold:
-        from db_lsh_spark.operators.bands import bucket_stats
+    # AQE skew-join still splits the join side.) The census lives INSIDE
+    # the stage builder so a fully-resumed run never pays it.
+    def build_pairs() -> DataFrame:
+        salt: int | None = None
+        if store is not None and cfg.salt_threshold:
+            from db_lsh_spark.operators.bands import bucket_stats
 
-        hot = bucket_stats(bands).where(
-            F.col("bucket_size") > cfg.salt_threshold
-        )
-        if not hot.isEmpty():
-            salt = cfg.salt_buckets
-    pairs_cand = gate("pairs", lambda: candidate_pairs(bands, cfg, salt)[0])
+            hot = bucket_stats(bands).where(
+                F.col("bucket_size") > cfg.salt_threshold
+            )
+            if not hot.isEmpty():
+                salt = cfg.salt_buckets
+        return candidate_pairs(bands, cfg, salt)[0]
+
+    pairs_cand = gate("pairs", build_pairs)
 
     def build_verified() -> DataFrame:
         cand_ids = (

@@ -85,9 +85,12 @@ def incremental_dedup_query(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # one row per doc_id WITHIN the batch, chosen deterministically
+        # (max text) — two files landing in one trigger with the same id
+        # would otherwise duplicate every pair row they verify
         probe = with_ids_and_sha(
-            batch_df.select(
-                F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+            batch_df.groupBy(F.col("doc_id").alias("file_id")).agg(
+                F.max("text").alias("content")
             )
         )
         probe_bands = explode_bands(compute_signatures(probe, cfg))

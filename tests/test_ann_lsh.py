@@ -101,3 +101,55 @@ def test_lsh_recall_ratio_contract(emb):
     assert row.avg_recall == 1.0
     assert row.avg_ratio == 1.0
     assert bool(row.ratio_sane)
+
+
+def test_adaptive_widens_for_isolated_query(spark):
+    """Regression: a query whose radius-0 (and 1, 2) buckets are EMPTY must
+    stay in the pending set and keep widening — zero-candidate queries are
+    exactly the ones the budget loop exists for. vec 0 is the negation of a
+    tight cluster: every sign bit flips, so its band codes differ from the
+    cluster's in all 3 bits and only radius-3 probes reach them."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=64)
+    rows = [(-v).tolist()] + [
+        (v + rng.normal(scale=1e-3, size=64)).tolist() for _ in range(20)
+    ]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(21), "embedding": rows})
+    )
+    cfg = AnnConfig(k=3, n_queries=1)
+    topk, rounds = ann_ops.knn_lsh_adaptive(emb, cfg, budget=1)
+    got = topk.toPandas()
+    assert len(got) == 3, f"isolated query found no candidates: {rounds}"
+    assert rounds[-1]["radius"] == cfg.rows  # widened to the full ring
+    assert rounds[0]["queries_under_budget"] == 1  # counted while EMPTY
+
+
+def test_adaptive_default_budget(emb):
+    """cfg.candidate_budget (T = beta*N + k) is the default budget — the
+    no-argument path must run, not raise."""
+    cfg = AnnConfig(k=3, n_queries=3)
+    topk, rounds = ann_ops.knn_lsh_adaptive(emb, cfg)
+    assert topk.count() == 9
+    assert rounds
+
+
+def test_recall_counts_zero_hit_queries(spark):
+    """_per_query_recall must average over ALL queries in the ground truth:
+    a query with no approx hits contributes 0, not absence."""
+    import pandas as pd
+
+    exact = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 0, 1, 1], "neighbor_id": [10, 11, 20, 21]})
+    )
+    approx = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 0], "neighbor_id": [10, 11]})
+    )
+    per_q = {
+        r.query_id: r.recall
+        for r in ann_ops._per_query_recall(approx, exact, k=2).collect()
+    }
+    assert per_q == {0: 1.0, 1: 0.0}
