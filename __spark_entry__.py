@@ -109,6 +109,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lsh_near_dup_pairs_seeded"] = _lsh_pairs_seeded
     q["doc_bpe_token_count"] = lambda s, d: text_ops.bpe_token_count(_docs(s, d))
+
+    # multimodal lane's oracled face: text → binary payload → byte stats
+    # (octet length + sha256 over BYTES, both JVM-side)
+    def _payload_stats(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.multimodal import binary_payload_stats
+
+        return binary_payload_stats(_docs(s, d))
+
+    q["doc_payload_stats"] = _payload_stats
     q["doc_near_dup_pairs"] = lambda s, d: text_ops.near_dup_pairs_exact(
         _docs(s, d), SHINGLE_K, NEAR_DUP_THRESHOLD
     )
@@ -222,6 +231,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tpch_semi_customers"] = _semi
+
+    def _rollup(s: SparkSession, d: str) -> DataFrame:
+        o = _t(s, d, "orders")
+        return (
+            o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            )
+            .select(
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "n_orders",
+                "revenue",
+            )
+        )
+
+    q["tpch_rollup_revenue"] = _rollup
+
+    def _anti(s: SparkSession, d: str) -> DataFrame:
+        # complement of tpch_semi_customers (every customer has SOME order
+        # in the fixtures, so anti-joining all orders would be vacuous)
+        o, c = _t(s, d, "orders"), _t(s, d, "customer")
+        big = o.where(F.col("o_totalprice") > 400000)
+        return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+            "c_custkey", "c_name"
+        )
+
+    q["tpch_anti_customers"] = _anti
+
+    def _value_delta(s: SparkSession, d: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        e = _t(s, d, "events")
+        w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        return e.select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.col("value") - F.lag("value", 1).over(w), 6
+            ).alias("value_delta"),
+        )
+
+    q["events_value_delta"] = _value_delta
 
     def _events(s: SparkSession, d: str) -> DataFrame:
         e = _t(s, d, "events")
@@ -468,6 +521,35 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_custkey IN (
             SELECT o_custkey FROM orders WHERE o_totalprice > 400000
         )
+    """
+    sql["doc_payload_stats"] = """
+        SELECT doc_id,
+               octet_length(encode(text))::BIGINT AS n_bytes,
+               -- duckdb's sha256 takes VARCHAR and hashes its UTF-8 bytes:
+               -- byte-identical input to spark's sha2 over the binary payload
+               sha256(text) AS payload_sha256
+        FROM documents
+    """
+    sql["tpch_rollup_revenue"] = """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+    sql["tpch_anti_customers"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        )
+    """
+    sql["events_value_delta"] = """
+        SELECT event_id, event_type,
+               round(value - lag(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ), 6) AS value_delta
+        FROM events
     """
     sql["events_hourly"] = """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -253,3 +253,22 @@ def audio_features(media: DataFrame) -> DataFrame:
         .select("media_id", "payload", "meta")
         .mapInPandas(gen, AUDIO_FEATURES_SCHEMA)
     )
+
+
+def binary_payload_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Opaque-binary column plumbing exercised END-TO-END with an oracle:
+    cast a text column to a ``binary`` payload and compute per-row byte
+    stats JVM-side — octet length and sha256 over the BYTES (not the
+    string). This is the driver-checkable face of the multimodal lane (the
+    media fixtures use the same payload column type); decode/resize/
+    frame-sample stay on the synthetic media table where the codecs are
+    stubbed."""
+    from pyspark.sql import functions as F
+
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
