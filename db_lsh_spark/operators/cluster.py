@@ -54,35 +54,59 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return emitted.where(F.col("src") != F.col("dst")).distinct()
 
 
+def _cc_numpy(src, dst):
+    """Vectorized connected components over an edge array: min-label
+    propagation with pointer jumping (label[label] path compression) —
+    O(E) NumPy work per round, O(log n)-ish rounds, no per-edge Python.
+    Returns (nodes, cluster_ids) where cluster_id is the component min."""
+    import numpy as np
+
+    both = np.concatenate([src, dst])
+    nodes, idx = np.unique(both, return_inverse=True)
+    a, b = idx[: len(src)], idx[len(src) :]
+    # nodes is sorted, so the index order agrees with node-id order and the
+    # min LABEL index maps to the min node id of the component
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        la, lb = label[a], label[b]
+        m = np.minimum(la, lb)
+        new = label.copy()
+        np.minimum.at(new, a, m)
+        np.minimum.at(new, b, m)
+        changed = not np.array_equal(new, label)
+        label = new
+        while True:  # pointer jumping: compress label chains
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if not changed:
+            return nodes, nodes[label]
+        # contract: rewrite each edge onto the endpoints' current
+        # representatives and drop self-loops. Propagating between reps is
+        # equivalent (non-rep labels follow their rep through the pointer
+        # jumping above), and the live edge set shrinks geometrically.
+        a, b = label[a], label[b]
+        live = a != b
+        if not live.all():
+            a, b = a[live], b[live]
+
+
 def _cc_driver_side(edges: DataFrame) -> DataFrame:
     """Small-graph fast path: collect the (already deduplicated) edge list
-    and run union-find on the driver. The CC analogue of AQE demoting a
+    and run vectorized CC on the driver. The CC analogue of AQE demoting a
     shuffle join to broadcast — below the threshold the distributed
     iteration's 2-shuffles-per-round latency dominates, above it this path
-    is never taken. Arrow-collect of two long columns: ~16 bytes/edge."""
+    is never taken. Arrow-collect of two long columns: ~16 bytes/edge;
+    the NumPy min-label/pointer-jumping kernel handles 10M edges in
+    seconds where the former per-edge Python union-find took tens."""
     import pandas as pd
 
     pdf = edges.toPandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        p = parent.setdefault(x, x)
-        while p != parent[p]:
-            parent[p] = parent[parent[p]]
-            p = parent[p]
-        parent[x] = p
-        return p
-
-    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    nodes = list(parent)
-    out = pd.DataFrame(
-        {"file_id": nodes, "cluster_id": [find(n) for n in nodes]},
-        dtype="int64",
+    nodes, cluster = _cc_numpy(
+        pdf["src"].to_numpy("int64"), pdf["dst"].to_numpy("int64")
     )
+    out = pd.DataFrame({"file_id": nodes, "cluster_id": cluster})
     return edges.sparkSession.createDataFrame(out)
 
 

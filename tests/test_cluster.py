@@ -78,3 +78,64 @@ def test_singletons_union(spark):
     rows = assignments_with_singletons(comp, all_nodes).collect()
     got = {r.file_id: r.cluster_id for r in rows}
     assert got == {1: 1, 2: 1, 3: 3, 9: 9}
+
+
+def test_cc_numpy_matches_union_find():
+    """The vectorized min-label/pointer-jumping kernel must agree with a
+    reference union-find on random graphs (chains, stars, forests)."""
+    import numpy as np
+
+    from db_lsh_spark.operators.cluster import _cc_numpy
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(2, 400))
+        m = int(rng.integers(1, 3 * n))
+        src = rng.integers(0, n, size=m).astype(np.int64)
+        dst = rng.integers(0, n, size=m).astype(np.int64)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        if not len(src):
+            continue
+        nodes, cluster = _cc_numpy(src, dst)
+        # reference union-find
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            p = parent.setdefault(x, x)
+            while p != parent[p]:
+                parent[p] = parent[parent[p]]
+                p = parent[p]
+            parent[x] = p
+            return p
+
+        for a, b in zip(src.tolist(), dst.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        # union-find roots are not guaranteed min-id; normalize per component
+        comp: dict[int, list[int]] = {}
+        for x in parent:
+            comp.setdefault(find(x), []).append(x)
+        want = {}
+        for members in comp.values():
+            lo = min(members)
+            for x in members:
+                want[x] = lo
+        got = dict(zip(nodes.tolist(), cluster.tolist()))
+        assert got == want, f"trial {trial}: mismatch"
+
+
+def test_cc_numpy_long_chain():
+    """A 10k-node path graph (worst case for label propagation) must
+    converge to a single min-labeled component."""
+    import numpy as np
+
+    from db_lsh_spark.operators.cluster import _cc_numpy
+
+    n = 10_000
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    nodes, cluster = _cc_numpy(src, dst)
+    assert (cluster == 0).all() and len(nodes) == n
