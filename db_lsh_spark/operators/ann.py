@@ -440,3 +440,48 @@ def lsh_recall_ratio(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
         (F.min("ratio") >= 1.0 - 1e-6).alias("ratio_sane"),
     )
     return rec.crossJoin(rat)
+
+
+def k_sweep(
+    emb: DataFrame, cfg: AnnConfig, ks: tuple[int, ...] = (1, 10, 20, 50, 100)
+) -> DataFrame:
+    """The reference's k-sweep with RESULT REUSE (``expe_k``,
+    ``main.cpp:185-241``): run both lanes ONCE at k = max(ks), then
+    evaluate recall@k and ratio@k for every smaller k from the same
+    materialized result buffers — no recomputation per k, exactly the
+    reference's trick of re-scoring one result set.
+
+    Returns one row per k: (k, avg_recall, avg_ratio)."""
+    kmax = max(ks)
+    big = AnnConfig(
+        seed=cfg.seed, dim=cfg.dim, n_planes=cfg.n_planes, bands=cfg.bands,
+        rows=cfg.rows, probe_hamming=cfg.probe_hamming, k=kmax,
+        n_queries=cfg.n_queries, beta=cfg.beta,
+    )
+    exact = knn_bruteforce(emb, big).localCheckpoint(eager=True)
+    approx = knn_lsh(emb, big).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for k in sorted(ks):
+        e_k = exact.where(F.col("rank") <= k)
+        a_k = approx.where(F.col("rank") <= k)
+        rec = _per_query_recall(a_k, e_k, k).agg(
+            F.round(F.avg("recall"), 4).alias("avg_recall")
+        )
+        joined = e_k.select(
+            "query_id", "rank", F.col("cosine").alias("c_exact")
+        ).join(
+            a_k.select("query_id", "rank", F.col("cosine").alias("c_approx")),
+            ["query_id", "rank"],
+        )
+        d_exact = F.lit(1.0) - F.col("c_exact")
+        ratio = F.when(d_exact < 1e-9, F.lit(1.0)).otherwise(
+            (F.lit(1.0) - F.col("c_approx")) / d_exact
+        )
+        rat = joined.select(ratio.alias("ratio")).agg(
+            F.coalesce(F.round(F.avg("ratio"), 4), F.lit(1.0)).alias("avg_ratio")
+        )
+        row = rec.crossJoin(rat).withColumn("k", F.lit(k)).select(
+            "k", "avg_recall", "avg_ratio"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

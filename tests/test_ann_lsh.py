@@ -153,3 +153,15 @@ def test_recall_counts_zero_hit_queries(spark):
         for r in ann_ops._per_query_recall(approx, exact, k=2).collect()
     }
     assert per_q == {0: 1.0, 1: 0.0}
+
+
+def test_k_sweep_result_reuse(emb):
+    """expe_k analogue (main.cpp:185-241): one run at k=max, re-scored at
+    each smaller k. Recall@k is monotonically non-increasing in k only in
+    expectation — but at this config the lane is exact, so every k reads
+    1.0/1.0; the row set covers exactly the requested ks."""
+    cfg = AnnConfig(k=10, n_queries=10)
+    rows = {r.k: r for r in ann_ops.k_sweep(emb, cfg, ks=(1, 5, 10)).collect()}
+    assert sorted(rows) == [1, 5, 10]
+    for k, r in rows.items():
+        assert r.avg_recall == 1.0 and r.avg_ratio == 1.0, (k, r)

@@ -95,12 +95,23 @@ def main() -> None:
                 }
             )
             print(json.dumps(ann_rows[-1]))
+    # ---- k-sweep with result reuse (expe_k, main.cpp:185-241): one run at
+    # k=max, re-scored per k from the same materialized buffers
+    kcfg = AnnConfig(k=10, n_queries=20)
+    k_rows = [
+        {"k": int(r.k), "avg_recall": float(r.avg_recall),
+         "avg_ratio": float(r.avg_ratio)}
+        for r in ann_ops.k_sweep(emb, kcfg, ks=(1, 5, 10, 20, 50)).collect()
+    ]
+    for r in k_rows:
+        print(json.dumps(r))
     spark.stop()
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/sweep.json", "w") as f:
         json.dump(
-            {"n_files": n_files, "grid": rows_out, "ann_grid": ann_rows},
+            {"n_files": n_files, "grid": rows_out, "ann_grid": ann_rows,
+             "k_sweep": k_rows},
             f,
             indent=2,
         )
