@@ -48,6 +48,14 @@ def main() -> None:
 
     # ---- headline: end-to-end dedup on the synthetic source-code table ----
     files = spark.read.parquet(f"{fixture_dir}/files.parquet")
+    # cold pass: includes python-worker fork + JVM JIT — the first-job cost
+    t0 = time.monotonic()
+    out = run_dedup(spark, files, dcfg, checkpoint_root=None, with_lcs=False)
+    n_clusters = out.clusters.where("file_id != cluster_id").count()
+    cold_s = time.monotonic() - t0
+    queries["dedup_files_e2e_cold"] = round(cold_s, 3)
+    # warm pass: the steady-state number a long-running cluster job sees
+    # (BENCH/BASELINE.md's 960k/2.4M rows are measured the same way)
     t0 = time.monotonic()
     out = run_dedup(spark, files, dcfg, checkpoint_root=None, with_lcs=False)
     n_clusters = out.clusters.where("file_id != cluster_id").count()

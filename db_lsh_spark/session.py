@@ -70,7 +70,10 @@ def get_spark(
         # constraint propagation buys little for this workload — off.
         .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 2048 measured ~25% faster than 4096 on the signature kernel
+        # (interleaved A/B at 60k files): the per-batch token/shingle cache
+        # stays hot in cache and Arrow buffers stay small enough to pipeline
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # smaller input splits: enough read partitions to feed every core
         # without paying a full repartition shuffle of the raw contents.
         # 16m keeps the scan-direct signature stage ≥ cores tasks on the
