@@ -539,9 +539,13 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """
     sql["tpch_anti_customers"] = """
+        -- NOT EXISTS, not NOT IN: a NULL key in the subquery would make
+        -- NOT IN return zero rows while Spark's left_anti still returns
+        -- unmatched customers — NOT EXISTS is exact anti-join semantics
         SELECT c_custkey, c_name FROM customer
-        WHERE c_custkey NOT IN (
-            SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_totalprice > 400000 AND o_custkey = c_custkey
         )
     """
     sql["events_value_delta"] = """

@@ -422,10 +422,19 @@ def lsh_recall_ratio(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     rec = _per_query_recall(approx, exact, cfg.k).agg(
         F.round(F.avg("recall"), 4).alias("avg_recall")
     )
-    # RATIO is computed over the ranks the approx lane actually RETURNED
-    # (inner join on (query_id, rank)) — the reference likewise divides
-    # only the distances of returned results (Query.cpp:143-155); unfilled
-    # ranks are reported through avg_recall, so read the two together.
+    rat = _rank_ratios(exact, approx).agg(
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        (F.min("ratio") >= 1.0 - 1e-6).alias("ratio_sane"),
+    )
+    return rec.crossJoin(rat)
+
+
+def _rank_ratios(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-(query, rank) approx/exact cosine-DISTANCE ratios, computed over
+    the ranks the approx lane actually RETURNED (inner join) — the
+    reference likewise divides only the distances of returned results
+    (``Query.cpp:143-155``); unfilled ranks are reported through recall,
+    so the two metrics are read together."""
     joined = exact.select(
         "query_id", "rank", F.col("cosine").alias("c_exact")
     ).join(
@@ -435,11 +444,7 @@ def lsh_recall_ratio(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     d_exact = F.lit(1.0) - F.col("c_exact")
     d_approx = F.lit(1.0) - F.col("c_approx")
     ratio = F.when(d_exact < 1e-9, F.lit(1.0)).otherwise(d_approx / d_exact)
-    rat = joined.select(ratio.alias("ratio")).agg(
-        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
-        (F.min("ratio") >= 1.0 - 1e-6).alias("ratio_sane"),
-    )
-    return rec.crossJoin(rat)
+    return joined.select("query_id", "rank", ratio.alias("ratio"))
 
 
 def k_sweep(
@@ -452,12 +457,10 @@ def k_sweep(
     reference's trick of re-scoring one result set.
 
     Returns one row per k: (k, avg_recall, avg_ratio)."""
+    from dataclasses import replace
+
     kmax = max(ks)
-    big = AnnConfig(
-        seed=cfg.seed, dim=cfg.dim, n_planes=cfg.n_planes, bands=cfg.bands,
-        rows=cfg.rows, probe_hamming=cfg.probe_hamming, k=kmax,
-        n_queries=cfg.n_queries, beta=cfg.beta,
-    )
+    big = replace(cfg, k=kmax)  # all other knobs copied by construction
     exact = knn_bruteforce(emb, big).localCheckpoint(eager=True)
     approx = knn_lsh(emb, big).localCheckpoint(eager=True)
     out: DataFrame | None = None
@@ -467,17 +470,7 @@ def k_sweep(
         rec = _per_query_recall(a_k, e_k, k).agg(
             F.round(F.avg("recall"), 4).alias("avg_recall")
         )
-        joined = e_k.select(
-            "query_id", "rank", F.col("cosine").alias("c_exact")
-        ).join(
-            a_k.select("query_id", "rank", F.col("cosine").alias("c_approx")),
-            ["query_id", "rank"],
-        )
-        d_exact = F.lit(1.0) - F.col("c_exact")
-        ratio = F.when(d_exact < 1e-9, F.lit(1.0)).otherwise(
-            (F.lit(1.0) - F.col("c_approx")) / d_exact
-        )
-        rat = joined.select(ratio.alias("ratio")).agg(
+        rat = _rank_ratios(e_k, a_k).agg(
             F.coalesce(F.round(F.avg("ratio"), 4), F.lit(1.0)).alias("avg_ratio")
         )
         row = rec.crossJoin(rat).withColumn("k", F.lit(k)).select(
