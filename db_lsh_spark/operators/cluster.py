@@ -107,7 +107,11 @@ def _cc_driver_side(edges: DataFrame) -> DataFrame:
         pdf["src"].to_numpy("int64"), pdf["dst"].to_numpy("int64")
     )
     out = pd.DataFrame({"file_id": nodes, "cluster_id": cluster})
-    return edges.sparkSession.createDataFrame(out)
+    # explicit schema: an edge-free input (single doc, all-unique corpus)
+    # yields an EMPTY frame, and pyspark cannot infer a schema from it
+    return edges.sparkSession.createDataFrame(
+        out, "file_id long, cluster_id long"
+    )
 
 
 # Above this many edges the distributed large-star/small-star iteration

@@ -132,3 +132,40 @@ def test_stage_rerun_replaces_lineage(spark, fixture_small, dedup_cfg, tmp_path)
     m2 = out2.store.metrics(spark).where(F.col("stage") == "pairs").toPandas()
     assert m2.rows_out.sum() == m1.rows_out.sum()
     assert len(m2) == len(m1), "re-run appended duplicate lineage rows"
+
+
+# ------------------------------------------------ degenerate inputs
+def test_pipeline_degenerate_inputs(spark, dedup_cfg):
+    """Edge-free and pathological corpora must flow end-to-end: a single
+    doc (zero pairs → empty edge frame hit an empty-schema-inference crash
+    before the explicit-schema fix), an empty table, all-unique texts,
+    null/empty content, and unicode — with the sha256 invariant intact."""
+    import hashlib
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from db_lsh_spark.operators.signatures import with_ids_and_sha
+    from db_lsh_spark.pipeline import run_dedup
+
+    schema = StructType(
+        [StructField("file_id", LongType()), StructField("content", StringType())]
+    )
+    one = spark.createDataFrame(pd.DataFrame({"file_id": [7], "content": ["hi x"]}))
+    got = run_dedup(spark, one, dedup_cfg, with_lcs=False).clusters.collect()
+    assert [(r.file_id, r.cluster_id) for r in got] == [(7, 7)]
+
+    empty = spark.createDataFrame([], schema)
+    assert run_dedup(spark, empty, dedup_cfg, with_lcs=False).clusters.count() == 0
+
+    nulls = spark.createDataFrame(
+        pd.DataFrame({"file_id": [0, 1, 2], "content": ["a b c d e f", None, ""]})
+    )
+    assert run_dedup(spark, nulls, dedup_cfg, with_lcs=False).clusters.count() == 3
+
+    uni = "naïve café 日本語 🚀 ß " * 10
+    u = spark.createDataFrame(
+        pd.DataFrame({"file_id": [0, 1], "content": [uni, uni + "x"]})
+    )
+    assert run_dedup(spark, u, dedup_cfg, with_lcs=False).clusters.count() == 2
+    row = with_ids_and_sha(u).where("file_id = 0").select("sha256").first()
+    assert row.sha256 == hashlib.sha256(uni.encode()).hexdigest()
