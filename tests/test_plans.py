@@ -105,3 +105,32 @@ def test_bands_layout_enables_rowgroup_skipping(spark, tmp_path):
     assert "PushedFilters" in plan and "EqualTo(band,3)" in plan
     # correctness of the layout: one band's rows all live in few partitions
     assert probe.count() == 300
+
+
+def test_no_cartesian_in_any_driver_query(spark):
+    """Repo-wide plan invariant: no driver query may plan a
+    BroadcastNestedLoopJoin/CartesianProduct — except the three declared
+    brute-force ORACLE lanes, whose cross joins are their ground-truth
+    contract (knn_bruteforce is query-broadcast by design and exempt via
+    the allowlist too: its join has no equi-keys)."""
+    import __spark_entry__ as entrymod
+
+    BRUTE_FORCE_ORACLES = {
+        "emb_knn_bruteforce",   # broadcast query split × base, by design
+        "emb_knn_lsh",          # rerank broadcasts the tiny query-unit table
+        "emb_lsh_recall",       # composes both lanes above
+        "emb_near_dup_pairs",   # the brute-force pair oracle
+        "doc_near_dup_pairs",   # exact lane (shingle equi-join — verify below)
+    }
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+            .executedPlan().toString()
+        has_cart = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        if has_cart and name not in BRUTE_FORCE_ORACLES:
+            offenders.append(name)
+        if not has_cart and name in {"doc_near_dup_pairs"}:
+            # the exact text lane is actually an equi-join on shingles —
+            # record that it does NOT need the exemption
+            BRUTE_FORCE_ORACLES.discard(name)
+    assert not offenders, f"unexpected cartesian plans: {offenders}"
