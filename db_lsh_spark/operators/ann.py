@@ -82,9 +82,7 @@ def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
     )
 
 
-def knn_bruteforce(
-    emb: DataFrame, cfg: AnnConfig, queries_are: str = "first_n"
-) -> DataFrame:
+def knn_bruteforce(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     """Exact top-k cosine neighbors for the query split (first ``n_queries``
     vec_ids — the reference's held-out split, ``Preprocess.cpp:75-78``).
 
@@ -126,7 +124,7 @@ def sign_codes(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     The projection is one NumPy matmul per Arrow batch (the direct analogue
     of the reference's projection pass, ``dblsh.cpp:80-99``) — a literal
     24x64 expression tree in codegen was measurably slower than the BLAS
-    call. Bands are packed JVM-side from the returned bit codes.
+    call. Band codes are packed in the same kernel (MSB-first bit fold).
     """
     from collections.abc import Iterator
 
