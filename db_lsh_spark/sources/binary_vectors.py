@@ -1,0 +1,142 @@
+"""Readers/writers for the reference's on-disk binary formats — the last
+mile for a user switching from the reference with data in place.
+
+Dataset file (``Preprocess::load_data``, ``Preprocess.cpp:52-85``): a
+``*_new`` binary file with header ``uint32[3] = {sizeof(float)=4, N, dim}``
+followed by N×dim row-major float32. The reference peels the first
+``min(200, N-1)`` rows off as the query split (``Preprocess.cpp:75-78``).
+
+Ground-truth cache (``ben_save``/``ben_load``, ``Preprocess.cpp:231-266``):
+``uint32 N, uint32 num`` then N×num int32 neighbor indices then N×num
+float32 distances.
+
+Scale shape: ``read_vectors`` parallelizes over FILES via Spark's
+``binaryFile`` source + one NumPy ``frombuffer``/reshape per file — each
+file is one task, matching how the reference (and every fvecs-style corpus)
+shards datasets. A single multi-TB file would need a byte-range datasource;
+the reference's own datasets are per-dataset files, so files are the unit.
+The ground-truth cache is a small driver-side artifact by construction
+(200 queries × k), exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_vectors(path: str, m: np.ndarray) -> None:
+    """Write the reference's ``*_new`` dataset format (float32 row-major
+    with the {4, N, dim} header)."""
+    m = np.ascontiguousarray(m, dtype=np.float32)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<3I", 4, m.shape[0], m.shape[1]))
+        f.write(m.tobytes())
+
+
+def read_vectors(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Reference dataset file(s) → (file, vec_id, embedding array<float>).
+
+    ``vec_id`` is the row index WITHIN its file (the reference's own id
+    space, ``Preprocess.cpp:68-73``); multi-file corpora disambiguate via
+    the ``file`` column. One task per file (binaryFile source), one
+    ``frombuffer`` + reshape per file — no per-row Python.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("file", StringType(), False),
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType(), False), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fname, blob in zip(pdf["path"], pdf["content"]):
+                fsize, n, dim = struct.unpack_from("<3I", blob, 0)
+                if fsize != 4:
+                    raise ValueError(
+                        f"{fname}: header[0]={fsize}, expected sizeof(float)=4"
+                    )
+                m = np.frombuffer(blob, dtype="<f4", count=n * dim, offset=12)
+                m = m.reshape(n, dim)
+                yield pd.DataFrame(
+                    {
+                        "file": fname,
+                        "vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": list(m),
+                    }
+                )
+
+    raw = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    return raw.mapInPandas(gen, schema)
+
+
+def split_queries(
+    vectors: DataFrame, max_query_num: int = 200
+) -> tuple[DataFrame, DataFrame]:
+    """The reference's query/base split (``Preprocess.cpp:75-78``): the
+    first ``min(200, N-1)`` rows are the query set, the remainder the base
+    table with vec_ids re-zeroed — matching the reference's pointer
+    arithmetic (``data.val = &query[MaxQueryNum]``)."""
+    from pyspark.sql import functions as F
+
+    n = vectors.count()
+    q = min(max_query_num, n - 1)
+    queries = vectors.where(F.col("vec_id") < q)
+    base = vectors.where(F.col("vec_id") >= q).withColumn(
+        "vec_id", F.col("vec_id") - q
+    )
+    return queries, base
+
+
+def write_ground_truth(path: str, indices: np.ndarray, dists: np.ndarray) -> None:
+    """Write the reference's ben cache (``ben_save``,
+    ``Preprocess.cpp:231-247``): (N, num) int32 indices + float32 dists."""
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    dists = np.ascontiguousarray(dists, dtype=np.float32)
+    if indices.shape != dists.shape:
+        raise ValueError("indices and dists must have identical shape")
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2I", indices.shape[0], indices.shape[1]))
+        f.write(indices.tobytes())
+        f.write(dists.tobytes())
+
+
+def read_ground_truth(spark: SparkSession, path: str) -> DataFrame:
+    """ben cache → (query_id, rank, neighbor_id, dist) rows. Small by
+    construction (the reference caps at 200 queries × num neighbors,
+    ``Preprocess.cpp:195-227``) — parsed on the driver, parallelized after."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    n, num = struct.unpack_from("<2I", blob, 0)
+    idx = np.frombuffer(blob, dtype="<i4", count=n * num, offset=8).reshape(n, num)
+    off = 8 + 4 * n * num
+    dst = np.frombuffer(blob, dtype="<f4", count=n * num, offset=off).reshape(n, num)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "query_id": np.repeat(np.arange(n, dtype=np.int64), num),
+            "rank": np.tile(np.arange(1, num + 1, dtype=np.int64), n),
+            "neighbor_id": idx.astype(np.int64).ravel(),
+            "dist": dst.astype(np.float64).ravel(),
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "query_id long, rank long, neighbor_id long, dist double"
+    )

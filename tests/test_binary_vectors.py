@@ -1,0 +1,88 @@
+"""The reference's binary on-disk formats roundtrip through Spark
+(``Preprocess.cpp:52-85`` dataset files, ``Preprocess.cpp:231-266`` ben
+cache) — a user of the reference can point this engine at their files."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from db_lsh_spark.sources.binary_vectors import (
+    read_ground_truth,
+    read_vectors,
+    split_queries,
+    write_ground_truth,
+    write_vectors,
+)
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(250, 8)).astype(np.float32)
+    path = str(tmp_path / "synth.data_new")
+    write_vectors(path, m)
+    return path, m
+
+
+def test_vectors_roundtrip(spark, dataset):
+    path, m = dataset
+    got = read_vectors(spark, path).toPandas().sort_values("vec_id")
+    assert len(got) == 250
+    back = np.stack(got["embedding"].to_numpy()).astype(np.float32)
+    assert np.array_equal(back, m)
+
+
+def test_query_split_matches_reference(spark, dataset):
+    """min(200, N-1) rows become queries; base ids are re-zeroed — the
+    pointer arithmetic of Preprocess.cpp:75-78."""
+    path, m = dataset
+    vecs = read_vectors(spark, path)
+    queries, base = split_queries(vecs)
+    assert queries.count() == 200
+    b = base.toPandas().sort_values("vec_id")
+    assert b.vec_id.tolist() == list(range(50))
+    first_base = np.asarray(b.iloc[0]["embedding"], dtype=np.float32)
+    assert np.array_equal(first_base, m[200])
+
+
+def test_header_validation(spark, tmp_path):
+    bad = tmp_path / "bad_new"
+    bad.write_bytes(b"\x08\x00\x00\x00" + b"\x00" * 20)  # header[0]=8 != 4
+    with pytest.raises(Exception, match="sizeof"):
+        read_vectors(spark, str(bad)).collect()
+
+
+def test_ground_truth_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 1000, size=(20, 10)).astype(np.int32)
+    dst = np.sort(rng.random(size=(20, 10)).astype(np.float32), axis=1)
+    path = str(tmp_path / "dataset.ben")
+    write_ground_truth(path, idx, dst)
+    got = read_ground_truth(spark, path).toPandas()
+    assert len(got) == 200
+    g0 = got[got.query_id == 0].sort_values("rank")
+    assert g0.neighbor_id.tolist() == idx[0].tolist()
+    assert np.allclose(g0.dist.to_numpy(), dst[0])
+
+
+def test_knn_on_reference_file_matches_numpy(spark, dataset):
+    """End-to-end: load the reference-format file, run the engine's exact
+    kNN, compare against a NumPy brute force over the same bytes."""
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators.ann import knn_bruteforce
+
+    path, m = dataset
+    vecs = read_vectors(spark, path).select("vec_id", "embedding")
+    cfg = AnnConfig(k=3, n_queries=3, dim=8, n_planes=24, bands=8, rows=3)
+    got = knn_bruteforce(vecs, cfg).toPandas()
+    u = m.astype(np.float64)
+    u = u / np.linalg.norm(u, axis=1, keepdims=True)
+    sims = np.round(u[:3] @ u.T, 6)
+    for q in range(3):
+        order = sorted(
+            ((-sims[q, j], j) for j in range(len(u)) if j != q)
+        )[:3]
+        expect = [j for _, j in order]
+        g = got[got.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert g == expect
