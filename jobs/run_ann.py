@@ -1,0 +1,163 @@
+"""spark-submit entry for the ANN lane over the reference's OWN file
+formats — the full `lshknn` flow of ``main.cpp:129-183``:
+
+    spark-submit --py-files db_lsh_spark.zip jobs/run_ann.py \
+        --data /data/audio.data_new \
+        --ben  /data/audio.ben \
+        [--k 10] [--n-queries 200] [--planes 24] [--bands 8] [--rows 3] \
+        [--probe-hamming 1] [--seed 0]
+
+Reads the binary dataset (header {4, N, dim} + float32 rows,
+``Preprocess.cpp:52-85``), applies the reference's query/base split,
+create-or-loads the exact ground truth exactly like ``ben_create``
+(``Preprocess.cpp:268-296``: load the ben cache if present and
+consistent, else brute-force it and save), runs the sign-LSH lane, and
+prints one JSON row with the reference's CSV metrics
+(``main.cpp:171``): RECALL, RATIO, AVG query time, COST (candidate
+fraction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True, help="reference *_new binary dataset")
+    p.add_argument("--ben", default=None,
+                   help="ground-truth cache (created if absent/stale)")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-queries", type=int, default=200)
+    p.add_argument("--planes", type=int, default=24)
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--rows", type=int, default=3)
+    p.add_argument("--probe-hamming", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("db-lsh-spark-ann")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.locality.wait", "0s")
+        .getOrCreate()
+    )
+    print(json.dumps(run(spark, args)))
+    spark.stop()
+
+
+def run(spark, args) -> dict:
+    """The lshknn flow against an existing session — returns the metrics
+    row that ``main`` prints (separated so tests can drive it without the
+    session lifecycle)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators import ann as ann_ops
+    from db_lsh_spark.sources.binary_vectors import (
+        read_ground_truth,
+        read_vectors,
+        write_ground_truth,
+    )
+
+    vectors = read_vectors(spark, args.data).select("vec_id", "embedding")
+    vectors = vectors.localCheckpoint(eager=True)
+    n_total = vectors.count()
+    dim = len(vectors.first().embedding)
+    n_queries = min(args.n_queries, n_total - 1)
+    cfg = AnnConfig(
+        seed=args.seed, dim=dim, n_planes=args.planes, bands=args.bands,
+        rows=args.rows, probe_hamming=args.probe_hamming, k=args.k,
+        n_queries=n_queries,
+    )
+
+    # ---- ground truth: create-or-load (ben_create, Preprocess.cpp:268-296)
+    # exact carries (query_id, rank, neighbor_id, dist) with dist = 1-cosine
+    exact = None
+    ben_loaded = False
+    if args.ben and os.path.exists(args.ben):
+        try:
+            cached = read_ground_truth(spark, args.ben)
+            hdr = cached.agg(
+                F.countDistinct("query_id"), F.max("rank")
+            ).first()
+            if hdr[0] == n_queries and hdr[1] >= args.k:
+                exact = cached.where(F.col("rank") <= args.k)
+                ben_loaded = True
+        except Exception:
+            exact = None  # stale/corrupt header → rebuild, like the reference
+    if exact is None:
+        exact_full = ann_ops.knn_bruteforce(vectors, cfg).localCheckpoint(True)
+        exact = exact_full.select(
+            "query_id", "rank", "neighbor_id",
+            (F.lit(1.0) - F.col("cosine")).alias("dist"),
+        )
+        if args.ben:
+            pdf = exact_full.toPandas().sort_values(["query_id", "rank"])
+            idx = pdf.neighbor_id.to_numpy(np.int32).reshape(n_queries, cfg.k)
+            dst = (1.0 - pdf.cosine.to_numpy(np.float32)).reshape(
+                n_queries, cfg.k
+            )
+            write_ground_truth(args.ben, idx, dst)
+
+    # ---- the LSH lane + metrics (Query.cpp:143-163, main.cpp:148-149)
+    t0 = time.monotonic()
+    approx = ann_ops.knn_lsh(vectors, cfg).localCheckpoint(eager=True)
+    wall = time.monotonic() - t0
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"], "left_semi",
+    )
+    per_q = hits.groupBy("query_id").agg((F.count("*") / cfg.k).alias("r"))
+    found = {r.query_id: r.r for r in per_q.collect()}
+    recall = sum(found.get(q, 0.0) for q in range(n_queries)) / n_queries
+    # RATIO (Query.cpp:143-155): approx/exact distance at matched ranks
+    joined = exact.select("query_id", "rank", F.col("dist").alias("d_exact")).join(
+        approx.select(
+            "query_id", "rank", (F.lit(1.0) - F.col("cosine")).alias("d_approx")
+        ),
+        ["query_id", "rank"],
+    )
+    ratio_expr = F.when(F.col("d_exact") < 1e-9, F.lit(1.0)).otherwise(
+        F.col("d_approx") / F.col("d_exact")
+    )
+    ratio_row = joined.agg(F.avg(ratio_expr).alias("r")).first()
+    ratio = float(ratio_row.r) if ratio_row.r is not None else 1.0
+    if ratio < 0.9:  # the reference's sanity abort (main.cpp:149)
+        raise RuntimeError(f"An abnormal ratio appears: {ratio}")
+    # COST: candidate fraction probed per query (the reference's cost column)
+    codes = ann_ops.sign_codes(vectors, cfg)
+    qs = ann_ops.probe_expand(
+        codes.where(F.col("vec_id") < n_queries), cfg.rows, cfg.probe_hamming
+    ).select(F.col("vec_id").alias("query_id"), "band", "band_code")
+    base = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
+    n_cand = (
+        F.broadcast(qs).join(base, ["band", "band_code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id").distinct().count()
+    )
+    cost = n_cand / (n_queries * max(1, n_total - 1))
+    return {
+        "n": n_total, "dim": dim, "k": cfg.k, "n_queries": n_queries,
+        "bands": cfg.bands, "rows": cfg.rows, "probe_hamming": cfg.probe_hamming,
+        "recall": round(recall, 4),
+        "ratio": round(ratio, 4),
+        "cost": round(cost, 4),
+        "avg_query_ms": round(1000 * wall / n_queries, 3),
+        "ben_loaded_from_cache": ben_loaded,
+    }
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

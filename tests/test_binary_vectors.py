@@ -86,3 +86,35 @@ def test_knn_on_reference_file_matches_numpy(spark, dataset):
         expect = [j for _, j in order]
         g = got[got.query_id == q].sort_values("rank").neighbor_id.tolist()
         assert g == expect
+
+
+def test_run_ann_entry_create_then_load(spark, tmp_path):
+    """The lshknn entry (jobs/run_ann.py) over a reference-format file:
+    first invocation brute-forces + SAVES the ben cache, second LOADS it
+    (ben_create semantics, Preprocess.cpp:268-296) — identical metrics,
+    recall/ratio exactly 1.0 at this config, sanity flag path exercised."""
+    import argparse
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_ann", os.path.join(os.path.dirname(__file__), "..", "jobs", "run_ann.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(5)
+    data = str(tmp_path / "synth.data_new")
+    ben = str(tmp_path / "synth.ben")
+    write_vectors(data, rng.normal(size=(300, 16)).astype(np.float32))
+    args = argparse.Namespace(
+        data=data, ben=ben, k=5, n_queries=20, planes=24, bands=8, rows=3,
+        probe_hamming=1, seed=0,
+    )
+    first = mod.run(spark, args)
+    assert not first["ben_loaded_from_cache"] and os.path.exists(ben)
+    second = mod.run(spark, args)
+    assert second["ben_loaded_from_cache"]
+    for key in ("recall", "ratio", "cost", "n", "dim"):
+        assert first[key] == second[key], key
+    assert first["recall"] == 1.0 and first["ratio"] == 1.0
