@@ -82,32 +82,47 @@ def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
     )
 
 
-def knn_bruteforce(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
-    """Exact top-k cosine neighbors for the query split (first ``n_queries``
-    vec_ids — the reference's held-out split, ``Preprocess.cpp:75-78``).
+def knn_bruteforce_pair(
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector among the BASE
+    vectors — the two-frame form matching the reference's peeled split
+    (queries and base are disjoint sets after ``Preprocess.cpp:75-78``;
+    passing overlapping frames is also fine: a row never matches itself).
 
     Output (query_id, rank, neighbor_id, cosine). The query side is
     broadcast: the base table is scanned once with no shuffle (the
-    100-TB-safe shape for a small probe set).
+    100-TB-safe shape for a small probe set). Zero-norm vectors have
+    undefined cosine (NaN) and are EXCLUDED from results by contract —
+    note this differs from raw SQL `>=` filters, where NaN compares
+    greater than every threshold.
     """
-    base = with_unit_vectors(emb).select(
+    b = with_unit_vectors(base).select(
         F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b")
     )
-    qs = (
-        with_unit_vectors(emb)
-        .where(F.col("vec_id") < cfg.n_queries)
-        .select(F.col("vec_id").alias("query_id"), F.col("_unit").alias("u_q"))
+    qs = with_unit_vectors(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("_unit").alias("u_q")
     )
     sims = (
-        base.join(F.broadcast(qs))
+        b.join(F.broadcast(qs))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(_dot(F.col("u_q"), F.col("u_b")), 6).alias("cosine"),
         )
+        .where(~F.isnan("cosine"))
     )
     return _rank_topk(sims, cfg.k)
+
+
+def knn_bruteforce(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
+    """Single-frame convenience: the query split is the first ``n_queries``
+    vec_ids and every vector (except self) is an eligible neighbor — the
+    driver-table convention used by the oracled queries."""
+    return knn_bruteforce_pair(
+        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg
+    )
 
 
 def sign_codes(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
@@ -190,18 +205,20 @@ def probe_expand(codes: DataFrame, rows: int, max_hamming: int) -> DataFrame:
 
 
 def _rerank_candidates(
-    cand: DataFrame, emb: DataFrame, k: int, n_queries: int
+    cand: DataFrame, queries: DataFrame, base: DataFrame, k: int
 ) -> DataFrame:
     """(query_id, neighbor_id) candidates → exact-cosine top-k. Unit vectors
     are fetched HERE, per candidate id — after the bucket join + dedup — so
-    the banded shuffle stays slim. Only the (small) QUERY SPLIT's unit
+    the banded shuffle stays slim. Only the (small) query frame's unit
     vectors are broadcast; the base side joins by neighbor_id as a normal
-    shuffle hash join."""
-    units = with_unit_vectors(emb).select("vec_id", "_unit")
-    uq = units.where(F.col("vec_id") < n_queries).select(
+    shuffle hash join. Zero-norm (NaN-cosine) rows are excluded by the
+    engine's similarity contract."""
+    uq = with_unit_vectors(queries).select(
         F.col("vec_id").alias("query_id"), F.col("_unit").alias("u_q")
     )
-    ub = units.select(F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b"))
+    ub = with_unit_vectors(base).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("_unit").alias("u_b")
+    )
     sims = (
         cand.join(ub, "neighbor_id")
         .join(F.broadcast(uq), "query_id")
@@ -210,32 +227,48 @@ def _rerank_candidates(
             "neighbor_id",
             F.round(_dot(F.col("u_q"), F.col("u_b")), 6).alias("cosine"),
         )
+        .where(~F.isnan("cosine"))
     )
     return _rank_topk(sims, k)
 
 
-def knn_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
-    """LSH-bucketed ANN: candidates = base vectors sharing any (band,
-    band_code) bucket with the query within ``cfg.probe_hamming`` bit flips,
-    exact-cosine reranked to top-k. Same output schema as
-    ``knn_bruteforce`` — recall vs it is the quality metric (reference
-    protocol: RECALL over the query split, ``main.cpp:148``).
-
-    Multi-probe expansion happens on the (tiny) query side only; the base
-    table is never duplicated and the banded join shuffles only
+def lsh_candidates_pair(
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig
+) -> DataFrame:
+    """Bucket candidates of each query among the base vectors: distinct
+    (query_id, neighbor_id) sharing any (band, band_code) within
+    ``cfg.probe_hamming`` bit flips. Multi-probe expansion happens on the
+    (tiny) query side only; the banded join shuffles only
     (vec_id, band, band_code)."""
-    codes = sign_codes(emb, cfg)
     qs = probe_expand(
-        codes.where(F.col("vec_id") < cfg.n_queries), cfg.rows, cfg.probe_hamming
+        sign_codes(queries, cfg), cfg.rows, cfg.probe_hamming
     ).select(F.col("vec_id").alias("query_id"), "band", "band_code")
-    base = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
-    cand = (
-        F.broadcast(qs).join(base, ["band", "band_code"])
+    b = sign_codes(base, cfg).select(
+        F.col("vec_id").alias("neighbor_id"), "band", "band_code"
+    )
+    return (
+        F.broadcast(qs).join(b, ["band", "band_code"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _rerank_candidates(cand, emb, cfg.k, cfg.n_queries)
+
+
+def knn_lsh_pair(
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig
+) -> DataFrame:
+    """LSH-bucketed ANN in the two-frame (peeled-split) form: bucket
+    candidates exact-cosine reranked to top-k. Same output schema as
+    ``knn_bruteforce_pair`` — recall vs it is the quality metric
+    (reference protocol: RECALL over the query split, ``main.cpp:148``)."""
+    cand = lsh_candidates_pair(queries, base, cfg)
+    return _rerank_candidates(cand, queries, base, cfg.k)
+
+
+def knn_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
+    """Single-frame convenience (driver-table convention): queries are the
+    first ``n_queries`` vec_ids, all vectors are eligible neighbors."""
+    return knn_lsh_pair(emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg)
 
 
 def knn_lsh_adaptive(
@@ -304,7 +337,12 @@ def knn_lsh_adaptive(
         pending = cand.sparkSession.createDataFrame(
             [(int(q),) for q in pending_ids], "query_id long"
         )
-    return _rerank_candidates(cand, emb, cfg.k, cfg.n_queries), rounds
+    return (
+        _rerank_candidates(
+            cand, emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg.k
+        ),
+        rounds,
+    )
 
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
@@ -324,6 +362,10 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
             F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        # zero-norm vectors → NaN cosine; SQL `>=` keeps NaN (it compares
+        # greater than any double in Spark) — exclude explicitly so both
+        # pair lanes share the same undefined-similarity contract
+        .where(~F.isnan("cosine"))
     )
 
 

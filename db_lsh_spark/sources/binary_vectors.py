@@ -86,15 +86,48 @@ def read_vectors(spark: SparkSession, path_glob: str) -> DataFrame:
     return raw.mapInPandas(gen, schema)
 
 
+def concat_files(vectors: DataFrame) -> DataFrame:
+    """Multi-file corpus → one id space: rows ordered by (file, vec_id) get
+    globally contiguous vec_ids (per-file offsets from one tiny collect —
+    no global sort). A single-file input passes through unchanged."""
+    from pyspark.sql import functions as F
+
+    counts = sorted(
+        (r.file, r.n)
+        for r in vectors.groupBy("file").agg(F.count("*").alias("n")).collect()
+    )
+    if len(counts) <= 1:
+        return vectors.select("vec_id", "embedding")
+    offsets, acc = [], 0
+    for fname, n in counts:
+        offsets.append((fname, acc))
+        acc += n
+    off = vectors.sparkSession.createDataFrame(offsets, "file string, _off long")
+    return (
+        vectors.join(F.broadcast(off), "file")
+        .select((F.col("vec_id") + F.col("_off")).alias("vec_id"), "embedding")
+    )
+
+
 def split_queries(
     vectors: DataFrame, max_query_num: int = 200
 ) -> tuple[DataFrame, DataFrame]:
     """The reference's query/base split (``Preprocess.cpp:75-78``): the
     first ``min(200, N-1)`` rows are the query set, the remainder the base
     table with vec_ids re-zeroed — matching the reference's pointer
-    arithmetic (``data.val = &query[MaxQueryNum]``)."""
+    arithmetic (``data.val = &query[MaxQueryNum]``).
+
+    Requires ONE id space: a multi-file frame (per-file vec_ids would be
+    peeled from every file) must go through ``concat_files`` first."""
     from pyspark.sql import functions as F
 
+    if "file" in vectors.columns:
+        if vectors.select("file").distinct().count() > 1:
+            raise ValueError(
+                "split_queries needs a single id space: pass the frame "
+                "through concat_files() for multi-file corpora"
+            )
+        vectors = vectors.select("vec_id", "embedding")
     n = vectors.count()
     q = min(max_query_num, n - 1)
     queries = vectors.where(F.col("vec_id") < q)

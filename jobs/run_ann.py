@@ -66,19 +66,27 @@ def run(spark, args) -> dict:
     from db_lsh_spark.config import AnnConfig
     from db_lsh_spark.operators import ann as ann_ops
     from db_lsh_spark.sources.binary_vectors import (
+        concat_files,
         read_ground_truth,
         read_vectors,
+        split_queries,
         write_ground_truth,
     )
 
-    vectors = read_vectors(spark, args.data).select("vec_id", "embedding")
-    vectors = vectors.localCheckpoint(eager=True)
-    n_total = vectors.count()
-    dim = len(vectors.first().embedding)
-    n_queries = min(args.n_queries, n_total - 1)
+    # one global id space (a glob of files gets contiguous ids), then the
+    # reference's query/base PEEL: queries leave the base set and base ids
+    # re-zero, so ben neighbor indices are base-relative exactly as the
+    # reference writes them (Preprocess.cpp:75-78)
+    vectors = concat_files(read_vectors(spark, args.data))
+    queries, base = split_queries(vectors, args.n_queries)
+    queries = queries.localCheckpoint(eager=True)
+    base = base.localCheckpoint(eager=True)
+    n_queries, n_base = queries.count(), base.count()
+    dim = len(queries.first().embedding)
+    k = min(args.k, n_base)  # a base smaller than k can't fill k ranks
     cfg = AnnConfig(
         seed=args.seed, dim=dim, n_planes=args.planes, bands=args.bands,
-        rows=args.rows, probe_hamming=args.probe_hamming, k=args.k,
+        rows=args.rows, probe_hamming=args.probe_hamming, k=k,
         n_queries=n_queries,
     )
 
@@ -92,34 +100,38 @@ def run(spark, args) -> dict:
             hdr = cached.agg(
                 F.countDistinct("query_id"), F.max("rank")
             ).first()
-            if hdr[0] == n_queries and hdr[1] >= args.k:
-                exact = cached.where(F.col("rank") <= args.k)
+            if hdr[0] == n_queries and hdr[1] >= k:
+                exact = cached.where(F.col("rank") <= k)
                 ben_loaded = True
         except Exception:
             exact = None  # stale/corrupt header → rebuild, like the reference
     if exact is None:
-        exact_full = ann_ops.knn_bruteforce(vectors, cfg).localCheckpoint(True)
+        exact_full = ann_ops.knn_bruteforce_pair(
+            queries, base, cfg
+        ).localCheckpoint(True)
         exact = exact_full.select(
             "query_id", "rank", "neighbor_id",
             (F.lit(1.0) - F.col("cosine")).alias("dist"),
         )
         if args.ben:
             pdf = exact_full.toPandas().sort_values(["query_id", "rank"])
-            idx = pdf.neighbor_id.to_numpy(np.int32).reshape(n_queries, cfg.k)
-            dst = (1.0 - pdf.cosine.to_numpy(np.float32)).reshape(
-                n_queries, cfg.k
-            )
+            idx = pdf.neighbor_id.to_numpy(np.int32).reshape(n_queries, k)
+            dst = (1.0 - pdf.cosine.to_numpy(np.float32)).reshape(n_queries, k)
             write_ground_truth(args.ben, idx, dst)
 
-    # ---- the LSH lane + metrics (Query.cpp:143-163, main.cpp:148-149)
+    # ---- the LSH lane (Query.cpp:50-115): candidates materialized ONCE —
+    # the rerank consumes them and COST counts the same frame
     t0 = time.monotonic()
-    approx = ann_ops.knn_lsh(vectors, cfg).localCheckpoint(eager=True)
+    cand = ann_ops.lsh_candidates_pair(queries, base, cfg).localCheckpoint(True)
+    approx = ann_ops._rerank_candidates(cand, queries, base, k).localCheckpoint(
+        eager=True
+    )
     wall = time.monotonic() - t0
     hits = approx.select("query_id", "neighbor_id").join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"], "left_semi",
     )
-    per_q = hits.groupBy("query_id").agg((F.count("*") / cfg.k).alias("r"))
+    per_q = hits.groupBy("query_id").agg((F.count("*") / k).alias("r"))
     found = {r.query_id: r.r for r in per_q.collect()}
     recall = sum(found.get(q, 0.0) for q in range(n_queries)) / n_queries
     # RATIO (Query.cpp:143-155): approx/exact distance at matched ranks
@@ -137,19 +149,10 @@ def run(spark, args) -> dict:
     if ratio < 0.9:  # the reference's sanity abort (main.cpp:149)
         raise RuntimeError(f"An abnormal ratio appears: {ratio}")
     # COST: candidate fraction probed per query (the reference's cost column)
-    codes = ann_ops.sign_codes(vectors, cfg)
-    qs = ann_ops.probe_expand(
-        codes.where(F.col("vec_id") < n_queries), cfg.rows, cfg.probe_hamming
-    ).select(F.col("vec_id").alias("query_id"), "band", "band_code")
-    base = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
-    n_cand = (
-        F.broadcast(qs).join(base, ["band", "band_code"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id").distinct().count()
-    )
-    cost = n_cand / (n_queries * max(1, n_total - 1))
+    cost = cand.count() / (n_queries * max(1, n_base))
     return {
-        "n": n_total, "dim": dim, "k": cfg.k, "n_queries": n_queries,
+        "n": n_queries + n_base, "n_base": n_base, "dim": dim, "k": k,
+        "n_queries": n_queries,
         "bands": cfg.bands, "rows": cfg.rows, "probe_hamming": cfg.probe_hamming,
         "recall": round(recall, 4),
         "ratio": round(ratio, 4),

@@ -118,3 +118,39 @@ def test_run_ann_entry_create_then_load(spark, tmp_path):
     for key in ("recall", "ratio", "cost", "n", "dim"):
         assert first[key] == second[key], key
     assert first["recall"] == 1.0 and first["ratio"] == 1.0
+
+
+def test_concat_files_global_ids(spark, tmp_path):
+    """A glob of files must flow into ONE contiguous id space ordered by
+    (file, row) before the query/base split — per-file vec_ids would peel
+    queries from every file."""
+    from db_lsh_spark.sources.binary_vectors import concat_files
+
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(30, 4)).astype(np.float32)
+    b = rng.normal(size=(20, 4)).astype(np.float32)
+    write_vectors(str(tmp_path / "a.data_new"), a)
+    write_vectors(str(tmp_path / "b.data_new"), b)
+    vecs = concat_files(read_vectors(spark, str(tmp_path / "*.data_new")))
+    pdf = vecs.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert pdf.vec_id.tolist() == list(range(50))
+    back = np.stack(pdf["embedding"].to_numpy()).astype(np.float32)
+    assert np.array_equal(back, np.vstack([a, b]))
+    # multi-file frame without concat is rejected by the splitter
+    with pytest.raises(ValueError, match="single id space"):
+        split_queries(read_vectors(spark, str(tmp_path / "*.data_new")), 10)
+
+
+def test_split_excludes_queries_from_base(spark, dataset):
+    """Reference peel semantics: a query vector must NOT be its own top-1
+    neighbor after the split (queries leave the base set entirely)."""
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators.ann import knn_bruteforce_pair
+
+    path, m = dataset
+    queries, base = split_queries(read_vectors(spark, path), 5)
+    cfg = AnnConfig(k=3, n_queries=5, dim=8, n_planes=24, bands=8, rows=3)
+    got = knn_bruteforce_pair(queries, base, cfg).toPandas()
+    # every neighbor id is base-relative (< 245) and cosines are < 1
+    assert (got.neighbor_id < 245).all()
+    assert (got.cosine < 1.0).all()

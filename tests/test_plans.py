@@ -120,7 +120,6 @@ def test_no_cartesian_in_any_driver_query(spark):
         "emb_knn_lsh",          # rerank broadcasts the tiny query-unit table
         "emb_lsh_recall",       # composes both lanes above
         "emb_near_dup_pairs",   # the brute-force pair oracle
-        "doc_near_dup_pairs",   # exact lane (shingle equi-join — verify below)
     }
     offenders = []
     for name, fn in entrymod.queries().items():
@@ -129,8 +128,6 @@ def test_no_cartesian_in_any_driver_query(spark):
         has_cart = "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
         if has_cart and name not in BRUTE_FORCE_ORACLES:
             offenders.append(name)
-        if not has_cart and name in {"doc_near_dup_pairs"}:
-            # the exact text lane is actually an equi-join on shingles —
-            # record that it does NOT need the exemption
-            BRUTE_FORCE_ORACLES.discard(name)
+    # doc_near_dup_pairs deliberately NOT exempted: the exact text lane is
+    # a shingle equi-join and must stay that way
     assert not offenders, f"unexpected cartesian plans: {offenders}"
