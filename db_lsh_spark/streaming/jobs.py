@@ -125,3 +125,76 @@ def incremental_dedup_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def running_type_stats(doc_stream: DataFrame):
+    """Custom STATEFUL streaming operator (``applyInPandasWithState`` —
+    SURVEY §2.9's arbitrary-state lane): a running per-event_type profile
+    maintained across micro-batches — cumulative event count, cumulative
+    value sum, and the max timestamp seen — emitted once per group per
+    batch. Unlike the windowed aggregation (bounded by watermark), this is
+    the unbounded-but-tiny running state the reference keeps in its
+    per-query accumulators (``Query.cpp:118-140`` perf counters), keyed by
+    group instead of query.
+
+    State per key is three scalars — the 100-TB-safe shape: state size is
+    O(#distinct event types), never O(#events). Deployments with unbounded
+    key churn should switch NoTimeout to a processing-time timeout (one
+    ``state.hasTimedOut`` branch) to evict idle keys.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("sum_value", DoubleType(), False),
+            StructField("max_ts", TimestampType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("s", DoubleType(), False),
+            StructField("mx", TimestampType(), True),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            batch_mx = pdf["ts"].max()
+            mx = batch_mx if mx is None or batch_mx > mx else mx
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 4)],
+                "max_ts": [mx],
+            }
+        )
+
+    return (
+        doc_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -155,3 +155,48 @@ def test_incremental_dedup_pairs_normalized_and_probe_content_preferred(
     # streamed text (near) vs indexed 5 (base) clears the threshold; the
     # colliding indexed content (other) would NOT — pair exists iff probe won
     assert (2, 5) in pairs
+
+
+def test_running_type_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState lane: the final per-type emission (update
+    mode, keyed memory sink) after all chunks must equal the batch
+    aggregate — state accumulates correctly across micro-batches."""
+    import glob
+    import shutil
+
+    from db_lsh_spark.streaming.jobs import running_type_stats
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    src = str(tmp_path / "state_src")
+    os.makedirs(src)
+    # three chunks → three micro-batches (maxFilesPerTrigger=1)
+    chunked = events.withColumn("_c", F.pmod(F.col("event_id"), F.lit(3)))
+    for i in range(3):
+        d = str(tmp_path / f"c{i}")
+        chunked.where(F.col("_c") == i).drop("_c").coalesce(1).write.parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/c{i}.parquet")
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        running_type_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT event_type, max(n_events) AS n_events, max(sum_value) AS sum_value "
+        "FROM running_stats GROUP BY event_type"
+    ).toPandas().sort_values("event_type").reset_index(drop=True)
+    want = (
+        events.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    assert got.event_type.tolist() == want.event_type.tolist()
+    assert got.n_events.tolist() == want.n_events.tolist()
+    assert got.sum_value.tolist() == pytest.approx(want.sum_value.tolist(), abs=1e-3)
