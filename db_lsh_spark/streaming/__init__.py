@@ -6,4 +6,6 @@ counterparts a production ingest needs: watermarked windowed aggregation
 over the events stream, and incremental near-duplicate detection of newly
 arriving documents against the existing banded signature index
 (micro-batch ``foreachBatch`` probe — the streaming rendition of the
-reference's query lane, ``Query.cpp:40-115``)."""
+reference's query lane, ``Query.cpp:40-115``), plus a custom
+arbitrary-state running aggregate via ``applyInPandasWithState``
+(``jobs.running_type_stats``)."""

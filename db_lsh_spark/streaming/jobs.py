@@ -1,8 +1,10 @@
-"""Streaming operators: windowed event aggregation + incremental dedup.
+"""Streaming operators: windowed event aggregation, incremental dedup,
+and an arbitrary-state running aggregate (``applyInPandasWithState``).
 
-Both run on the Structured Streaming engine proper (file source →
-micro-batches → sinks), not a hand-rolled loop; watermarks bound state for
-late data. Tested by materializing a stream from parquet chunks and
+All run on the Structured Streaming engine proper (file source →
+micro-batches → sinks), not a hand-rolled loop; watermarks bound the
+windowed state for late data, and the custom-state lane keeps O(#keys)
+scalars. Tested by materializing a stream from parquet chunks and
 asserting equality with the batch computation (tests/test_streaming.py).
 """
 
@@ -176,7 +178,11 @@ def running_type_stats(doc_stream: DataFrame):
             n += len(pdf)
             s += float(pdf["value"].sum())
             batch_mx = pdf["ts"].max()
-            mx = batch_mx if mx is None or batch_mx > mx else mx
+            # an all-null-ts batch yields NaT: storing it would crash state
+            # serialization AND (NaT comparisons are all-False) block every
+            # later real timestamp — skip it, matching batch F.max semantics
+            if not pd.isna(batch_mx) and (mx is None or batch_mx > mx):
+                mx = batch_mx
         state.update((n, s, mx))
         yield pd.DataFrame(
             {

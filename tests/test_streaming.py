@@ -19,31 +19,37 @@ from db_lsh_spark.streaming.jobs import (
 SF = "/root/testdata/sf0.001"
 
 
+def _write_stream_chunks(tmp_path, df, chunk_col: str, n: int, name: str) -> str:
+    """Materialize ``df`` as one parquet file per chunk value in a flat
+    landing-zone dir (spark-written files keep parquet logical types
+    identical to the source schema; moved to the source ROOT because the
+    file stream source does not recurse)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    for i in range(n):
+        d = str(tmp_path / f"{name}_w{i}")
+        df.where(F.col(chunk_col) == i).drop(chunk_col).coalesce(1).write.parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/chunk{i}.parquet")
+    return src
+
+
 def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     events = spark.read.parquet(f"{SF}/events.parquet")
     # materialize the stream source as chronologically ordered files (a real
     # landing zone): random file order would make older events arrive after
     # the watermark passed and be dropped as late — correct semantics, but
     # not what this equality test exercises
-    src = str(tmp_path / "stream_src")
-    os.makedirs(src)
     from pyspark.sql.window import Window
 
-    import glob
-    import shutil
-
     chunked = events.withColumn(
-        "_chunk", F.ntile(6).over(Window.orderBy("ts"))
+        "_chunk", F.ntile(6).over(Window.orderBy("ts")) - 1
     )
-    for i in range(1, 7):
-        # one spark-written file per chronological chunk (keeps parquet
-        # logical types identical to the source schema); moved to the
-        # source root — the file stream source does not recurse
-        tmp_dir = str(tmp_path / f"w{i}")
-        (chunked.where(F.col("_chunk") == i).drop("_chunk")
-         .coalesce(1).write.parquet(tmp_dir))
-        part = glob.glob(f"{tmp_dir}/part-*.parquet")[0]
-        shutil.move(part, f"{src}/chunk{i}.parquet")
+    src = _write_stream_chunks(tmp_path, chunked, "_chunk", 6, "stream_src")
     stream = read_event_stream(spark, src, events.schema, max_files_per_trigger=2)
     agg = windowed_event_counts(stream, window="1 hour", watermark="100 hours")
     out = str(tmp_path / "stream_out")
@@ -158,27 +164,21 @@ def test_incremental_dedup_pairs_normalized_and_probe_content_preferred(
 
 
 def test_running_type_stats_stateful(spark, tmp_path):
-    """applyInPandasWithState lane: the final per-type emission (update
+    """applyInPandasWithState lane: the FINAL per-type emission (update
     mode, keyed memory sink) after all chunks must equal the batch
-    aggregate — state accumulates correctly across micro-batches."""
-    import glob
-    import shutil
-
+    aggregate — state accumulates correctly across micro-batches. The
+    final row is identified by the max n_events (monotone by construction,
+    unlike sum_value which could dip with negative values); max_ts is
+    asserted too — it is the one stat whose state round-trips through
+    timestamp serialization."""
     from db_lsh_spark.streaming.jobs import running_type_stats
 
     events = spark.read.parquet(f"{SF}/events.parquet")
-    src = str(tmp_path / "state_src")
-    os.makedirs(src)
     # three chunks → three micro-batches (maxFilesPerTrigger=1)
     chunked = events.withColumn("_c", F.pmod(F.col("event_id"), F.lit(3)))
-    for i in range(3):
-        d = str(tmp_path / f"c{i}")
-        chunked.where(F.col("_c") == i).drop("_c").coalesce(1).write.parquet(d)
-        shutil.move(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/c{i}.parquet")
+    src = _write_stream_chunks(tmp_path, chunked, "_c", 3, "state_src")
 
-    stream = spark.readStream.schema(events.schema).option(
-        "maxFilesPerTrigger", 1
-    ).parquet(src)
+    stream = read_event_stream(spark, src, events.schema, max_files_per_trigger=1)
     q = (
         running_type_stats(stream)
         .writeStream.outputMode("update")
@@ -189,14 +189,25 @@ def test_running_type_stats_stateful(spark, tmp_path):
     )
     q.awaitTermination(300)
     got = spark.sql(
-        "SELECT event_type, max(n_events) AS n_events, max(sum_value) AS sum_value "
-        "FROM running_stats GROUP BY event_type"
+        """
+        SELECT event_type, n_events, sum_value, max_ts FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY n_events DESC
+            ) AS rn FROM running_stats
+        ) WHERE rn = 1
+        """
     ).toPandas().sort_values("event_type").reset_index(drop=True)
     want = (
-        events.groupBy("event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("ts").alias("max_ts"),
+        )
         .toPandas().sort_values("event_type").reset_index(drop=True)
     )
     assert got.event_type.tolist() == want.event_type.tolist()
     assert got.n_events.tolist() == want.n_events.tolist()
     assert got.sum_value.tolist() == pytest.approx(want.sum_value.tolist(), abs=1e-3)
+    assert got.max_ts.tolist() == want.max_ts.tolist()
