@@ -23,11 +23,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from db_lsh_spark.config import AnnConfig, DedupConfig
 from db_lsh_spark.operators import ann as ann_ops
+from db_lsh_spark.operators import ann_l2 as ann_l2_ops
 from db_lsh_spark.operators import text as text_ops
 
 SHINGLE_K = 5
 NEAR_DUP_THRESHOLD = 0.9
 ANN_CFG = AnnConfig(k=10, n_queries=20)
+# the reference's own metric (util.h:205-212): E2LSH p-stable buckets at
+# window w=1.0 (projections of unit vectors are N(0,1)), probe radius 1 —
+# recall 1.0 vs exact L2 at both sf fixtures (verified by kernel simulation
+# and by the shared oracle SQL)
+ANN_CFG_L2 = AnnConfig(
+    metric="l2", n_planes=16, bands=8, rows=2, bucket_width=1.0,
+    probe_range=1, k=10, n_queries=20,
+)
 DOC_DEDUP_CFG = DedupConfig(jaccard_threshold=NEAR_DUP_THRESHOLD, shingle_k=SHINGLE_K)
 
 
@@ -160,6 +169,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quantitative eval row: avg recall + avg distance RATIO (Query.cpp:143-163,
     # main.cpp:148-149) — the oracle asserts the contract values (1.0, 1.0)
     q["emb_lsh_recall"] = lambda s, d: ann_ops.lsh_recall_ratio(_emb(s, d), ANN_CFG)
+
+    # ---- L2 / Euclidean lane — the reference's own metric ----
+    q["emb_knn_l2"] = lambda s, d: ann_l2_ops.knn_bruteforce_l2(
+        _emb(s, d), ANN_CFG_L2
+    ).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "dist"
+    )
+    # E2LSH p-stable bucket lane, oracled by the same brute-force SQL:
+    # exact-L2 rerank means LSH == exact top-k iff every true neighbor is a
+    # bucket candidate (recall-1 contract, Query.cpp:157-163)
+    q["emb_knn_l2_lsh"] = lambda s, d: ann_l2_ops.knn_l2_lsh(
+        _emb(s, d), ANN_CFG_L2
+    ).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "dist"
+    )
+    q["emb_l2_recall"] = lambda s, d: ann_l2_ops.l2_lsh_recall(
+        _emb(s, d), ANN_CFG_L2
+    )
 
     q["emb_near_dup_pairs"] = lambda s, d: ann_ops.cosine_near_dup_pairs(
         _emb(s, d), 0.45
@@ -466,6 +493,34 @@ def oracle_sql() -> dict[str, str]:
     # contract values: recall 1.0 and distance-ratio 1.0 (identical lists);
     # the reference's <0.9 sanity abort (main.cpp:149) is the boolean flag
     sql["emb_lsh_recall"] = """
+        SELECT CAST(1.0 AS DOUBLE) AS avg_recall,
+               CAST(1.0 AS DOUBLE) AS avg_ratio,
+               TRUE AS ratio_sane
+    """
+    # exact L2 ground truth (the reference's metric, Preprocess.cpp:195-227):
+    # same rounding + tie-break contract as the Spark lane
+    sql["emb_knn_l2"] = """
+        WITH d AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(sqrt(list_aggregate(
+                       list_transform(
+                           list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       'sum')), 6) AS dist
+            FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id
+            WHERE q.vec_id < 20
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY dist, neighbor_id
+            ) AS rank FROM d
+        )
+        SELECT query_id, rank::BIGINT AS rank, neighbor_id, dist
+        FROM ranked WHERE rank <= 10
+    """
+    # E2LSH lane == exact lane at this config (recall-1): same oracle
+    sql["emb_knn_l2_lsh"] = sql["emb_knn_l2"]
+    sql["emb_l2_recall"] = """
         SELECT CAST(1.0 AS DOUBLE) AS avg_recall,
                CAST(1.0 AS DOUBLE) AS avg_ratio,
                TRUE AS ratio_sane

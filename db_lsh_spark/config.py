@@ -90,13 +90,25 @@ class AnnConfig:
 
     seed: int = 0
     dim: int = 64
-    n_planes: int = 24           # random hyperplanes for the sign-LSH code
-    bands: int = 8               # bands over the sign bits
-    rows: int = 3                # bits per band
-    probe_hamming: int = 1       # multi-probe: also probe codes within this
-    #                              Hamming distance — the ANN-lane analogue of
-    #                              DB-LSH's dynamic window widening
-    #                              (Query.cpp:86-100)
+    metric: str = "cosine"       # "cosine" (sign-LSH) or "l2" (E2LSH p-stable
+    #                              buckets — the reference's own metric,
+    #                              util.h:205-212, dblsh.cpp:53-99)
+    n_planes: int = 24           # random projections (hyperplanes for the
+    #                              sign code; Gaussian a_i for E2LSH)
+    bands: int = 8               # bands over the projections (= L tables)
+    rows: int = 3                # projections per band (= K dims per table)
+    probe_hamming: int = 1       # cosine multi-probe: also probe codes within
+    #                              this Hamming distance — the ANN-lane
+    #                              analogue of DB-LSH's dynamic window
+    #                              widening (Query.cpp:86-100)
+    bucket_width: float = 1.0    # E2LSH window w: cell = floor((a.x+b)/w)
+    #                              (dblsh.cpp:53-78; paper's w)
+    probe_range: int = 1         # l2 multi-probe: probe cells within this
+    #                              L-inf distance per band — effective window
+    #                              (2*probe_range+1)*w, the discrete rendition
+    #                              of the reference's widened query window
+    window_growth: float = 2.0   # c: per-round window multiplier in the
+    #                              adaptive loop (Query.cpp:20,86-100)
     k: int = 10                  # top-k neighbors (reference default k=50)
     n_queries: int = 100         # reference runs 100 queries (main.cpp:132)
     beta: float = 0.1            # candidate-budget fraction (Query.cpp:81)
@@ -104,6 +116,10 @@ class AnnConfig:
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.n_planes:
             raise ValueError("bands*rows must equal n_planes")
+        if self.metric not in ("cosine", "l2"):
+            raise ValueError(f"unknown metric {self.metric!r}")
+        if self.bucket_width <= 0:
+            raise ValueError("bucket_width must be positive")
 
     def candidate_budget(self, n: int) -> int:
         """T = beta*N + k — the reference's per-query candidate budget

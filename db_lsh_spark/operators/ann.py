@@ -286,7 +286,8 @@ def knn_lsh_adaptive(
     Returns (topk DataFrame, per-round stats). Rounds are bounded by
     cfg.rows (radius > rows is the full keyspace).
     """
-    budget = budget or cfg.candidate_budget(emb.count())
+    if budget is None:  # explicit 0 is a valid (immediately satisfied) budget
+        budget = cfg.candidate_budget(emb.count())
     codes = sign_codes(emb, cfg).localCheckpoint(eager=True)
     base = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
     qcodes = codes.where(F.col("vec_id") < cfg.n_queries)

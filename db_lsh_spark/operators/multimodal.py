@@ -128,14 +128,14 @@ def image_features(media: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                arr = _decode(r.payload, r.meta).astype(np.float32)
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                arr = _decode(payload, meta).astype(np.float32)
                 img = arr[0]  # (h, w, c)
                 hist, _ = np.histogram(img, bins=16, range=(0, 256))
                 hist = hist / max(1, img.size)
                 out.append(
                     (
-                        int(r.media_id),
+                        int(mid),
                         img.mean(axis=(0, 1)).tolist(),
                         img.std(axis=(0, 1)).tolist(),
                         hist.astype(np.float32).tolist(),
@@ -169,15 +169,15 @@ def image_resize(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                img = _decode(r.payload, r.meta)[0].astype(np.float32)
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                img = _decode(payload, meta)[0].astype(np.float32)
                 h, w, c = img.shape
                 ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 resized = img[ys][:, xs].astype(np.uint8)
-                meta = dict(r.meta)
-                meta.update(width=out_w, height=out_h)
-                out.append((int(r.media_id), resized.tobytes(), meta))
+                new_meta = dict(meta)
+                new_meta.update(width=out_w, height=out_h)
+                out.append((int(mid), resized.tobytes(), new_meta))
             yield pd.DataFrame(out, columns=["media_id", "payload", "meta"])
 
     return (
@@ -204,12 +204,12 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                frames = _decode(r.payload, r.meta)
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                frames = _decode(payload, meta)
                 for idx in range(0, frames.shape[0], every_n):
                     f = frames[idx]
                     out.append(
-                        (int(r.media_id), int(idx), float(f.mean()), f.tobytes())
+                        (int(mid), int(idx), float(f.mean()), f.tobytes())
                     )
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "frame_mean", "frame_payload"]
@@ -238,12 +238,12 @@ def audio_features(media: DataFrame) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                pcm = _decode(r.payload, r.meta).ravel().astype(np.float32) - 128.0
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                pcm = _decode(payload, meta).ravel().astype(np.float32) - 128.0
                 rms = float(np.sqrt((pcm**2).mean()))
                 zc = int(((pcm[:-1] * pcm[1:]) < 0).sum())
-                dur = len(pcm) / float(r.meta["sample_rate"] or 16000)
-                out.append((int(r.media_id), rms, zc, dur))
+                dur = len(pcm) / float(meta["sample_rate"] or 16000)
+                out.append((int(mid), rms, zc, dur))
             yield pd.DataFrame(
                 out, columns=["media_id", "rms", "zero_crossings", "duration_sec"]
             )

@@ -68,17 +68,28 @@ def _distributed_dense_ids(df: DataFrame, id_col: str) -> DataFrame:
     partition, then add per-partition offsets (a P-row collect + broadcast
     — the standard distributed dense-rank shape).
 
-    Determinism: ``repartitionByRange`` samples with a fixed per-partition
-    seed, so the same input yields the same partitioning, local ranks and
-    offsets run-to-run.
+    Determinism: ``repartitionByRange`` derives its boundaries by SAMPLING,
+    and Spark documents that the sample (hence the partitioning) may differ
+    between executions of the same plan. The ranged frame is therefore
+    MATERIALIZED once (``localCheckpoint(eager=True)``) and both the
+    per-partition counts and the downstream ranks are computed from that
+    single pinned instance — recomputation with different boundaries can
+    never desynchronize offsets from partition assignment.
+
+    Scale note: this fallback necessarily moves every row once (an id is a
+    new column on every row). It only runs when the source carries no id —
+    at 100-TB scale the storage layer should supply ``file_id`` (or the ids
+    should be assigned at ingest) so this exchange never happens.
     """
     from pyspark.sql import Window
 
     keys = [c for c in ("repo", "path", "commit") if c in df.columns] or ["sha256"]
     spark = df.sparkSession
     npart = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")))
-    ranged = df.repartitionByRange(npart, *[F.col(k) for k in keys]).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(npart, *[F.col(k) for k in keys])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["_pid"], r["n"])

@@ -129,8 +129,17 @@ class StageStore:
         return persisted
 
     def metrics(self, spark: SparkSession) -> DataFrame:
-        # per-stage subdirectories (non-partition layout) → recursive lookup
+        # Read ONLY the per-stage subdirectories. A blanket recursive lookup
+        # over the stage_metrics root would also pick up legacy flat parquet
+        # files appended there by stores written before the per-stage
+        # overwrite layout, reintroducing the duplicate lineage rows the
+        # layout exists to eliminate when an old checkpoint root is reused.
+        base = os.path.join(self.root, "stage_metrics")
+        stage_dirs = sorted(
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if os.path.isdir(os.path.join(base, d))
+        )
         return (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(os.path.join(self.root, "stage_metrics"))
+            spark.read.option("recursiveFileLookup", "true").parquet(*stage_dirs)
         )

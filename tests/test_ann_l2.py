@@ -1,0 +1,170 @@
+"""L2 / Euclidean ANN lane tests — the reference's own metric
+(``util.h:205-212``; E2LSH buckets ``dblsh.cpp:53-99``; dynamic window
+growth ``Query.cpp:20,86-100``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import AnnConfig
+from db_lsh_spark.operators import ann_l2
+
+SF = "/root/testdata/sf0.001"
+CFG = AnnConfig(
+    metric="l2", n_planes=16, bands=8, rows=2, bucket_width=1.0,
+    probe_range=1, k=10, n_queries=20,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# kernel-level invariants (no Spark)
+# ---------------------------------------------------------------------------
+def test_probe_offsets_ring_counts():
+    """Ring (lo, hi] in Z^rows has (2hi+1)^rows - (2lo+1)^rows offsets."""
+    for rows in (1, 2, 3):
+        for lo, hi in ((-1, 0), (-1, 1), (0, 1), (1, 3)):
+            offs = ann_l2._probe_offsets(rows, lo, hi)
+            expect = (2 * hi + 1) ** rows - (
+                (2 * lo + 1) ** rows if lo >= 0 else 0
+            )
+            assert offs.shape == (expect, rows)
+            norms = np.abs(offs).max(axis=1) if len(offs) else np.array([])
+            assert all(lo < n <= hi for n in norms)
+
+
+def test_cell_codes_deterministic_and_shift_equivariant():
+    """Same input → same cells; adding w to a projection shifts the cell by
+    exactly 1 (the floor((a.x+b)/w) contract, dblsh.cpp:53-78)."""
+    cfg = CFG
+    A, b = ann_l2.draw_projections(cfg)
+    A2, b2 = ann_l2.draw_projections(cfg)
+    assert np.array_equal(A, A2) and np.array_equal(b, b2)
+    rng = np.random.Generator(np.random.MT19937(7))
+    M = rng.normal(size=(32, cfg.dim))
+    c1 = ann_l2.cell_codes_batch(M, A, b, cfg.bucket_width, cfg.bands, cfg.rows)
+    c2 = ann_l2.cell_codes_batch(M, A, b, cfg.bucket_width, cfg.bands, cfg.rows)
+    assert np.array_equal(c1, c2)
+    # shift one point along a_0 by exactly w/||a_0||^2 * a_0 → cell 0 moves +1
+    M3 = M.copy()
+    M3[0] += cfg.bucket_width * A[0] / (A[0] @ A[0])
+    c3 = ann_l2.cell_codes_batch(M3, A, b, cfg.bucket_width, cfg.bands, cfg.rows)
+    assert c3[0, 0, 0] == c1[0, 0, 0] + 1
+
+
+def test_fold_cells_band_salted():
+    """Identical cell tuples in different bands must map to different
+    bucket keys (the band-salt of functions.hashing.band_hashes)."""
+    cells = np.zeros((1, 4, 2), dtype=np.int64)
+    codes = ann_l2.fold_cells_batch(cells)
+    assert len(set(codes.ravel().tolist())) == 4
+
+
+def test_radius_schedule_geometric():
+    """Effective window (2r+1)w must grow ~geometrically with factor c."""
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                    window_growth=2.0)
+    radii = ann_l2.radius_schedule(cfg, max_rounds=5)
+    assert radii[0] == 0
+    assert all(b > a for a, b in zip(radii, radii[1:]))
+    eff = [2 * r + 1 for r in radii]
+    for a, b in zip(eff, eff[1:]):
+        assert 1.4 <= b / a <= 3.1  # ~×2 per round, integer-rounded
+
+
+# ---------------------------------------------------------------------------
+# Spark lanes
+# ---------------------------------------------------------------------------
+def test_l2_codes_slim(emb):
+    """Banded table carries only (vec_id, band, band_code) — the slim
+    shuffle discipline shared with the cosine lane."""
+    codes = ann_l2.l2_codes(emb, CFG)
+    assert codes.columns == ["vec_id", "band", "band_code"]
+    n = emb.count()
+    assert codes.count() == n * CFG.bands
+
+
+def test_knn_l2_lsh_equals_bruteforce(emb):
+    """Recall-1 contract on the fixture: E2LSH lane + exact-L2 rerank must
+    equal the brute-force top-k row-for-row (the oracle claim)."""
+    exact = ann_l2.knn_bruteforce_l2(emb, CFG).toPandas()
+    approx = ann_l2.knn_l2_lsh(emb, CFG).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]].values.tolist())
+    )
+    assert key(approx) == key(exact)
+
+
+def test_l2_lanes_no_cartesian(emb):
+    plan = ann_l2.knn_l2_lsh(emb, CFG)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_l2_lsh_prunes_on_clustered_data(spark):
+    """On data with real nearest-neighbor contrast (planted tight clusters)
+    the bucket join must PRUNE — candidate fraction well below 1 — while
+    still finding every within-cluster neighbor. This is the selectivity
+    the isotropic fixture cannot show (rho -> 1 at the noise floor)."""
+    rng = np.random.Generator(np.random.MT19937(3))
+    n_clusters, per, dim = 24, 8, CFG.dim
+    cents = rng.normal(size=(n_clusters, dim)) * 3.0
+    pts = np.repeat(cents, per, axis=0) + rng.normal(
+        size=(n_clusters * per, dim)
+    ) * 0.01
+    pdf = [(int(i), pts[i].astype(float).tolist()) for i in range(len(pts))]
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                    bucket_width=1.0, probe_range=0, k=per - 1, n_queries=8)
+    queries = emb.where(F.col("vec_id") < cfg.n_queries)
+    cand = ann_l2.l2_lsh_candidates_pair(queries, emb, cfg)
+    n_cand = cand.count()
+    frac = n_cand / (cfg.n_queries * (len(pts) - 1))
+    assert frac < 0.5, f"no pruning: candidate fraction {frac}"
+    # every within-cluster neighbor of every query is a candidate
+    got = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    for q in range(cfg.n_queries):
+        cl = q // per
+        for nb in range(cl * per, (cl + 1) * per):
+            if nb != q:
+                assert (q, nb) in got
+
+
+def test_knn_l2_lsh_adaptive_meets_budget(emb):
+    """The budget loop (T = beta*N + k, Query.cpp:76-81): every query must
+    end at/above budget, rounds widen geometrically, and a FULL budget
+    (N-1 — nothing may stop early) reproduces the brute-force top-k."""
+    _, rounds = ann_l2.knn_l2_lsh_adaptive(emb, CFG, budget=50)
+    assert rounds[0]["probe_radius"] == 0
+    assert rounds[-1]["queries_under_budget"] == 0
+    radii = [r["probe_radius"] for r in rounds]
+    assert radii == sorted(radii)
+
+    n = emb.count()
+    topk, rounds_full = ann_l2.knn_l2_lsh_adaptive(emb, CFG, budget=n - 1)
+    assert rounds_full[-1]["queries_under_budget"] == 0
+    exact = ann_l2.knn_bruteforce_l2(emb, CFG).toPandas()
+    approx = topk.toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]].values.tolist())
+    )
+    assert key(approx) == key(exact)
+
+
+def test_knn_l2_lsh_adaptive_budget_zero_stops_immediately(emb):
+    """ADVICE r02: an explicit budget=0 is already satisfied — exactly one
+    round at radius 0, no widening."""
+    _, rounds = ann_l2.knn_l2_lsh_adaptive(emb, CFG, budget=0)
+    assert len(rounds) == 1 and rounds[0]["probe_radius"] == 0
+
+
+def test_l2_recall_row(emb):
+    row = ann_l2.l2_lsh_recall(emb, CFG).first()
+    assert row.avg_recall == 1.0
+    assert row.avg_ratio == 1.0
+    assert bool(row.ratio_sane)
