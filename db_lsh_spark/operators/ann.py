@@ -83,12 +83,16 @@ def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
 
 
 def knn_bruteforce_pair(
-    queries: DataFrame, base: DataFrame, cfg: AnnConfig
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector among the BASE
     vectors — the two-frame form matching the reference's peeled split
-    (queries and base are disjoint sets after ``Preprocess.cpp:75-78``;
-    passing overlapping frames is also fine: a row never matches itself).
+    (queries and base are DISJOINT sets after ``Preprocess.cpp:75-78``,
+    and base ids re-zero: base row q is a different vector from query q
+    and stays eligible, exactly as the reference scans the whole base).
+    ``exclude_self=True`` is for shared-id-space callers only (queries ⊆
+    base, the driver-table convention): it drops neighbor_id == query_id.
 
     Output (query_id, rank, neighbor_id, cosine). The query side is
     broadcast: the base table is scanned once with no shuffle (the
@@ -103,9 +107,11 @@ def knn_bruteforce_pair(
     qs = with_unit_vectors(queries).select(
         F.col("vec_id").alias("query_id"), F.col("_unit").alias("u_q")
     )
+    joined = b.join(F.broadcast(qs))
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     sims = (
-        b.join(F.broadcast(qs))
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        joined
         .select(
             "query_id",
             "neighbor_id",
@@ -121,7 +127,8 @@ def knn_bruteforce(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     vec_ids and every vector (except self) is an eligible neighbor — the
     driver-table convention used by the oracled queries."""
     return knn_bruteforce_pair(
-        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg
+        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg,
+        exclude_self=True,
     )
 
 
@@ -233,42 +240,50 @@ def _rerank_candidates(
 
 
 def lsh_candidates_pair(
-    queries: DataFrame, base: DataFrame, cfg: AnnConfig
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Bucket candidates of each query among the base vectors: distinct
     (query_id, neighbor_id) sharing any (band, band_code) within
     ``cfg.probe_hamming`` bit flips. Multi-probe expansion happens on the
     (tiny) query side only; the banded join shuffles only
-    (vec_id, band, band_code)."""
+    (vec_id, band, band_code). ``exclude_self`` only for shared-id-space
+    callers (see ``knn_bruteforce_pair``)."""
     qs = probe_expand(
         sign_codes(queries, cfg), cfg.rows, cfg.probe_hamming
     ).select(F.col("vec_id").alias("query_id"), "band", "band_code")
     b = sign_codes(base, cfg).select(
         F.col("vec_id").alias("neighbor_id"), "band", "band_code"
     )
+    out = F.broadcast(qs).join(b, ["band", "band_code"])
+    if exclude_self:
+        out = out.where(F.col("neighbor_id") != F.col("query_id"))
     return (
-        F.broadcast(qs).join(b, ["band", "band_code"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
+        out.select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
 
 def knn_lsh_pair(
-    queries: DataFrame, base: DataFrame, cfg: AnnConfig
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """LSH-bucketed ANN in the two-frame (peeled-split) form: bucket
     candidates exact-cosine reranked to top-k. Same output schema as
     ``knn_bruteforce_pair`` — recall vs it is the quality metric
     (reference protocol: RECALL over the query split, ``main.cpp:148``)."""
-    cand = lsh_candidates_pair(queries, base, cfg)
+    cand = lsh_candidates_pair(queries, base, cfg, exclude_self)
     return _rerank_candidates(cand, queries, base, cfg.k)
 
 
 def knn_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     """Single-frame convenience (driver-table convention): queries are the
-    first ``n_queries`` vec_ids, all vectors are eligible neighbors."""
-    return knn_lsh_pair(emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg)
+    first ``n_queries`` vec_ids in a SHARED id space, so a vector is never
+    its own neighbor."""
+    return knn_lsh_pair(
+        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg,
+        exclude_self=True,
+    )
 
 
 def knn_lsh_adaptive(

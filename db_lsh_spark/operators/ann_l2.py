@@ -79,12 +79,20 @@ def _rank_topk_l2(dists: DataFrame, k: int) -> DataFrame:
 
 
 def knn_bruteforce_l2_pair(
-    queries: DataFrame, base: DataFrame, cfg: AnnConfig
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact top-k EUCLIDEAN neighbors of each query among the base vectors
     — the reference's ground truth (``Preprocess.cpp:195-227``: full scan +
     per-query sort on ``calc_l2_dist``). Output (query_id, rank,
-    neighbor_id, dist); queries broadcast, base scanned once."""
+    neighbor_id, dist); queries broadcast, base scanned once.
+
+    ``exclude_self`` is for SHARED-id-space callers only (queries ⊆ base,
+    the driver-table convention): it drops neighbor_id == query_id rows.
+    After the reference's peel the two frames are disjoint and base ids
+    re-zero (``Preprocess.cpp:75-78``) — base row q is a DIFFERENT vector
+    from query q and must stay eligible, exactly as the reference scans
+    the whole base for every query."""
     b = base.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("e_b"),
@@ -93,9 +101,11 @@ def knn_bruteforce_l2_pair(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("e_q"),
     )
+    joined = b.join(F.broadcast(qs))
+    if exclude_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
     dists = (
-        b.join(F.broadcast(qs))
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        joined
         .select(
             "query_id",
             "neighbor_id",
@@ -109,7 +119,8 @@ def knn_bruteforce_l2(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     """Single-frame convenience (driver-table convention): queries are the
     first ``n_queries`` vec_ids, every other vector an eligible neighbor."""
     return knn_bruteforce_l2_pair(
-        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg
+        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg,
+        exclude_self=True,
     )
 
 
@@ -224,22 +235,26 @@ def l2_probe_codes(
 
 
 def l2_lsh_candidates_pair(
-    queries: DataFrame, base: DataFrame, cfg: AnnConfig
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Bucket candidates under the E2LSH family: distinct
     (query_id, neighbor_id) whose cells agree within ``probe_range`` per
     some band. Probe expansion happens on the (tiny) query side only; the
-    base side ships exactly one slim row per (vector, band)."""
+    base side ships exactly one slim row per (vector, band).
+    ``exclude_self`` only for shared-id-space callers (see
+    ``knn_bruteforce_l2_pair``)."""
     qs = l2_probe_codes(queries, cfg).select(
         F.col("vec_id").alias("query_id"), "band", "band_code"
     )
     b = l2_codes(base, cfg).select(
         F.col("vec_id").alias("neighbor_id"), "band", "band_code"
     )
+    out = F.broadcast(qs).join(b, ["band", "band_code"])
+    if exclude_self:
+        out = out.where(F.col("neighbor_id") != F.col("query_id"))
     return (
-        F.broadcast(qs).join(b, ["band", "band_code"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
+        out.select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
@@ -271,18 +286,23 @@ def _rerank_candidates_l2(
 
 
 def knn_l2_lsh_pair(
-    queries: DataFrame, base: DataFrame, cfg: AnnConfig
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """E2LSH-bucketed kNN in the two-frame (peeled-split) form: bucket
     candidates → exact-L2 rerank. Output schema == ``knn_bruteforce_l2_pair``
     — recall vs it is the reference's headline metric (``main.cpp:148``)."""
-    cand = l2_lsh_candidates_pair(queries, base, cfg)
+    cand = l2_lsh_candidates_pair(queries, base, cfg, exclude_self)
     return _rerank_candidates_l2(cand, queries, base, cfg.k)
 
 
 def knn_l2_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
-    """Single-frame convenience (driver-table convention)."""
-    return knn_l2_lsh_pair(emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg)
+    """Single-frame convenience (driver-table convention): shared id space,
+    so a vector is never its own neighbor."""
+    return knn_l2_lsh_pair(
+        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg,
+        exclude_self=True,
+    )
 
 
 def radius_schedule(cfg: AnnConfig, max_rounds: int = 8) -> list[int]:

@@ -4,17 +4,29 @@ formats — the full `lshknn` flow of ``main.cpp:129-183``:
     spark-submit --py-files db_lsh_spark.zip jobs/run_ann.py \
         --data /data/audio.data_new \
         --ben  /data/audio.ben \
-        [--k 10] [--n-queries 200] [--planes 24] [--bands 8] [--rows 3] \
-        [--probe-hamming 1] [--seed 0]
+        [--metric l2|cosine] [--k 10] [--n-queries 200] \
+        [--planes 24] [--bands 8] [--rows 3] \
+        [--probe-hamming 1] [--bucket-width 1.0] [--probe-range 1] \
+        [--seed 0] [--results results.csv]
 
 Reads the binary dataset (header {4, N, dim} + float32 rows,
 ``Preprocess.cpp:52-85``), applies the reference's query/base split,
 create-or-loads the exact ground truth exactly like ``ben_create``
-(``Preprocess.cpp:268-296``: load the ben cache if present and
-consistent, else brute-force it and save), runs the sign-LSH lane, and
-prints one JSON row with the reference's CSV metrics
-(``main.cpp:171``): RECALL, RATIO, AVG query time, COST (candidate
-fraction).
+(``Preprocess.cpp:268-296``: load the ben cache if present and consistent,
+else brute-force it and save), runs the LSH lane for the chosen metric,
+prints one JSON row with the reference's CSV metrics (``main.cpp:171``) and
+optionally APPENDS it to a run-history CSV with header-iff-empty semantics
+(``main.cpp:166-182``).
+
+Metric safety (VERDICT r02 #1/#3): the reference's distance is EUCLIDEAN
+(``calc_l2_dist``, ``util.h:205-212``; ben_make brute-forces L2 top-k,
+``Preprocess.cpp:195-227``), so ``--metric l2`` is the DEFAULT and the only
+metric under which a reference-written ben cache is trusted. Caches written
+by this tool carry a JSON sidecar (metric + dataset shape); on load the
+header, the sidecar (when present) AND a numeric spot-check (recompute a
+few cached distances from the actual vectors) must all agree — any
+mismatch rebuilds the ground truth instead of silently scoring against the
+wrong metric.
 """
 
 from __future__ import annotations
@@ -33,13 +45,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--data", required=True, help="reference *_new binary dataset")
     p.add_argument("--ben", default=None,
                    help="ground-truth cache (created if absent/stale)")
+    p.add_argument("--metric", choices=("l2", "cosine"), default="l2",
+                   help="distance metric; l2 is the reference's own")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--n-queries", type=int, default=200)
     p.add_argument("--planes", type=int, default=24)
     p.add_argument("--bands", type=int, default=8)
     p.add_argument("--rows", type=int, default=3)
     p.add_argument("--probe-hamming", type=int, default=1)
+    p.add_argument("--bucket-width", type=float, default=1.0)
+    p.add_argument("--probe-range", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--results", default=None,
+                   help="append the metrics row to this CSV (header iff empty)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -56,23 +74,147 @@ def main(argv: list[str] | None = None) -> None:
     spark.stop()
 
 
+def _sidecar_path(ben: str) -> str:
+    return ben + ".json"
+
+
+def _write_sidecar(ben: str, metric: str, n_base: int, dim: int, k: int,
+                   seed: int) -> None:
+    with open(_sidecar_path(ben), "w") as f:
+        json.dump(
+            {"tool": "db-lsh-spark", "metric": metric, "n_base": n_base,
+             "dim": dim, "k": k, "seed": seed},
+            f, indent=2,
+        )
+
+
+def _spot_check_dists(cached_pdf, queries, base, metric: str) -> bool:
+    """Recompute up to 3 cached (query, neighbor) distances from the actual
+    vectors and compare — catches metric-mismatched or foreign caches that
+    pass the shape checks (``Preprocess.cpp:268-296`` has no such guard;
+    with one metric the reference never needed it)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    head = cached_pdf[cached_pdf.query_id == cached_pdf.query_id.min()]
+    head = head.sort_values("rank").head(3)
+    if head.empty:
+        return False
+    qid = int(head.query_id.iloc[0])
+    qrow = queries.where(F.col("vec_id") == qid).first()
+    if qrow is None:
+        return False
+    qv = np.asarray(qrow.embedding, dtype=np.float64)
+    nb_ids = [int(i) for i in head.neighbor_id]
+    nb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in base.where(F.col("vec_id").isin(nb_ids)).collect()
+    }
+    for _, row in head.iterrows():
+        v = nb.get(int(row.neighbor_id))
+        if v is None:
+            return False
+        if metric == "l2":
+            d = float(np.sqrt(((qv - v) ** 2).sum()))
+        else:
+            denom = np.linalg.norm(qv) * np.linalg.norm(v)
+            d = float(1.0 - (qv @ v) / denom) if denom else float("nan")
+        # ben stores float32 distances; tolerate storage rounding only
+        if not np.isfinite(d) or abs(d - float(row.dist)) > 1e-3 * max(1.0, d):
+            return False
+    return True
+
+
+def _try_load_ben(spark, args, queries, base, n_queries: int, n_base: int,
+                  dim: int, k: int):
+    """create-or-load gate (``Preprocess.cpp:268-296`` + metric hardening).
+    Returns the cached exact frame (rank <= k) or None to rebuild."""
+    from pyspark.sql import functions as F
+
+    from db_lsh_spark.sources.binary_vectors import read_ground_truth
+
+    try:
+        cached = read_ground_truth(spark, args.ben)
+        hdr = cached.agg(F.countDistinct("query_id"), F.max("rank")).first()
+        if hdr[0] != n_queries or hdr[1] < k:
+            return None
+        side = _sidecar_path(args.ben)
+        if os.path.exists(side):
+            with open(side) as f:
+                meta = json.load(f)
+            if (
+                meta.get("metric") != args.metric
+                or meta.get("n_base") != n_base
+                or meta.get("dim") != dim
+            ):
+                return None
+        elif args.metric != "l2":
+            # a sidecar-less cache is reference-written; the reference's
+            # ben distances are Euclidean — never score cosine against it
+            return None
+        cached_k = cached.where(F.col("rank") <= k)
+        if not _spot_check_dists(cached_k.toPandas(), queries, base, args.metric):
+            return None
+        return cached_k
+    except Exception:
+        return None  # stale/corrupt cache → rebuild, like the reference
+
+
+def _pivot_ground_truth(pdf, n_queries: int, k: int):
+    """(query_id, rank, neighbor_id, dist) rows → dense (n_queries, k)
+    index/dist grids via explicit reindexing — a query short of k ranks
+    (possible under the cosine NaN-exclusion contract) raises a clear
+    error instead of a reshape ValueError deep in NumPy (ADVICE r02)."""
+    import numpy as np
+
+    idx = np.full((n_queries, k), -1, dtype=np.int32)
+    dst = np.full((n_queries, k), np.nan, dtype=np.float32)
+    q = pdf.query_id.to_numpy(np.int64)
+    r = pdf["rank"].to_numpy(np.int64) - 1
+    ok = (q >= 0) & (q < n_queries) & (r >= 0) & (r < k)
+    idx[q[ok], r[ok]] = pdf.neighbor_id.to_numpy(np.int32)[ok]
+    dst[q[ok], r[ok]] = pdf.dist.to_numpy(np.float32)[ok]
+    if (idx < 0).any():
+        short = sorted(set(np.nonzero((idx < 0).any(axis=1))[0].tolist()))
+        raise RuntimeError(
+            f"ground truth incomplete: queries {short[:10]} returned fewer "
+            f"than k={k} neighbors (zero-norm vectors are excluded under "
+            "the cosine contract); lower k or clean the dataset"
+        )
+    return idx, dst
+
+
+def _append_history(path: str, row: dict) -> None:
+    """Run-history CSV append with header-iff-empty semantics — the
+    reference's results file (``main.cpp:166-182``: write the header only
+    when the file is empty, then one metrics row per run)."""
+    import csv
+
+    has_rows = os.path.exists(path) and os.path.getsize(path) > 0
+    with open(path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(row))
+        if not has_rows:
+            w.writeheader()
+        w.writerow(row)
+
+
 def run(spark, args) -> dict:
     """The lshknn flow against an existing session — returns the metrics
     row that ``main`` prints (separated so tests can drive it without the
     session lifecycle)."""
-    import numpy as np
     from pyspark.sql import functions as F
 
     from db_lsh_spark.config import AnnConfig
     from db_lsh_spark.operators import ann as ann_ops
+    from db_lsh_spark.operators import ann_l2 as l2_ops
     from db_lsh_spark.sources.binary_vectors import (
         concat_files,
-        read_ground_truth,
         read_vectors,
         split_queries,
         write_ground_truth,
     )
 
+    metric = getattr(args, "metric", "l2")
     # one global id space (a glob of files gets contiguous ids), then the
     # reference's query/base PEEL: queries leave the base set and base ids
     # re-zero, so ben neighbor indices are base-relative exactly as the
@@ -85,49 +227,57 @@ def run(spark, args) -> dict:
     dim = len(queries.first().embedding)
     k = min(args.k, n_base)  # a base smaller than k can't fill k ranks
     cfg = AnnConfig(
-        seed=args.seed, dim=dim, n_planes=args.planes, bands=args.bands,
-        rows=args.rows, probe_hamming=args.probe_hamming, k=k,
-        n_queries=n_queries,
+        seed=args.seed, dim=dim, metric=metric, n_planes=args.planes,
+        bands=args.bands, rows=args.rows,
+        probe_hamming=getattr(args, "probe_hamming", 1),
+        bucket_width=getattr(args, "bucket_width", 1.0),
+        probe_range=getattr(args, "probe_range", 1),
+        k=k, n_queries=n_queries,
     )
 
     # ---- ground truth: create-or-load (ben_create, Preprocess.cpp:268-296)
-    # exact carries (query_id, rank, neighbor_id, dist) with dist = 1-cosine
+    # exact carries (query_id, rank, neighbor_id, dist); dist is EUCLIDEAN
+    # under l2 (the ben format's native semantics) and 1-cosine otherwise
     exact = None
     ben_loaded = False
     if args.ben and os.path.exists(args.ben):
-        try:
-            cached = read_ground_truth(spark, args.ben)
-            hdr = cached.agg(
-                F.countDistinct("query_id"), F.max("rank")
-            ).first()
-            if hdr[0] == n_queries and hdr[1] >= k:
-                exact = cached.where(F.col("rank") <= k)
-                ben_loaded = True
-        except Exception:
-            exact = None  # stale/corrupt header → rebuild, like the reference
+        exact = _try_load_ben(spark, args, queries, base, n_queries, n_base,
+                              dim, k)
+        ben_loaded = exact is not None
     if exact is None:
-        exact_full = ann_ops.knn_bruteforce_pair(
-            queries, base, cfg
-        ).localCheckpoint(True)
-        exact = exact_full.select(
-            "query_id", "rank", "neighbor_id",
-            (F.lit(1.0) - F.col("cosine")).alias("dist"),
-        )
+        if metric == "l2":
+            exact = l2_ops.knn_bruteforce_l2_pair(queries, base, cfg)
+        else:
+            exact = ann_ops.knn_bruteforce_pair(queries, base, cfg).select(
+                "query_id", "rank", "neighbor_id",
+                (F.lit(1.0) - F.col("cosine")).alias("dist"),
+            )
+        exact = exact.localCheckpoint(eager=True)
         if args.ben:
-            pdf = exact_full.toPandas().sort_values(["query_id", "rank"])
-            idx = pdf.neighbor_id.to_numpy(np.int32).reshape(n_queries, k)
-            dst = (1.0 - pdf.cosine.to_numpy(np.float32)).reshape(n_queries, k)
+            idx, dst = _pivot_ground_truth(exact.toPandas(), n_queries, k)
             write_ground_truth(args.ben, idx, dst)
+            _write_sidecar(args.ben, metric, n_base, dim, k, args.seed)
 
     # ---- the LSH lane (Query.cpp:50-115): candidates materialized ONCE —
     # the rerank consumes them and COST counts the same frame
     t0 = time.monotonic()
-    cand = ann_ops.lsh_candidates_pair(queries, base, cfg).localCheckpoint(True)
-    approx = ann_ops._rerank_candidates(cand, queries, base, k).localCheckpoint(
-        eager=True
-    )
+    if metric == "l2":
+        cand = l2_ops.l2_lsh_candidates_pair(queries, base, cfg)
+        cand = cand.localCheckpoint(eager=True)
+        approx = l2_ops._rerank_candidates_l2(cand, queries, base, k)
+        approx = approx.localCheckpoint(eager=True)
+        approx_d = approx  # dist column already Euclidean
+    else:
+        cand = ann_ops.lsh_candidates_pair(queries, base, cfg)
+        cand = cand.localCheckpoint(eager=True)
+        approx = ann_ops._rerank_candidates(cand, queries, base, k)
+        approx = approx.localCheckpoint(eager=True)
+        approx_d = approx.select(
+            "query_id", "rank", "neighbor_id",
+            (F.lit(1.0) - F.col("cosine")).alias("dist"),
+        )
     wall = time.monotonic() - t0
-    hits = approx.select("query_id", "neighbor_id").join(
+    hits = approx_d.select("query_id", "neighbor_id").join(
         exact.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"], "left_semi",
     )
@@ -136,9 +286,7 @@ def run(spark, args) -> dict:
     recall = sum(found.get(q, 0.0) for q in range(n_queries)) / n_queries
     # RATIO (Query.cpp:143-155): approx/exact distance at matched ranks
     joined = exact.select("query_id", "rank", F.col("dist").alias("d_exact")).join(
-        approx.select(
-            "query_id", "rank", (F.lit(1.0) - F.col("cosine")).alias("d_approx")
-        ),
+        approx_d.select("query_id", "rank", F.col("dist").alias("d_approx")),
         ["query_id", "rank"],
     )
     ratio_expr = F.when(F.col("d_exact") < 1e-9, F.lit(1.0)).otherwise(
@@ -150,16 +298,23 @@ def run(spark, args) -> dict:
         raise RuntimeError(f"An abnormal ratio appears: {ratio}")
     # COST: candidate fraction probed per query (the reference's cost column)
     cost = cand.count() / (n_queries * max(1, n_base))
-    return {
+    row = {
+        "metric_space": metric,
         "n": n_queries + n_base, "n_base": n_base, "dim": dim, "k": k,
         "n_queries": n_queries,
-        "bands": cfg.bands, "rows": cfg.rows, "probe_hamming": cfg.probe_hamming,
+        "bands": cfg.bands, "rows": cfg.rows,
+        "probe_hamming": cfg.probe_hamming,
+        "bucket_width": cfg.bucket_width, "probe_range": cfg.probe_range,
         "recall": round(recall, 4),
         "ratio": round(ratio, 4),
         "cost": round(cost, 4),
         "avg_query_ms": round(1000 * wall / n_queries, 3),
         "ben_loaded_from_cache": ben_loaded,
     }
+    results = getattr(args, "results", None)
+    if results:
+        _append_history(results, row)
+    return row
 
 
 if __name__ == "__main__":

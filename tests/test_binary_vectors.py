@@ -108,8 +108,9 @@ def test_run_ann_entry_create_then_load(spark, tmp_path):
     ben = str(tmp_path / "synth.ben")
     write_vectors(data, rng.normal(size=(300, 16)).astype(np.float32))
     args = argparse.Namespace(
-        data=data, ben=ben, k=5, n_queries=20, planes=24, bands=8, rows=3,
-        probe_hamming=1, seed=0,
+        data=data, ben=ben, metric="cosine", k=5, n_queries=20, planes=24,
+        bands=8, rows=3, probe_hamming=1, bucket_width=1.0, probe_range=1,
+        seed=0, results=None,
     )
     first = mod.run(spark, args)
     assert not first["ben_loaded_from_cache"] and os.path.exists(ben)

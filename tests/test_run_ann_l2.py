@@ -1,0 +1,149 @@
+"""run_ann metric safety + run-history tests (VERDICT r02 items 1/3/9):
+the lshknn entry must score L2 ground truth with L2 results, trust a
+reference-written ben cache ONLY under --metric l2, rebuild on any
+metric/dataset mismatch, and append a run-history CSV row per run with
+header-iff-empty semantics (``main.cpp:166-182``)."""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+
+import numpy as np
+import pytest
+
+from db_lsh_spark.sources.binary_vectors import (
+    write_ground_truth,
+    write_vectors,
+)
+
+
+@pytest.fixture(scope="module")
+def run_ann():
+    spec = importlib.util.spec_from_file_location(
+        "run_ann", os.path.join(os.path.dirname(__file__), "..", "jobs", "run_ann.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _args(data, ben, metric="l2", **kw):
+    base = dict(
+        data=data, ben=ben, metric=metric, k=5, n_queries=20, planes=16,
+        bands=8, rows=2, probe_hamming=1, bucket_width=1.0, probe_range=1,
+        seed=0, results=None,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("l2ds")
+    rng = np.random.default_rng(11)
+    M = rng.normal(size=(260, 16)).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    path = str(d / "synth.data_new")
+    write_vectors(path, M)
+    return path, M
+
+
+def _reference_ben(path: str, M: np.ndarray, n_queries: int, k: int) -> None:
+    """Write a ben cache EXACTLY as the C++ reference would (ben_make +
+    ben_save, Preprocess.cpp:195-246): L2-nearest base indices + Euclidean
+    float32 distances, no sidecar."""
+    queries, base = M[:n_queries], M[n_queries:]
+    idx = np.zeros((n_queries, k), dtype=np.int32)
+    dst = np.zeros((n_queries, k), dtype=np.float32)
+    for q in range(n_queries):
+        d = np.sqrt(((base.astype(np.float64) - queries[q]) ** 2).sum(1))
+        order = np.lexsort((np.arange(len(base)), np.round(d, 6)))[:k]
+        idx[q], dst[q] = order, d[order]
+    write_ground_truth(path, idx, dst)
+
+
+def test_l2_run_create_then_load(spark, run_ann, dataset, tmp_path):
+    """L2 flow: first run brute-forces L2 + saves ben + sidecar; second run
+    loads it; recall/ratio 1.0 at this config in both."""
+    data, _ = dataset
+    ben = str(tmp_path / "own.ben")
+    first = run_ann.run(spark, _args(data, ben))
+    assert first["metric_space"] == "l2"
+    assert not first["ben_loaded_from_cache"]
+    assert os.path.exists(ben) and os.path.exists(ben + ".json")
+    side = json.load(open(ben + ".json"))
+    assert side["metric"] == "l2" and side["dim"] == 16
+    second = run_ann.run(spark, _args(data, ben))
+    assert second["ben_loaded_from_cache"]
+    for key in ("recall", "ratio", "cost", "n", "dim"):
+        assert first[key] == second[key], key
+    assert first["recall"] == 1.0 and first["ratio"] == 1.0
+
+
+def test_reference_written_ben_loads_under_l2(spark, run_ann, dataset, tmp_path):
+    """A sidecar-less cache with true Euclidean distances (what the C++
+    reference writes) must be TRUSTED under --metric l2 and validate
+    recall 1.0 against the Spark lane."""
+    data, M = dataset
+    ben = str(tmp_path / "ref.ben")
+    _reference_ben(ben, M, n_queries=20, k=5)
+    out = run_ann.run(spark, _args(data, ben))
+    assert out["ben_loaded_from_cache"], "reference L2 cache must be trusted"
+    assert out["recall"] == 1.0 and out["ratio"] == 1.0
+
+
+def test_reference_ben_rejected_under_cosine(spark, run_ann, dataset, tmp_path):
+    """The r02 trap: scoring cosine results against a reference (L2) ben
+    cache. The sidecar-less cache must be REBUILT, not trusted — and the
+    rebuilt sidecar records metric=cosine."""
+    data, M = dataset
+    ben = str(tmp_path / "trap.ben")
+    _reference_ben(ben, M, n_queries=20, k=5)
+    out = run_ann.run(spark, _args(data, ben, metric="cosine",
+                                   planes=24, rows=3))
+    assert not out["ben_loaded_from_cache"]
+    assert json.load(open(ben + ".json"))["metric"] == "cosine"
+
+
+def test_sidecar_metric_mismatch_rebuilds(spark, run_ann, dataset, tmp_path):
+    """A cache whose sidecar declares the OTHER metric is rebuilt even
+    though its header shape matches."""
+    data, _ = dataset
+    ben = str(tmp_path / "side.ben")
+    first = run_ann.run(spark, _args(data, ben))  # l2 cache + sidecar
+    assert os.path.exists(ben)
+    out = run_ann.run(spark, _args(data, ben, metric="cosine",
+                                   planes=24, rows=3))
+    assert not out["ben_loaded_from_cache"]
+    assert first["recall"] == 1.0 and out["recall"] == 1.0
+
+
+def test_foreign_dataset_cache_rebuilt(spark, run_ann, dataset, tmp_path):
+    """A cache built from a DIFFERENT dataset with the same shape passes the
+    header check but fails the numeric spot-check → rebuilt (the r02
+    'format feature becomes correctness trap' fix)."""
+    data, M = dataset
+    rng = np.random.default_rng(99)
+    other = rng.normal(size=M.shape).astype(np.float32)
+    ben = str(tmp_path / "foreign.ben")
+    _reference_ben(ben, other, n_queries=20, k=5)
+    out = run_ann.run(spark, _args(data, ben))
+    assert not out["ben_loaded_from_cache"]
+    assert out["recall"] == 1.0
+
+
+def test_results_csv_header_iff_empty(spark, run_ann, dataset, tmp_path):
+    """Run-history semantics of main.cpp:166-182: header written once, one
+    row appended per run."""
+    data, _ = dataset
+    ben = str(tmp_path / "hist.ben")
+    csv_path = str(tmp_path / "results.csv")
+    run_ann.run(spark, _args(data, ben, results=csv_path))
+    run_ann.run(spark, _args(data, ben, results=csv_path))
+    lines = open(csv_path).read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 rows
+    assert lines[0].startswith("metric_space,")
+    assert lines[1].split(",")[0] == "l2"
