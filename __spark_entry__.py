@@ -127,6 +127,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return binary_payload_stats(_docs(s, d))
 
     q["doc_payload_stats"] = _payload_stats
+
+    # the 1→N media stage oracled end-to-end: a deterministic video table
+    # derived from documents (payload = utf-8 bytes, n_frames = doc_id%8+4)
+    # runs through the REAL frame_sample mapInPandas plumbing (fake decode,
+    # real batch shapes); sampled frame indices are a pure function of
+    # (n_frames, every_n) the oracle reproduces with range()
+    def _media_frames(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.multimodal import frame_sample
+
+        media = _docs(s, d).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.struct(
+                F.lit(4).cast("int").alias("width"),
+                F.lit(4).cast("int").alias("height"),
+                F.lit(1).cast("int").alias("channels"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                ((F.col("doc_id") % 8) + 4).cast("int").alias("n_frames"),
+                F.lit("fake-video").alias("codec"),
+            ).alias("meta"),
+        )
+        return frame_sample(media, every_n=2).select(
+            "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+        )
+
+    q["media_frame_sample"] = _media_frames
     q["doc_near_dup_pairs"] = lambda s, d: text_ops.near_dup_pairs_exact(
         _docs(s, d), SHINGLE_K, NEAR_DUP_THRESHOLD
     )
@@ -583,6 +610,11 @@ def oracle_sql() -> dict[str, str]:
                -- duckdb's sha256 takes VARCHAR and hashes its UTF-8 bytes:
                -- byte-identical input to spark's sha2 over the binary payload
                sha256(text) AS payload_sha256
+        FROM documents
+    """
+    sql["media_frame_sample"] = """
+        SELECT doc_id AS media_id,
+               unnest(range(0, (doc_id % 8) + 4, 2))::BIGINT AS frame_idx
         FROM documents
     """
     sql["tpch_rollup_revenue"] = """

@@ -58,6 +58,13 @@ class DedupConfig:
     salt_buckets: int = 32       # sub-buckets for the salted two-phase cap
     max_content_chars: int = 200_000  # cap for suffix-array verification
     lcs_min_len: int = 64        # substring-evidence threshold (chars)
+    use_simhash_prefilter: bool = False  # drop candidate pairs with SimHash
+    #                              Hamming > simhash_max_hamming before the
+    #                              content verify (SURVEY F6 popcount lane;
+    #                              pure JVM bit_count — cheap, but lossy in
+    #                              principle, so opt-in)
+    simhash_max_hamming: int = 16    # loose: keeps all Jaccard>=0.8 pairs
+    #                              on the fixtures (validated in tests)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows != self.num_perm:

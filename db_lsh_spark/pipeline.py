@@ -122,15 +122,27 @@ def run_dedup(
     pairs_cand = gate("pairs", build_pairs)
 
     def build_verified() -> DataFrame:
+        cand = pairs_cand
+        if cfg.use_simhash_prefilter:
+            # cheap JVM popcount gate BEFORE any content is fetched: pairs
+            # whose 64-bit SimHash fingerprints differ in more than
+            # simhash_max_hamming bits skip the expensive verify entirely.
+            # Runs inside the verify stage builder so the pairs checkpoint
+            # (and resume) is independent of the flag.
+            from db_lsh_spark.operators.candidates import simhash_prefilter
+
+            cand = simhash_prefilter(
+                cand, signatures, cfg.simhash_max_hamming
+            ).select("id_a", "id_b")
         cand_ids = (
-            pairs_cand.select(F.col("id_a").alias("file_id"))
-            .unionByName(pairs_cand.select(F.col("id_b").alias("file_id")))
+            cand.select(F.col("id_a").alias("file_id"))
+            .unionByName(cand.select(F.col("id_b").alias("file_id")))
             .distinct()
         )
         needed = fi_slim.select("file_id", "content").join(
             cand_ids, "file_id", "left_semi"
         )
-        return verify_pairs(pairs_cand, needed, cfg, with_lcs=with_lcs)
+        return verify_pairs(cand, needed, cfg, with_lcs=with_lcs)
 
     verified = gate("verified", build_verified)
 

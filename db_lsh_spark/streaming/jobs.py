@@ -118,8 +118,15 @@ def incremental_dedup_query(
             )
         )
         verified = verify_pairs(cand, contents, cfg, with_lcs=False)
+        # IDEMPOTENT sink: foreachBatch is at-least-once (a crash between
+        # the sink write and the checkpoint commit replays the batch with
+        # the SAME batch_id), so each batch overwrites its own
+        # deterministic directory — replay rewrites identical rows instead
+        # of appending duplicates. Combined with the offset checkpoint this
+        # yields exactly-once pair output across restarts (north_rule:
+        # resume from checkpoint mid-run).
         (verified.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(out_dir))
+         .write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}"))
 
     return (
         doc_stream.writeStream.foreachBatch(process_batch)

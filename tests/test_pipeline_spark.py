@@ -143,6 +143,27 @@ def test_simhash_prefilter_keeps_true_pairs(spark, fixture_small, dedup_cfg):
     assert not lost, f"simhash prefilter dropped true pairs: {sorted(lost)[:5]}"
 
 
+def test_pipeline_simhash_prefilter_flag_preserves_output(
+    spark, fixture_small, dedup_cfg, spark_out
+):
+    """VERDICT r02 #6: with ``use_simhash_prefilter=True`` the full pipeline
+    must emit the SAME verified pair set and cluster assignment at the
+    default threshold — the popcount gate only skips pairs the content
+    verify would reject anyway."""
+    from dataclasses import replace
+
+    _, clusters_off, pairs_off = spark_out
+    cfg_on = replace(dedup_cfg, use_simhash_prefilter=True)
+    files = spark.createDataFrame(fixture_small.files)
+    out_on = run_dedup(spark, files, cfg_on, with_lcs=True)
+    pairs_on = out_on.pairs.toPandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.jaccard.round(6)))
+    assert key(pairs_on) == key(pairs_off)
+    clusters_on = out_on.clusters.toPandas()
+    m = clusters_on.merge(clusters_off, on="file_id", suffixes=("_on", "_off"))
+    assert (m.cluster_id_on == m.cluster_id_off).all()
+
+
 def test_widening_monotone_and_budgeted(spark, dedup_cfg):
     """Widening rounds only ever add candidates and stop at the budget
     (monotonicity + budget adherence, SURVEY §5.2)."""
