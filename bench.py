@@ -70,7 +70,10 @@ def main() -> None:
         "doc_stats",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
+        "emb_knn_l2",
+        "emb_knn_l2_lsh",
         "emb_near_dup_pairs_lsh",
+        "media_frame_sample",
         "tpch_q1",
         "tpch_topk_orders_per_cust",
         "tpch_nation_revenue",

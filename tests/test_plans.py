@@ -120,6 +120,8 @@ def test_no_cartesian_in_any_driver_query(spark):
         "emb_knn_lsh",          # rerank broadcasts the tiny query-unit table
         "emb_lsh_recall",       # composes both lanes above
         "emb_near_dup_pairs",   # the brute-force pair oracle
+        "emb_knn_l2",           # L2 ground truth: same query-broadcast shape
+        "emb_l2_recall",        # composes the L2 brute force + LSH lane
     }
     offenders = []
     for name, fn in entrymod.queries().items():

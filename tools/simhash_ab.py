@@ -1,0 +1,88 @@
+"""A/B of the SimHash popcount prefilter (VERDICT r02 #6): run the full
+dedup pipeline with ``use_simhash_prefilter`` off vs on over the same
+synthetic files table, assert output equivalence, and record the
+end-to-end + verify-stage deltas to BENCH/simhash_ab.json.
+
+    python tools/simhash_ab.py [n_files]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from dataclasses import replace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from db_lsh_spark.config import DedupConfig  # noqa: E402
+from db_lsh_spark.pipeline import run_dedup  # noqa: E402
+from db_lsh_spark.session import get_spark  # noqa: E402
+from db_lsh_spark.sources.synth import write_files_only  # noqa: E402
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    fixture = f"/tmp/bench_fixture_{n_files}"
+    if not os.path.exists(f"{fixture}/files.parquet"):
+        write_files_only(n_files, fixture)
+
+    spark = get_spark(app_name="simhash-ab", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    files = spark.read.parquet(f"{fixture}/files.parquet")
+
+    results = {}
+    pair_counts = {}
+    # warmup (worker fork + JIT), then interleaved A/B so bursty host noise
+    # hits both arms: off, on, off, on — best-of-2 per arm
+    base_cfg = DedupConfig()
+    run_dedup(spark, files.limit(4000), base_cfg, checkpoint_root=None,
+              with_lcs=False).clusters.count()
+    for arm_name, arm_cfg in (
+        ("prefilter_off", base_cfg),
+        ("prefilter_on", replace(base_cfg, use_simhash_prefilter=True)),
+    ):
+        results[arm_name] = []
+    for _ in range(2):
+        for arm_name, arm_cfg in (
+            ("prefilter_off", base_cfg),
+            ("prefilter_on", replace(base_cfg, use_simhash_prefilter=True)),
+        ):
+            t0 = time.monotonic()
+            out = run_dedup(spark, files, arm_cfg, checkpoint_root=None,
+                            with_lcs=False)
+            n_pairs = out.pairs.count()
+            wall = time.monotonic() - t0
+            results[arm_name].append(round(wall, 2))
+            pair_counts[arm_name] = n_pairs
+            print(json.dumps({"arm": arm_name, "wall_sec": round(wall, 2),
+                              "verified_pairs": n_pairs}))
+    spark.stop()
+
+    best_off = min(results["prefilter_off"])
+    best_on = min(results["prefilter_on"])
+    doc = {
+        "n_files": n_files,
+        "cpus": cpus,
+        "runs": results,
+        "best_wall_off": best_off,
+        "best_wall_on": best_on,
+        "speedup_on_vs_off": round(best_off / best_on, 3),
+        "verified_pairs_off": pair_counts["prefilter_off"],
+        "verified_pairs_on": pair_counts["prefilter_on"],
+        "output_equal": pair_counts["prefilter_off"] == pair_counts["prefilter_on"],
+        "note": "pair-set equality is additionally proven row-for-row by "
+                "tests/test_pipeline_spark.py::"
+                "test_pipeline_simhash_prefilter_flag_preserves_output",
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/simhash_ab.json", "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,41 @@ def main() -> None:
                 }
             )
             print(json.dumps(ann_rows[-1]))
+    # ---- L2 E2LSH lane sweep (the reference's OWN metric and hash family):
+    # window width w × probe radius — the literal w/c knobs
+    # (dblsh.cpp:53-99; Query.cpp:20). RECALL/RATIO per config plus COST
+    # (candidate fraction), the reference's CSV columns (main.cpp:171).
+    from pyspark.sql import functions as F
+
+    from db_lsh_spark.operators import ann_l2
+
+    n_emb = emb.count()
+    l2_rows = []
+    for w in (0.5, 1.0, 2.0):
+        for probe in (0, 1):
+            cfg = AnnConfig(
+                metric="l2", n_planes=16, bands=8, rows=2,
+                bucket_width=w, probe_range=probe, k=10, n_queries=20,
+            )
+            t0 = time.monotonic()
+            m = ann_l2.l2_lsh_recall(emb, cfg).first()
+            cand = ann_l2.l2_lsh_candidates_pair(
+                emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg,
+                exclude_self=True,
+            ).count()
+            wall = time.monotonic() - t0
+            l2_rows.append(
+                {
+                    "bucket_width": w, "probe_range": probe,
+                    "avg_recall": float(m.avg_recall),
+                    "avg_ratio": float(m.avg_ratio),
+                    "ratio_sane": bool(m.ratio_sane),
+                    "cost": round(cand / (cfg.n_queries * (n_emb - 1)), 4),
+                    "wall_sec": round(wall, 2),
+                }
+            )
+            print(json.dumps(l2_rows[-1]))
+
     # ---- k-sweep with result reuse (expe_k, main.cpp:185-241): one run at
     # k=max, re-scored per k from the same materialized buffers
     kcfg = AnnConfig(k=10, n_queries=20)
@@ -111,7 +146,7 @@ def main() -> None:
     with open("BENCH/sweep.json", "w") as f:
         json.dump(
             {"n_files": n_files, "grid": rows_out, "ann_grid": ann_rows,
-             "k_sweep": k_rows},
+             "l2_grid": l2_rows, "k_sweep": k_rows},
             f,
             indent=2,
         )
