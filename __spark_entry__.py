@@ -215,6 +215,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), ANN_CFG_L2
     )
 
+    # the reference's actual query primitive: (R, c)-near-neighbor search —
+    # all neighbors within L2 radius 1.25 of each query, E2LSH candidates +
+    # exact filter, oracled by the brute-force SQL (recall-1 contract)
+    def _l2_range(s: SparkSession, d: str) -> DataFrame:
+        emb = _emb(s, d)
+        return ann_l2_ops.l2_range_neighbors(
+            emb.where(F.col("vec_id") < ANN_CFG_L2.n_queries), emb,
+            ANN_CFG_L2, radius=1.25, exclude_self=True,
+        )
+
+    q["emb_l2_range"] = _l2_range
+
     q["emb_near_dup_pairs"] = lambda s, d: ann_ops.cosine_near_dup_pairs(
         _emb(s, d), 0.45
     )
@@ -551,6 +563,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(1.0 AS DOUBLE) AS avg_recall,
                CAST(1.0 AS DOUBLE) AS avg_ratio,
                TRUE AS ratio_sane
+    """
+    # (R, c)-NN radius search at R=1.25 — brute-force twin; the LSH lane
+    # must equal it (recall-1 at this config, verified at both sf fixtures)
+    sql["emb_l2_range"] = """
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(sqrt(list_aggregate(
+                   list_transform(
+                       list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])),
+                   'sum')), 6) AS dist
+        FROM embeddings q JOIN embeddings b ON b.vec_id != q.vec_id
+        WHERE q.vec_id < 20
+          AND round(sqrt(list_aggregate(
+                  list_transform(
+                      list_zip(q.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                      p -> (p[1] - p[2]) * (p[1] - p[2])),
+                  'sum')), 6) <= 1.25
     """
     sql["emb_near_dup_pairs"] = """
         WITH u AS (

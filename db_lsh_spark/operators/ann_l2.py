@@ -305,6 +305,41 @@ def knn_l2_lsh(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     )
 
 
+def l2_range_neighbors(
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig, radius: float,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """(R, c)-near-neighbor search — the reference's actual query PRIMITIVE:
+    DB-LSH answers c-ANN by solving (R, c)-NN at a geometric schedule of
+    radii (R_min bootstrap ``basis.cpp:100-123``; the widening window IS
+    the growing R, ``Query.cpp:86-100``). Here one radius is answered
+    directly: bucket candidates (E2LSH, query-side multi-probe) → exact-L2
+    filter dist <= radius.
+
+    Output (query_id, neighbor_id, dist), dist rounded 1e-6 BEFORE the
+    threshold (cross-engine boundary contract). Approximate by LSH nature:
+    equality with the brute-force oracle holds iff every true R-neighbor
+    is a bucket candidate — the recall-1 configuration claim, verified
+    per fixture like every other LSH lane."""
+    cand = l2_lsh_candidates_pair(queries, base, cfg, exclude_self)
+    eq = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("e_q")
+    )
+    eb = base.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("e_b")
+    )
+    return (
+        cand.join(eb, "neighbor_id")
+        .join(F.broadcast(eq), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_l2_dist(F.col("e_q"), F.col("e_b")), 6).alias("dist"),
+        )
+        .where(F.col("dist") <= radius)
+    )
+
+
 def radius_schedule(cfg: AnnConfig, max_rounds: int = 8) -> list[int]:
     """Per-round probe radii following the reference's geometric window
     growth (``Query.cpp:20``: w_t = c^t · w): the effective window of

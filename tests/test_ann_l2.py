@@ -135,6 +135,30 @@ def test_l2_lsh_prunes_on_clustered_data(spark):
                 assert (q, nb) in got
 
 
+def test_l2_range_neighbors_equals_bruteforce(emb, spark):
+    """(R, c)-NN primitive: the E2LSH range lane must equal the exact
+    radius filter at the fixture config (recall-1 contract), and every
+    returned dist must respect the radius."""
+    radius = 1.25
+    got = ann_l2.l2_range_neighbors(
+        emb.where(F.col("vec_id") < CFG.n_queries), emb, CFG, radius,
+        exclude_self=True,
+    ).toPandas()
+    assert (got.dist <= radius).all()
+    import pandas as pd
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    X = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    D = np.sqrt(((X[: CFG.n_queries, None, :] - X[None, :, :]) ** 2).sum(-1))
+    want = {
+        (q, nb)
+        for q in range(CFG.n_queries)
+        for nb in np.nonzero(np.round(D[q], 6) <= radius)[0]
+        if nb != q
+    }
+    assert {(int(a), int(b)) for a, b in zip(got.query_id, got.neighbor_id)} == want
+
+
 def test_knn_l2_lsh_adaptive_meets_budget(emb):
     """The budget loop (T = beta*N + k, Query.cpp:76-81): every query must
     end at/above budget, rounds widen geometrically, and a FULL budget
