@@ -127,6 +127,11 @@ class AnnConfig:
             raise ValueError(f"unknown metric {self.metric!r}")
         if self.bucket_width <= 0:
             raise ValueError("bucket_width must be positive")
+        if self.probe_range < 0 or self.probe_hamming < 0:
+            # a negative probe radius would silently enumerate ZERO probe
+            # cells and make every LSH lane return empty frames (recall 0
+            # with no error)
+            raise ValueError("probe_range/probe_hamming must be >= 0")
 
     def candidate_budget(self, n: int) -> int:
         """T = beta*N + k — the reference's per-query candidate budget

@@ -340,15 +340,32 @@ def l2_range_neighbors(
     )
 
 
+# bound on probe cells enumerated per band per round: the ring between
+# radii lo and hi has (2hi+1)^rows - (2lo+1)^rows offsets, and the geometric
+# schedule reaches radii where that explodes (255^3 tuples); rounds whose
+# ring would exceed this are not attempted — at that point the effective
+# window already covers essentially the whole keyspace and further widening
+# cannot add recall worth the cost (the reference likewise caps its rounds,
+# Query.cpp:86: 30-round cap)
+MAX_PROBES_PER_BAND = 4096
+
+
 def radius_schedule(cfg: AnnConfig, max_rounds: int = 8) -> list[int]:
     """Per-round probe radii following the reference's geometric window
     growth (``Query.cpp:20``: w_t = c^t · w): the effective window of
     radius r is (2r+1)·w, so each round's radius solves
-    2·r_t+1 ≈ c·(2·r_{t-1}+1), with a floor of +1 so every round widens."""
+    2·r_t+1 ≈ c·(2·r_{t-1}+1), with a floor of +1 so every round widens.
+    Radii whose probe RING would exceed ``MAX_PROBES_PER_BAND`` offsets are
+    dropped (driver-side tuple enumeration and the probe broadcast both
+    scale with the ring size)."""
     radii, r = [0], 0
     c = cfg.window_growth
     for _ in range(max_rounds - 1):
-        r = max(r + 1, int(round((c * (2 * r + 1) - 1) / 2)))
+        nxt = max(r + 1, int(round((c * (2 * r + 1) - 1) / 2)))
+        ring = (2 * nxt + 1) ** cfg.rows - (2 * r + 1) ** cfg.rows
+        if ring > MAX_PROBES_PER_BAND:
+            break
+        r = nxt
         radii.append(r)
     return radii
 
@@ -377,6 +394,7 @@ def knn_l2_lsh_adaptive(
     rounds: list[dict] = []
     radii = radius_schedule(cfg)
     prev_r = -1
+    prev_total = -1
     for t, r in enumerate(radii):
         probe_src = queries if pending_df is None else queries.join(
             pending_df, queries.vec_id == pending_df.query_id, "left_semi"
@@ -409,8 +427,12 @@ def knn_l2_lsh_adaptive(
                 "queries_under_budget": len(pending),
             }
         )
-        if not pending:
+        total = int(sum(counts.values()))
+        if not pending or total == prev_total:
+            # budget met everywhere, or the widened ring added nothing —
+            # further rounds cannot change the candidate set
             break
+        prev_total = total
         prev_r = r
         pending_df = cand.sparkSession.createDataFrame(
             [(int(q),) for q in pending], "query_id long"

@@ -127,8 +127,11 @@ def run_dedup(
             # cheap JVM popcount gate BEFORE any content is fetched: pairs
             # whose 64-bit SimHash fingerprints differ in more than
             # simhash_max_hamming bits skip the expensive verify entirely.
-            # Runs inside the verify stage builder so the pairs checkpoint
-            # (and resume) is independent of the flag.
+            # Runs inside the verify stage builder so the PAIRS DATA is
+            # identical either way; note that toggling the flag still
+            # changes cfg.fingerprint() and therefore invalidates existing
+            # checkpoints (any config change does — the stale-check
+            # contract), so flip it before the first run, not mid-resume.
             from db_lsh_spark.operators.candidates import simhash_prefilter
 
             cand = simhash_prefilter(

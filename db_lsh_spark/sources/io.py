@@ -137,9 +137,17 @@ class StageStore:
         base = os.path.join(self.root, "stage_metrics")
         stage_dirs = sorted(
             os.path.join(base, d)
-            for d in os.listdir(base)
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
             if os.path.isdir(os.path.join(base, d))
         )
+        if not stage_dirs:
+            # nothing written in the per-stage layout yet (fresh store, or a
+            # legacy flat-file root where every stage resumed) — an empty
+            # lineage frame, not a read error
+            return spark.createDataFrame(
+                [], "partition_id int, rows_out long, stage string, "
+                    "fingerprint string"
+            )
         return (
             spark.read.option("recursiveFileLookup", "true").parquet(*stage_dirs)
         )

@@ -124,7 +124,12 @@ def incremental_dedup_query(
         # deterministic directory — replay rewrites identical rows instead
         # of appending duplicates. Combined with the offset checkpoint this
         # yields exactly-once pair output across restarts (north_rule:
-        # resume from checkpoint mid-run).
+        # resume from checkpoint mid-run). Contract scope: replays must see
+        # the same source file layout (the file source's batch->files
+        # mapping is what makes batch directories deterministic); if the
+        # landing zone is compacted/reshaped AND the checkpoint is lost,
+        # start with a fresh out_dir — stale batch-N directories from the
+        # old layout are not reconciled.
         (verified.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}"))
 

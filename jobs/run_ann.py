@@ -125,8 +125,8 @@ def _spot_check_dists(cached_pdf, queries, base, metric: str) -> bool:
     return True
 
 
-def _try_load_ben(spark, args, queries, base, n_queries: int, n_base: int,
-                  dim: int, k: int):
+def _try_load_ben(spark, ben_path: str, metric: str, queries, base,
+                  n_queries: int, n_base: int, dim: int, k: int):
     """create-or-load gate (``Preprocess.cpp:268-296`` + metric hardening).
     Returns the cached exact frame (rank <= k) or None to rebuild."""
     from pyspark.sql import functions as F
@@ -134,26 +134,26 @@ def _try_load_ben(spark, args, queries, base, n_queries: int, n_base: int,
     from db_lsh_spark.sources.binary_vectors import read_ground_truth
 
     try:
-        cached = read_ground_truth(spark, args.ben)
+        cached = read_ground_truth(spark, ben_path)
         hdr = cached.agg(F.countDistinct("query_id"), F.max("rank")).first()
         if hdr[0] != n_queries or hdr[1] < k:
             return None
-        side = _sidecar_path(args.ben)
+        side = _sidecar_path(ben_path)
         if os.path.exists(side):
             with open(side) as f:
                 meta = json.load(f)
             if (
-                meta.get("metric") != args.metric
+                meta.get("metric") != metric
                 or meta.get("n_base") != n_base
                 or meta.get("dim") != dim
             ):
                 return None
-        elif args.metric != "l2":
+        elif metric != "l2":
             # a sidecar-less cache is reference-written; the reference's
             # ben distances are Euclidean — never score cosine against it
             return None
         cached_k = cached.where(F.col("rank") <= k)
-        if not _spot_check_dists(cached_k.toPandas(), queries, base, args.metric):
+        if not _spot_check_dists(cached_k.toPandas(), queries, base, metric):
             return None
         return cached_k
     except Exception:
@@ -187,10 +187,21 @@ def _pivot_ground_truth(pdf, n_queries: int, k: int):
 def _append_history(path: str, row: dict) -> None:
     """Run-history CSV append with header-iff-empty semantics — the
     reference's results file (``main.cpp:166-182``: write the header only
-    when the file is empty, then one metrics row per run)."""
+    when the file is empty, then one metrics row per run). A pre-existing
+    file with a DIFFERENT header (schema drift) is rejected rather than
+    silently appending misaligned columns."""
     import csv
 
     has_rows = os.path.exists(path) and os.path.getsize(path) > 0
+    if has_rows:
+        with open(path, newline="") as f:
+            existing = f.readline().strip().split(",")
+        if existing != list(row):
+            raise ValueError(
+                f"{path}: existing header {existing} does not match the "
+                f"current metrics columns {list(row)}; point --results at "
+                "a new file"
+            )
     with open(path, "a", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(row))
         if not has_rows:
@@ -241,8 +252,8 @@ def run(spark, args) -> dict:
     exact = None
     ben_loaded = False
     if args.ben and os.path.exists(args.ben):
-        exact = _try_load_ben(spark, args, queries, base, n_queries, n_base,
-                              dim, k)
+        exact = _try_load_ben(spark, args.ben, metric, queries, base,
+                              n_queries, n_base, dim, k)
         ben_loaded = exact is not None
     if exact is None:
         if metric == "l2":

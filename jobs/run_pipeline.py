@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--with-lcs", action="store_true",
                    help="compute suffix-array LCS evidence on verified pairs")
+    p.add_argument("--simhash-prefilter", action="store_true",
+                   help="drop candidate pairs with SimHash Hamming > "
+                        "--simhash-max-hamming before the content verify "
+                        "(JVM popcount; lossy in principle — opt-in)")
+    p.add_argument("--simhash-max-hamming", type=int, default=16)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -58,6 +63,8 @@ def main(argv: list[str] | None = None) -> None:
         bands=args.bands,
         rows=args.rows,
         jaccard_threshold=args.threshold,
+        use_simhash_prefilter=args.simhash_prefilter,
+        simhash_max_hamming=args.simhash_max_hamming,
     )
     files = spark.read.parquet(args.input)
     t0 = time.monotonic()

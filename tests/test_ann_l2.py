@@ -78,6 +78,32 @@ def test_radius_schedule_geometric():
         assert 1.4 <= b / a <= 3.1  # ~×2 per round, integer-rounded
 
 
+def test_radius_schedule_ring_bounded():
+    """No scheduled round may enumerate more than MAX_PROBES_PER_BAND
+    offsets (code-review r03: unbounded rings at rows=3 reached 14.5M
+    driver-side tuples and a multi-GB probe expansion)."""
+    for rows, growth in ((3, 2.0), (3, 4.0), (4, 2.0), (2, 8.0)):
+        cfg = AnnConfig(metric="l2", n_planes=8 * rows, bands=8, rows=rows,
+                        window_growth=growth)
+        radii = ann_l2.radius_schedule(cfg, max_rounds=20)
+        prev = -1
+        for r in radii:
+            ring = (2 * r + 1) ** rows - (
+                (2 * prev + 1) ** rows if prev >= 0 else 0
+            )
+            assert ring <= ann_l2.MAX_PROBES_PER_BAND
+            prev = r
+
+
+def test_negative_probe_range_rejected():
+    """A negative probe radius would silently produce zero probe cells →
+    empty results with recall 0; the config rejects it up front."""
+    with pytest.raises(ValueError, match="probe_range"):
+        AnnConfig(metric="l2", n_planes=16, bands=8, rows=2, probe_range=-1)
+    with pytest.raises(ValueError, match="probe"):
+        AnnConfig(probe_hamming=-1)
+
+
 # ---------------------------------------------------------------------------
 # Spark lanes
 # ---------------------------------------------------------------------------
@@ -122,7 +148,7 @@ def test_l2_lsh_prunes_on_clustered_data(spark):
     cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
                     bucket_width=1.0, probe_range=0, k=per - 1, n_queries=8)
     queries = emb.where(F.col("vec_id") < cfg.n_queries)
-    cand = ann_l2.l2_lsh_candidates_pair(queries, emb, cfg)
+    cand = ann_l2.l2_lsh_candidates_pair(queries, emb, cfg, exclude_self=True)
     n_cand = cand.count()
     frac = n_cand / (cfg.n_queries * (len(pts) - 1))
     assert frac < 0.5, f"no pruning: candidate fraction {frac}"

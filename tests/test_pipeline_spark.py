@@ -143,6 +143,34 @@ def test_simhash_prefilter_keeps_true_pairs(spark, fixture_small, dedup_cfg):
     assert not lost, f"simhash prefilter dropped true pairs: {sorted(lost)[:5]}"
 
 
+def test_stage_store_metrics_empty_and_legacy_safe(spark, tmp_path):
+    """metrics() on a store with no per-stage lineage yet (fresh root, or a
+    legacy flat-file root where every stage resumed) returns an EMPTY
+    lineage frame instead of raising; legacy flat parquet files at the
+    stage_metrics root are never read back (the r02 duplicate-lineage
+    fix)."""
+    import pandas as pd
+
+    from db_lsh_spark.sources.io import StageStore
+
+    store = StageStore(str(tmp_path / "store"), "fp")
+    assert store.metrics(spark).count() == 0
+    # legacy flat file at the root: still excluded, still no crash
+    legacy_dir = str(tmp_path / "store" / "stage_metrics")
+    os.makedirs(legacy_dir, exist_ok=True)
+    pd.DataFrame({"partition_id": [0], "rows_out": [5],
+                  "stage": ["old"], "fingerprint": ["stale"]}).to_parquet(
+        f"{legacy_dir}/legacy.parquet")
+    assert store.metrics(spark).count() == 0
+    # a real per-stage write shows up; the legacy file stays invisible
+    store.run_stage(
+        spark, "s1",
+        lambda: spark.createDataFrame([(1,), (2,)], "x long"),
+    )
+    got = store.metrics(spark).toPandas()
+    assert set(got.stage) == {"s1"}
+
+
 def test_pipeline_simhash_prefilter_flag_preserves_output(
     spark, fixture_small, dedup_cfg, spark_out
 ):

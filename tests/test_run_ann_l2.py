@@ -147,3 +147,30 @@ def test_results_csv_header_iff_empty(spark, run_ann, dataset, tmp_path):
     assert len(lines) == 3  # header + 2 rows
     assert lines[0].startswith("metric_space,")
     assert lines[1].split(",")[0] == "l2"
+
+
+def test_results_csv_header_mismatch_rejected(run_ann, tmp_path):
+    """Schema drift guard (code-review r03): appending to a results CSV
+    whose header does not match the current metrics columns must raise
+    instead of silently misaligning values under old column names."""
+    path = str(tmp_path / "old_results.csv")
+    with open(path, "w") as f:
+        f.write("recall,ratio\n0.9,1.0\n")
+    with pytest.raises(ValueError, match="does not match"):
+        run_ann._append_history(path, {"metric_space": "l2", "recall": 1.0})
+
+
+def test_run_accepts_metricless_namespace(spark, run_ann, dataset, tmp_path):
+    """run() documents getattr defaults for optional args; the cache gate
+    must honor the same contract (a metric-less Namespace previously threw
+    AttributeError inside _try_load_ben, silently rebuilding every run)."""
+    data, _ = dataset
+    ben = str(tmp_path / "legacy_args.ben")
+    legacy = argparse.Namespace(
+        data=data, ben=ben, k=5, n_queries=20, planes=16, bands=8, rows=2,
+        seed=0,
+    )
+    first = run_ann.run(spark, legacy)   # builds + saves (l2 default)
+    assert first["metric_space"] == "l2"
+    second = run_ann.run(spark, legacy)  # must LOAD, not rebuild
+    assert second["ben_loaded_from_cache"]

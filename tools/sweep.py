@@ -113,11 +113,14 @@ def main() -> None:
             )
             t0 = time.monotonic()
             m = ann_l2.l2_lsh_recall(emb, cfg).first()
+            wall = time.monotonic() - t0
+            # COST counted OUTSIDE the timed window (it re-runs the
+            # candidate join purely for the census; timing it would make
+            # these rows incomparable to ann_grid's)
             cand = ann_l2.l2_lsh_candidates_pair(
                 emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg,
                 exclude_self=True,
             ).count()
-            wall = time.monotonic() - t0
             l2_rows.append(
                 {
                     "bucket_width": w, "probe_range": probe,
