@@ -217,12 +217,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # the reference's actual query primitive: (R, c)-near-neighbor search —
     # all neighbors within L2 radius 1.25 of each query, E2LSH candidates +
-    # exact filter, oracled by the brute-force SQL (recall-1 contract)
+    # exact filter, oracled by the brute-force SQL (recall-1 contract).
+    # probe_range=2: radius queries need a wider effective window than the
+    # top-k lane (a true R-neighbor at the window edge has no rank slack) —
+    # verified recall-1 by kernel simulation at sf0.001/0.01/0.1 (probe 1
+    # missed 1/1596 at sf0.1)
     def _l2_range(s: SparkSession, d: str) -> DataFrame:
+        from dataclasses import replace
+
         emb = _emb(s, d)
         return ann_l2_ops.l2_range_neighbors(
             emb.where(F.col("vec_id") < ANN_CFG_L2.n_queries), emb,
-            ANN_CFG_L2, radius=1.25, exclude_self=True,
+            replace(ANN_CFG_L2, probe_range=2), radius=1.25,
+            exclude_self=True,
         )
 
     q["emb_l2_range"] = _l2_range
