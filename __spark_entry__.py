@@ -234,6 +234,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_l2_range"] = _l2_range
 
+    # IVF-Flat ANN (the coarse-quantizer scale path): seeded k-means lists +
+    # probe join + exact-L2 rerank. On the isotropic fixture recall 1
+    # requires probing all lists (documented in operators/ivf.py) — the
+    # oracle exercises the full train/assign/probe/rerank plumbing; real
+    # pruning is shown on planted clusters in tests/test_ivf.py
+    def _knn_ivf(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.ivf import knn_ivf
+
+        return knn_ivf(_emb(s, d), ANN_CFG_L2, n_centroids=8, nprobe=8).select(
+            "query_id", F.col("rank").cast("long").alias("rank"),
+            "neighbor_id", "dist",
+        )
+
+    q["emb_knn_ivf"] = _knn_ivf
+
     q["emb_near_dup_pairs"] = lambda s, d: ann_ops.cosine_near_dup_pairs(
         _emb(s, d), 0.45
     )
@@ -566,6 +581,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # E2LSH lane == exact lane at this config (recall-1): same oracle
     sql["emb_knn_l2_lsh"] = sql["emb_knn_l2"]
+    # IVF at nprobe == n_lists == exact top-k: same oracle (recall-1)
+    sql["emb_knn_ivf"] = sql["emb_knn_l2"]
     sql["emb_l2_recall"] = """
         SELECT CAST(1.0 AS DOUBLE) AS avg_recall,
                CAST(1.0 AS DOUBLE) AS avg_ratio,

@@ -1,0 +1,187 @@
+"""IVF (inverted-file) ANN — the coarse-quantizer scale path alongside the
+LSH lanes (task brief: "an IVF or LSH-bucketed variant as the scale path").
+
+Shape (the standard IVF-Flat design, rendered Spark-native):
+
+1. ``train_centroids`` — seeded k-means (k-means++ init, Lloyd iterations)
+   on a driver-side SAMPLE. At 100 TB the quantizer is always trained on a
+   sample (centroid count ≪ N); the centroid matrix is a few KB and ships
+   in task closures like the LSH ``HashParams``.
+2. ``assign_lists`` — one BLAS argmin per Arrow batch maps every vector to
+   its nearest centroid: the slim (vec_id, list_id) inverted index. This
+   is the only full-data pass, and it shuffles nothing.
+3. ``knn_ivf_pair`` — each query probes its ``nprobe`` nearest lists; the
+   candidate join is a broadcast equi-join of (query_id, list_id) probes
+   against the inverted index, then the exact-L2 rerank fetches vectors
+   per candidate (same verify-join discipline as the LSH lanes).
+
+Selectivity caveat (same story as both LSH families, stated not hidden):
+on the isotropic test fixtures every Voronoi cell borders every query, so
+recall 1 requires probing all lists; on clustered data (the planted-
+cluster test) nprobe ≪ n_lists prunes hard with recall 1. The reference
+has no IVF analogue — this lane exists for the training-data-pipeline
+surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from db_lsh_spark.config import AnnConfig
+from db_lsh_spark.operators.ann_l2 import (
+    _as_double,
+    _rank_topk_l2,
+    _rerank_candidates_l2,
+)
+
+
+def train_centroids(
+    sample: np.ndarray, n_centroids: int, seed: int = 0, iters: int = 20
+) -> np.ndarray:
+    """Seeded k-means++ + Lloyd on a driver-side sample. Deterministic for
+    (sample, n_centroids, seed) — the quantizer analogue of the seeded
+    Gaussian draw discipline (``dblsh.cpp:64``)."""
+    X = np.asarray(sample, dtype=np.float64)
+    rng = np.random.Generator(np.random.MT19937(seed))
+    cents = [X[rng.integers(len(X))]]
+    for _ in range(n_centroids - 1):
+        d2 = np.min(
+            ((X[:, None, :] - np.asarray(cents)[None]) ** 2).sum(-1), axis=1
+        )
+        total = d2.sum()
+        if total <= 0:  # degenerate sample (all points identical)
+            cents.append(X[rng.integers(len(X))])
+            continue
+        cents.append(X[rng.choice(len(X), p=d2 / total)])
+    C = np.asarray(cents)
+    for _ in range(iters):
+        assign = np.argmin(((X[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(0)
+    return C
+
+
+def sample_vectors(emb: DataFrame, n: int = 4096, seed: int = 0) -> np.ndarray:
+    """Deterministic driver-side training sample: the first ``n`` vec_ids
+    (the fixtures are already i.i.d.; production would seed-sample)."""
+    pdf = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id") < n)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    return np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+
+
+def assign_lists(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, embedding) → slim (vec_id, list_id) inverted index: one
+    argmin over the centroid matrix per Arrow batch, no per-row Python."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("list_id", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_sq = (C**2).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # argmin ||x-c||^2 = argmin (||c||^2 - 2 x·c) — one matmul
+            lists = np.argmin(c_sq[None, :] - 2.0 * (M @ C.T), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "list_id": lists.astype(np.int32),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
+def _probe_lists(queries: DataFrame, centroids: np.ndarray, nprobe: int) -> DataFrame:
+    """(query_id, list_id) — each query's ``nprobe`` nearest centroids,
+    computed in the same Arrow kernel (queries are the small side)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("list_id", IntegerType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_sq = (C**2).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = c_sq[None, :] - 2.0 * (M @ C.T)
+            probed = np.argsort(d, axis=1)[:, :nprobe]  # (n, nprobe)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(
+                        pdf["vec_id"].to_numpy(np.int64), nprobe
+                    ),
+                    "list_id": probed.astype(np.int32).ravel(),
+                }
+            )
+
+    return queries.select("vec_id", "embedding").mapInPandas(gen, schema)
+
+
+def knn_ivf_pair(
+    queries: DataFrame,
+    base: DataFrame,
+    cfg: AnnConfig,
+    centroids: np.ndarray,
+    nprobe: int,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-Flat kNN: probe ``nprobe`` lists per query, exact-L2 rerank.
+    Output schema == ``knn_bruteforce_l2_pair`` (query_id, rank,
+    neighbor_id, dist)."""
+    inv = assign_lists(base, centroids).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id"
+    )
+    probes = _probe_lists(queries, centroids, nprobe)
+    cand = (
+        F.broadcast(probes).join(inv, "list_id")
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    return _rerank_candidates_l2(cand, queries, base, cfg.k)
+
+
+def knn_ivf(
+    emb: DataFrame, cfg: AnnConfig, n_centroids: int = 8,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Single-frame convenience (driver-table convention): quantizer
+    trained on the frame's own sample; queries are the first
+    ``cfg.n_queries`` vec_ids in the shared id space."""
+    nprobe = n_centroids if nprobe is None else nprobe
+    cents = train_centroids(sample_vectors(emb), n_centroids, cfg.seed)
+    return knn_ivf_pair(
+        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg, cents, nprobe,
+        exclude_self=True,
+    )

@@ -141,6 +141,66 @@ def incremental_dedup_query(
     )
 
 
+def incremental_ann_query(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    index_emb: DataFrame,
+    cfg,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental L2 ANN: per micro-batch, E2LSH-hash the ARRIVING vectors
+    (query side), probe the static banded index, rerank exact-L2 top-k,
+    and write each batch's results idempotently.
+
+    The streaming twin of the reference's query path for the vector lane
+    (``Query::cal_hash`` + ``sift``, ``Query.cpp:40-115``): the index —
+    the slim (vec_id, band, band_code) table — is built ONCE; every
+    arriving vector is hashed once and probes its buckets. State lives in
+    the static index, not the stream (no unbounded streaming state); the
+    per-batch sink is overwrite-per-batch-directory, so foreachBatch
+    replay after a crash is exactly-once (same contract and caveats as
+    ``incremental_dedup_query``).
+
+    ``vec_stream`` schema: (vec_id long, embedding array<float|double>).
+    Output rows: (query_id, rank, neighbor_id, dist, batch_id) with
+    query_id = the streamed vec_id, neighbors drawn from the INDEX frame.
+    """
+    from db_lsh_spark.operators import ann_l2
+
+    index_codes = ann_l2.l2_codes(index_emb, cfg).select(
+        F.col("vec_id").alias("neighbor_id"), "band", "band_code"
+    ).localCheckpoint(eager=True)
+    index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # one row per vec_id within the batch (dedup the landing zone the
+        # same way the dedup stream does)
+        probe = batch_df.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
+        probes = ann_l2.l2_probe_codes(probe, cfg).select(
+            F.col("vec_id").alias("query_id"), "band", "band_code"
+        )
+        cand = (
+            F.broadcast(probes).join(index_codes, ["band", "band_code"])
+            .select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        topk = ann_l2._rerank_candidates_l2(cand, probe, index_vecs, cfg.k)
+        (topk.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}"))
+
+    return (
+        vec_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def running_type_stats(doc_stream: DataFrame):
     """Custom STATEFUL streaming operator (``applyInPandasWithState`` —
     SURVEY §2.9's arbitrary-state lane): a running per-event_type profile

@@ -1,0 +1,89 @@
+"""IVF-Flat ANN lane tests: quantizer determinism, inverted-index shape,
+recall-1 at full probe on the fixture, and REAL pruning on planted
+clusters (the selectivity the isotropic fixture cannot show)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import AnnConfig
+from db_lsh_spark.operators import ann_l2, ivf
+
+SF = "/root/testdata/sf0.001"
+CFG = AnnConfig(
+    metric="l2", n_planes=16, bands=8, rows=2, k=10, n_queries=20,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_kmeans_deterministic():
+    rng = np.random.Generator(np.random.MT19937(5))
+    X = rng.normal(size=(200, 16))
+    a = ivf.train_centroids(X, 8, seed=0)
+    b = ivf.train_centroids(X, 8, seed=0)
+    assert np.array_equal(a, b)
+    assert a.shape == (8, 16)
+
+
+def test_assign_lists_slim_and_total(emb):
+    cents = ivf.train_centroids(ivf.sample_vectors(emb), 8, 0)
+    inv = ivf.assign_lists(emb, cents)
+    assert inv.columns == ["vec_id", "list_id"]
+    pdf = inv.toPandas()
+    assert len(pdf) == emb.count()  # exactly one list per vector
+    assert pdf.list_id.between(0, 7).all()
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(emb):
+    """nprobe == n_lists probes everything — the result must equal the
+    exact brute force row-for-row (the driver-oracle contract)."""
+    exact = ann_l2.knn_bruteforce_l2(emb, CFG).toPandas()
+    got = ivf.knn_ivf(emb, CFG, n_centroids=8, nprobe=8).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]].values.tolist())
+    )
+    assert key(got) == key(exact)
+
+
+def test_ivf_prunes_on_clustered_data(spark):
+    """Planted tight clusters: nprobe=2 of 24 lists must keep candidate
+    fraction low while finding every within-cluster neighbor."""
+    rng = np.random.Generator(np.random.MT19937(3))
+    n_clusters, per, dim = 24, 8, 64
+    cents = rng.normal(size=(n_clusters, dim)) * 3.0
+    pts = np.repeat(cents, per, axis=0) + rng.normal(
+        size=(n_clusters * per, dim)
+    ) * 0.01
+    pdf = [(int(i), pts[i].astype(float).tolist()) for i in range(len(pts))]
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2, k=per - 1,
+                    n_queries=8)
+    trained = ivf.train_centroids(pts, n_clusters, seed=0)
+    queries = emb.where(F.col("vec_id") < cfg.n_queries)
+    got = ivf.knn_ivf_pair(
+        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg, trained,
+        nprobe=2, exclude_self=True,
+    ).toPandas()
+    # every query's top-(per-1) must be exactly its cluster-mates
+    for q in range(cfg.n_queries):
+        cl = q // per
+        want = {nb for nb in range(cl * per, (cl + 1) * per) if nb != q}
+        assert set(got[got.query_id == q].neighbor_id) == want
+    # and the probe join must actually prune
+    inv = ivf.assign_lists(emb, trained).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id"
+    )
+    probes = ivf._probe_lists(queries, trained, 2)
+    cand = (
+        F.broadcast(probes).join(inv, "list_id")
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    frac = cand.count() / (cfg.n_queries * len(pts))
+    assert frac < 0.3, f"no pruning: candidate fraction {frac}"

@@ -278,3 +278,43 @@ def test_incremental_dedup_resume_exactly_once(spark, tmp_path, dedup_cfg):
     replayed = read_out()
     assert not replayed.duplicated(["id_a", "id_b", "batch_id"]).any()
     assert key(replayed) == key(got)
+
+
+def test_incremental_ann_stream_equals_batch(spark, tmp_path):
+    """Streaming ANN lane: arriving vectors probed against the static E2LSH
+    index must produce exactly the batch two-frame kNN result (stream ==
+    batch, the lane's correctness contract)."""
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators import ann_l2
+    from db_lsh_spark.streaming.jobs import incremental_ann_query
+
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                    bucket_width=1.0, probe_range=1, k=5, n_queries=20)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    index = emb.where(F.col("vec_id") >= 20)
+
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    qpdf = queries.toPandas()
+    for i, chunk in enumerate((qpdf.iloc[:10], qpdf.iloc[10:])):
+        chunk.to_parquet(f"{src}/chunk{i}.parquet", index=False)
+    schema = spark.createDataFrame(qpdf.iloc[:1]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "ann_out")
+    q = incremental_ann_query(
+        spark, stream, index, cfg, out, str(tmp_path / "ann_ck")
+    )
+    q.awaitTermination(600)
+    got = (spark.read.option("recursiveFileLookup", "true")
+           .parquet(out).toPandas())
+
+    batch = ann_l2.knn_l2_lsh_pair(queries, index, cfg).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]].values.tolist())
+    )
+    assert key(got) == key(batch)
+    assert set(got.batch_id) == {0, 1}

@@ -133,6 +133,39 @@ def main() -> None:
             )
             print(json.dumps(l2_rows[-1]))
 
+    # ---- beta-sweep (expe_beta, main.cpp:109-122): the candidate budget
+    # T = beta*N + k drives the adaptive widening loop; smaller beta stops
+    # at narrower windows (fewer rounds, lower recall), larger beta widens
+    # until the budget is met — the literal knob the reference sweeps
+    beta_rows = []
+    exact_l2 = None
+    for beta in (0.02, 0.1, 0.5):
+        cfg = AnnConfig(
+            metric="l2", n_planes=16, bands=8, rows=2, bucket_width=0.5,
+            probe_range=1, k=10, n_queries=20, beta=beta,
+        )
+        if exact_l2 is None:
+            exact_l2 = ann_l2.knn_bruteforce_l2(emb, cfg).toPandas()
+        t0 = time.monotonic()
+        topk, rounds = ann_l2.knn_l2_lsh_adaptive(emb, cfg)
+        approx = topk.toPandas()
+        wall = time.monotonic() - t0
+        exact_set = set(zip(exact_l2.query_id, exact_l2.neighbor_id))
+        hit = sum(
+            (q, n) in exact_set for q, n in zip(approx.query_id, approx.neighbor_id)
+        )
+        beta_rows.append(
+            {
+                "beta": beta,
+                "budget": cfg.candidate_budget(n_emb),
+                "rounds": len(rounds),
+                "final_radius": rounds[-1]["probe_radius"],
+                "recall": round(hit / len(exact_l2), 4),
+                "wall_sec": round(wall, 2),
+            }
+        )
+        print(json.dumps(beta_rows[-1]))
+
     # ---- k-sweep with result reuse (expe_k, main.cpp:185-241): one run at
     # k=max, re-scored per k from the same materialized buffers
     kcfg = AnnConfig(k=10, n_queries=20)
@@ -149,7 +182,7 @@ def main() -> None:
     with open("BENCH/sweep.json", "w") as f:
         json.dump(
             {"n_files": n_files, "grid": rows_out, "ann_grid": ann_rows,
-             "l2_grid": l2_rows, "k_sweep": k_rows},
+             "l2_grid": l2_rows, "beta_sweep": beta_rows, "k_sweep": k_rows},
             f,
             indent=2,
         )
