@@ -373,18 +373,34 @@ def radius_schedule(cfg: AnnConfig, max_rounds: int = 8) -> list[int]:
 def knn_l2_lsh_adaptive(
     emb: DataFrame, cfg: AnnConfig, budget: int | None = None
 ) -> tuple[DataFrame, list[dict]]:
+    """Single-frame convenience for the adaptive loop (driver-table
+    convention: queries are the first ``n_queries`` vec_ids in a SHARED id
+    space — self-matches excluded)."""
+    if budget is None:  # explicit 0 is a valid (immediately met) budget
+        budget = cfg.candidate_budget(emb.count())
+    return knn_l2_lsh_adaptive_pair(
+        emb.where(F.col("vec_id") < cfg.n_queries), emb, cfg, budget,
+        exclude_self=True,
+    )
+
+
+def knn_l2_lsh_adaptive_pair(
+    queries: DataFrame, base: DataFrame, cfg: AnnConfig,
+    budget: int | None = None, exclude_self: bool = False,
+) -> tuple[DataFrame, list[dict]]:
     """Query-adaptive E2LSH kNN — the reference's dynamic search loop
     (``Query.cpp:76-100``: probe at window c^t·w until T = βN + k
-    candidates) rendered batch-native.
+    candidates) rendered batch-native, in the two-frame (peeled-split)
+    form the reference itself runs.
 
     Round t probes the cell RING (r_{t-1}, r_t] (``radius_schedule``) for
     the queries still under budget; satisfied queries stop probing. The
     base-side banded table is built ONCE and never expanded — exactly the
     paper's claim that widening re-queries the same index."""
-    if budget is None:  # explicit 0 is a valid (immediately met) budget
-        budget = cfg.candidate_budget(emb.count())
-    queries = emb.where(F.col("vec_id") < cfg.n_queries).localCheckpoint(True)
-    base_codes = l2_codes(emb, cfg).select(
+    if budget is None:
+        budget = cfg.candidate_budget(base.count())
+    queries = queries.localCheckpoint(eager=True)
+    base_codes = l2_codes(base, cfg).select(
         F.col("vec_id").alias("neighbor_id"), "band", "band_code"
     ).localCheckpoint(eager=True)
     all_qids = sorted(r.vec_id for r in queries.select("vec_id").collect())
@@ -402,11 +418,10 @@ def knn_l2_lsh_adaptive(
         probes = l2_probe_codes(probe_src, cfg, lo=prev_r, hi=r).select(
             F.col("vec_id").alias("query_id"), "band", "band_code"
         )
-        new = (
-            F.broadcast(probes).join(base_codes, ["band", "band_code"])
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id")
-        )
+        new = F.broadcast(probes).join(base_codes, ["band", "band_code"])
+        if exclude_self:
+            new = new.where(F.col("neighbor_id") != F.col("query_id"))
+        new = new.select("query_id", "neighbor_id")
         cand = new if cand is None else cand.unionByName(new)
         cand = cand.dropDuplicates(["query_id", "neighbor_id"]).localCheckpoint(
             eager=True
@@ -437,7 +452,7 @@ def knn_l2_lsh_adaptive(
         pending_df = cand.sparkSession.createDataFrame(
             [(int(q),) for q in pending], "query_id long"
         )
-    return _rerank_candidates_l2(cand, queries, emb, cfg.k), rounds
+    return _rerank_candidates_l2(cand, queries, base, cfg.k), rounds
 
 
 def l2_lsh_recall(emb: DataFrame, cfg: AnnConfig) -> DataFrame:

@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--bucket-width", type=float, default=1.0)
     p.add_argument("--probe-range", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--adaptive", action="store_true",
+                   help="l2 only: budget-driven window widening (T = "
+                        "beta*N + k, the reference's dynamic query loop) "
+                        "instead of the fixed probe radius")
+    p.add_argument("--beta", type=float, default=0.1)
     p.add_argument("--results", default=None,
                    help="append the metrics row to this CSV (header iff empty)")
     args = p.parse_args(argv)
@@ -244,7 +249,9 @@ def run(spark, args) -> dict:
         bucket_width=getattr(args, "bucket_width", 1.0),
         probe_range=getattr(args, "probe_range", 1),
         k=k, n_queries=n_queries,
+        beta=getattr(args, "beta", 0.1),
     )
+    adaptive = bool(getattr(args, "adaptive", False)) and metric == "l2"
 
     # ---- ground truth: create-or-load (ben_create, Preprocess.cpp:268-296)
     # exact carries (query_id, rank, neighbor_id, dist); dist is EUCLIDEAN
@@ -272,7 +279,17 @@ def run(spark, args) -> dict:
     # ---- the LSH lane (Query.cpp:50-115): candidates materialized ONCE —
     # the rerank consumes them and COST counts the same frame
     t0 = time.monotonic()
-    if metric == "l2":
+    n_cand = None
+    widen_rounds = None
+    if adaptive:
+        # the reference's ACTUAL query loop: widen the window by c per
+        # round until T = beta*N + k candidates per query (Query.cpp:76-100)
+        approx, rounds = l2_ops.knn_l2_lsh_adaptive_pair(queries, base, cfg)
+        approx = approx.localCheckpoint(eager=True)
+        approx_d = approx
+        n_cand = rounds[-1]["cum_candidates"]
+        widen_rounds = len(rounds)
+    elif metric == "l2":
         cand = l2_ops.l2_lsh_candidates_pair(queries, base, cfg)
         cand = cand.localCheckpoint(eager=True)
         approx = l2_ops._rerank_candidates_l2(cand, queries, base, k)
@@ -308,9 +325,13 @@ def run(spark, args) -> dict:
     if ratio < 0.9:  # the reference's sanity abort (main.cpp:149)
         raise RuntimeError(f"An abnormal ratio appears: {ratio}")
     # COST: candidate fraction probed per query (the reference's cost column)
-    cost = cand.count() / (n_queries * max(1, n_base))
+    if n_cand is None:
+        n_cand = cand.count()
+    cost = n_cand / (n_queries * max(1, n_base))
     row = {
         "metric_space": metric,
+        "adaptive": adaptive,
+        "widen_rounds": widen_rounds,
         "n": n_queries + n_base, "n_base": n_base, "dim": dim, "k": k,
         "n_queries": n_queries,
         "bands": cfg.bands, "rows": cfg.rows,

@@ -174,3 +174,15 @@ def test_run_accepts_metricless_namespace(spark, run_ann, dataset, tmp_path):
     assert first["metric_space"] == "l2"
     second = run_ann.run(spark, legacy)  # must LOAD, not rebuild
     assert second["ben_loaded_from_cache"]
+
+
+def test_adaptive_entry_mode(spark, run_ann, dataset, tmp_path):
+    """--adaptive runs the reference's ACTUAL query loop (budget-driven
+    window widening); with an unreachable budget (beta=1.0 > any per-query
+    candidate count) the loop widens until rings stop adding candidates
+    and recall reaches 1.0."""
+    data, _ = dataset
+    out = run_ann.run(spark, _args(data, None, adaptive=True, beta=1.0,
+                                   bucket_width=0.5))
+    assert out["adaptive"] and out["widen_rounds"] >= 2
+    assert out["recall"] == 1.0 and out["ratio"] == 1.0
