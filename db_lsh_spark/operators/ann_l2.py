@@ -42,10 +42,9 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from db_lsh_spark.config import AnnConfig
-
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+# one set of mixing constants engine-wide (same FNV/golden-ratio values the
+# MinHash band fold uses — functions/hashing.py:33-35)
+from db_lsh_spark.functions.hashing import _FNV_OFFSET, _FNV_PRIME, _GOLDEN
 
 
 def _l2_dist(a, b):
@@ -453,6 +452,55 @@ def knn_l2_lsh_adaptive_pair(
             [(int(q),) for q in pending], "query_id long"
         )
     return _rerank_candidates_l2(cand, queries, base, cfg.k), rounds
+
+
+def k_sweep_l2(
+    emb: DataFrame, cfg: AnnConfig, ks: tuple[int, ...] = (1, 10, 20, 50, 100)
+) -> DataFrame:
+    """The reference's k-sweep with RESULT REUSE under its OWN metric
+    (``expe_k``, ``main.cpp:185-241``): both lanes run ONCE at k = max(ks),
+    then recall@k and distance-ratio@k are re-scored for every smaller k
+    from the same materialized buffers. One row per k."""
+    from dataclasses import replace
+
+    kmax = max(ks)
+    big = replace(cfg, k=kmax)
+    exact = knn_bruteforce_l2(emb, big).localCheckpoint(eager=True)
+    approx = knn_l2_lsh(emb, big).localCheckpoint(eager=True)
+    out: DataFrame | None = None
+    for k in sorted(ks):
+        e_k = exact.where(F.col("rank") <= k)
+        a_k = approx.where(F.col("rank") <= k)
+        hits = (
+            a_k.select("query_id", "neighbor_id")
+            .join(e_k.select("query_id", "neighbor_id"),
+                  ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg((F.count("*") / k).alias("recall"))
+        )
+        rec = (
+            e_k.select("query_id").distinct()
+            .join(hits, "query_id", "left")
+            .agg(F.round(F.avg(F.coalesce("recall", F.lit(0.0))), 4)
+                 .alias("avg_recall"))
+        )
+        joined = e_k.select(
+            "query_id", "rank", F.col("dist").alias("d_exact")
+        ).join(
+            a_k.select("query_id", "rank", F.col("dist").alias("d_approx")),
+            ["query_id", "rank"],
+        )
+        ratio = F.when(F.col("d_exact") < 1e-9, F.lit(1.0)).otherwise(
+            F.col("d_approx") / F.col("d_exact")
+        )
+        rat = joined.agg(
+            F.coalesce(F.round(F.avg(ratio), 4), F.lit(1.0)).alias("avg_ratio")
+        )
+        row = rec.crossJoin(rat).withColumn("k", F.lit(k)).select(
+            "k", "avg_recall", "avg_ratio"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 def l2_lsh_recall(emb: DataFrame, cfg: AnnConfig) -> DataFrame:

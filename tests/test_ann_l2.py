@@ -213,6 +213,17 @@ def test_knn_l2_lsh_adaptive_budget_zero_stops_immediately(emb):
     assert len(rounds) == 1 and rounds[0]["probe_radius"] == 0
 
 
+def test_k_sweep_l2_result_reuse(emb):
+    """expe_k under the reference's own metric: one run at k=max, re-scored
+    per k — recall/ratio rows for every k, monotone contract at recall-1
+    config (every k row must read 1.0/1.0 when the full lists agree)."""
+    rows = {int(r.k): r for r in ann_l2.k_sweep_l2(emb, CFG, ks=(1, 5, 10)).collect()}
+    assert sorted(rows) == [1, 5, 10]
+    for k, r in rows.items():
+        assert r.avg_recall == 1.0, (k, r)
+        assert r.avg_ratio == 1.0, (k, r)
+
+
 def test_l2_recall_row(emb):
     row = ann_l2.l2_lsh_recall(emb, CFG).first()
     assert row.avg_recall == 1.0
