@@ -72,6 +72,7 @@ def main() -> None:
         "emb_knn_lsh",
         "emb_knn_l2",
         "emb_knn_l2_lsh",
+        "emb_knn_ivf",
         "emb_near_dup_pairs_lsh",
         "media_frame_sample",
         "tpch_q1",

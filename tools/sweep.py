@@ -133,6 +133,36 @@ def main() -> None:
             )
             print(json.dumps(l2_rows[-1]))
 
+    # ---- IVF nprobe sweep: the coarse-quantizer recall/cost frontier
+    # (the IVF twin of the LSH probe grids; exact rerank throughout)
+    from db_lsh_spark.operators import ivf as ivf_ops
+
+    ivf_rows = []
+    cfg_ivf = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                        k=10, n_queries=20)
+    cents = ivf_ops.train_centroids(ivf_ops.sample_vectors(emb), 8, 0)
+    exact_ivf = None
+    for nprobe in (2, 4, 8):
+        t0 = time.monotonic()
+        got = ivf_ops.knn_ivf_pair(
+            emb.where(F.col("vec_id") < cfg_ivf.n_queries), emb, cfg_ivf,
+            cents, nprobe, exclude_self=True,
+        ).toPandas()
+        wall = time.monotonic() - t0
+        if exact_ivf is None:
+            exact_ivf = ann_l2.knn_bruteforce_l2(emb, cfg_ivf).toPandas()
+        exact_set = set(zip(exact_ivf.query_id, exact_ivf.neighbor_id))
+        hit = sum((q, n) in exact_set
+                  for q, n in zip(got.query_id, got.neighbor_id))
+        ivf_rows.append(
+            {
+                "n_lists": 8, "nprobe": nprobe,
+                "recall": round(hit / len(exact_ivf), 4),
+                "wall_sec": round(wall, 2),
+            }
+        )
+        print(json.dumps(ivf_rows[-1]))
+
     # ---- beta-sweep (expe_beta, main.cpp:109-122): the candidate budget
     # T = beta*N + k drives the adaptive widening loop; smaller beta stops
     # at narrower windows (fewer rounds, lower recall), larger beta widens
@@ -182,7 +212,8 @@ def main() -> None:
     with open("BENCH/sweep.json", "w") as f:
         json.dump(
             {"n_files": n_files, "grid": rows_out, "ann_grid": ann_rows,
-             "l2_grid": l2_rows, "beta_sweep": beta_rows, "k_sweep": k_rows},
+             "l2_grid": l2_rows, "ivf_grid": ivf_rows,
+             "beta_sweep": beta_rows, "k_sweep": k_rows},
             f,
             indent=2,
         )
