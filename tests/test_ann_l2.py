@@ -229,3 +229,21 @@ def test_l2_recall_row(emb):
     assert row.avg_recall == 1.0
     assert row.avg_ratio == 1.0
     assert bool(row.ratio_sane)
+
+
+def test_empty_query_frame_yields_empty(emb, spark):
+    """An empty probe set must flow through codes → join → rerank to an
+    empty result without crashing (empty Arrow batches hit every kernel)."""
+    empty = emb.where(F.col("vec_id") < 0)
+    assert ann_l2.knn_l2_lsh_pair(empty, emb, CFG).count() == 0
+    assert ann_l2.knn_bruteforce_l2_pair(empty, emb, CFG).count() == 0
+
+
+def test_range_radius_zero_only_exact_duplicates(emb):
+    """radius 0: only distance-0 (byte-identical) vectors qualify — none in
+    the fixture, so the lane must return an empty frame, not error."""
+    got = ann_l2.l2_range_neighbors(
+        emb.where(F.col("vec_id") < 5), emb, CFG, radius=0.0,
+        exclude_self=True,
+    )
+    assert got.count() == 0

@@ -87,3 +87,13 @@ def test_ivf_prunes_on_clustered_data(spark):
     )
     frac = cand.count() / (cfg.n_queries * len(pts))
     assert frac < 0.3, f"no pruning: candidate fraction {frac}"
+
+
+def test_kmeans_degenerate_sample_no_crash():
+    """More centroids than distinct points: the d2-weighted draw hits an
+    all-zero distance vector — the fallback must keep drawing instead of
+    raising, and assignment must still cover every vector."""
+    X = np.ones((3, 4))
+    C = ivf.train_centroids(X, 8, seed=0)
+    assert C.shape == (8, 4)
+    assert np.isfinite(C).all()
