@@ -454,6 +454,42 @@ def knn_l2_lsh_adaptive_pair(
     return _rerank_candidates_l2(cand, queries, base, cfg.k), rounds
 
 
+def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """(query_id, recall) over EVERY query in the ground truth: |approx ∩
+    exact| / |exact rows for that query|. The per-query denominator (not a
+    flat k) means a query that legitimately has fewer than k exact
+    neighbors — kmax near the base size, NaN-excluded vectors — cannot
+    deflate a perfect lane; a query with no approx hits still scores 0."""
+    e_cnt = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return e_cnt.join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce("n_hit", F.lit(0)) / F.col("n_exact")).alias("recall"),
+    )
+
+
+def _ratio_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-(query, rank) approx/exact distance ratios over the ranks the
+    approx lane returned (``Query.cpp:143-155``); distance-0 exact rows
+    ratio to 1 by convention."""
+    joined = exact.select(
+        "query_id", "rank", F.col("dist").alias("d_exact")
+    ).join(
+        approx.select("query_id", "rank", F.col("dist").alias("d_approx")),
+        ["query_id", "rank"],
+    )
+    ratio = F.when(F.col("d_exact") < 1e-9, F.lit(1.0)).otherwise(
+        F.col("d_approx") / F.col("d_exact")
+    )
+    return joined.select("query_id", "rank", ratio.alias("ratio"))
+
+
 def k_sweep_l2(
     emb: DataFrame, cfg: AnnConfig, ks: tuple[int, ...] = (1, 10, 20, 50, 100)
 ) -> DataFrame:
@@ -471,30 +507,11 @@ def k_sweep_l2(
     for k in sorted(ks):
         e_k = exact.where(F.col("rank") <= k)
         a_k = approx.where(F.col("rank") <= k)
-        hits = (
-            a_k.select("query_id", "neighbor_id")
-            .join(e_k.select("query_id", "neighbor_id"),
-                  ["query_id", "neighbor_id"], "left_semi")
-            .groupBy("query_id")
-            .agg((F.count("*") / k).alias("recall"))
+        rec = _recall_frame(e_k, a_k).agg(
+            F.round(F.avg("recall"), 4).alias("avg_recall")
         )
-        rec = (
-            e_k.select("query_id").distinct()
-            .join(hits, "query_id", "left")
-            .agg(F.round(F.avg(F.coalesce("recall", F.lit(0.0))), 4)
-                 .alias("avg_recall"))
-        )
-        joined = e_k.select(
-            "query_id", "rank", F.col("dist").alias("d_exact")
-        ).join(
-            a_k.select("query_id", "rank", F.col("dist").alias("d_approx")),
-            ["query_id", "rank"],
-        )
-        ratio = F.when(F.col("d_exact") < 1e-9, F.lit(1.0)).otherwise(
-            F.col("d_approx") / F.col("d_exact")
-        )
-        rat = joined.agg(
-            F.coalesce(F.round(F.avg(ratio), 4), F.lit(1.0)).alias("avg_ratio")
+        rat = _ratio_frame(e_k, a_k).agg(
+            F.coalesce(F.round(F.avg("ratio"), 4), F.lit(1.0)).alias("avg_ratio")
         )
         row = rec.crossJoin(rat).withColumn("k", F.lit(k)).select(
             "k", "avg_recall", "avg_ratio"
@@ -510,28 +527,11 @@ def l2_lsh_recall(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     <0.9 sanity flag (``main.cpp:149``)."""
     exact = knn_bruteforce_l2(emb, cfg).localCheckpoint(eager=True)
     approx = knn_l2_lsh(emb, cfg).localCheckpoint(eager=True)
-    k = cfg.k
-    hits = (
-        approx.select("query_id", "neighbor_id")
-        .join(exact.select("query_id", "neighbor_id"),
-              ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg((F.count("*") / k).alias("recall"))
+    rec = _recall_frame(exact, approx).agg(
+        F.round(F.avg("recall"), 4).alias("avg_recall")
     )
-    rec = (
-        exact.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .agg(F.round(F.avg(F.coalesce("recall", F.lit(0.0))), 4).alias("avg_recall"))
-    )
-    joined = exact.select("query_id", "rank", F.col("dist").alias("d_exact")).join(
-        approx.select("query_id", "rank", F.col("dist").alias("d_approx")),
-        ["query_id", "rank"],
-    )
-    ratio = F.when(F.col("d_exact") < 1e-9, F.lit(1.0)).otherwise(
-        F.col("d_approx") / F.col("d_exact")
-    )
-    rat = joined.agg(
-        F.round(F.avg(ratio), 4).alias("avg_ratio"),
-        (F.min(ratio) >= 1.0 - 1e-6).alias("ratio_sane"),
+    rat = _ratio_frame(exact, approx).agg(
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        (F.min("ratio") >= 1.0 - 1e-6).alias("ratio_sane"),
     )
     return rec.crossJoin(rat)

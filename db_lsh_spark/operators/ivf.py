@@ -45,18 +45,24 @@ def train_centroids(
     X = np.asarray(sample, dtype=np.float64)
     rng = np.random.Generator(np.random.MT19937(seed))
     cents = [X[rng.integers(len(X))]]
+    # k-means++ with a RUNNING min-distance vector: each new centroid only
+    # contributes one (n,) distance pass — O(k·n·d), not O(k²·n·d)
+    d2 = ((X - cents[0]) ** 2).sum(-1)
     for _ in range(n_centroids - 1):
-        d2 = np.min(
-            ((X[:, None, :] - np.asarray(cents)[None]) ** 2).sum(-1), axis=1
-        )
         total = d2.sum()
         if total <= 0:  # degenerate sample (all points identical)
-            cents.append(X[rng.integers(len(X))])
-            continue
-        cents.append(X[rng.choice(len(X), p=d2 / total)])
+            nxt = X[rng.integers(len(X))]
+        else:
+            nxt = X[rng.choice(len(X), p=d2 / total)]
+        cents.append(nxt)
+        d2 = np.minimum(d2, ((X - nxt) ** 2).sum(-1))
     C = np.asarray(cents)
+    x_sq_free_argmin = None  # (||c||² − 2 x·c) — same trick as assign_lists
     for _ in range(iters):
-        assign = np.argmin(((X[:, None, :] - C[None]) ** 2).sum(-1), axis=1)
+        assign = np.argmin(((C**2).sum(1)[None, :] - 2.0 * (X @ C.T)), axis=1)
+        if x_sq_free_argmin is not None and np.array_equal(assign, x_sq_free_argmin):
+            break  # converged
+        x_sq_free_argmin = assign
         for j in range(n_centroids):
             m = assign == j
             if m.any():
@@ -64,9 +70,10 @@ def train_centroids(
     return C
 
 
-def sample_vectors(emb: DataFrame, n: int = 4096, seed: int = 0) -> np.ndarray:
-    """Deterministic driver-side training sample: the first ``n`` vec_ids
-    (the fixtures are already i.i.d.; production would seed-sample)."""
+def sample_vectors(emb: DataFrame, n: int = 4096) -> np.ndarray:
+    """Deterministic driver-side training sample: the first ``n`` vec_ids.
+    (Production would draw a seeded random sample; the fixtures are already
+    i.i.d., so a prefix IS a uniform sample.)"""
     pdf = (
         emb.select("vec_id", "embedding")
         .where(F.col("vec_id") < n)
@@ -126,6 +133,11 @@ def _probe_lists(queries: DataFrame, centroids: np.ndarray, nprobe: int) -> Data
         ]
     )
 
+    # nprobe > n_lists would desync the repeat/ravel bookkeeping below
+    # (argsort slicing clamps silently; np.repeat does not) — clamp HERE,
+    # once, driver-side
+    nprobe = min(nprobe, len(C))
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_sq = (C**2).sum(1)
         for pdf in batches:
@@ -134,7 +146,6 @@ def _probe_lists(queries: DataFrame, centroids: np.ndarray, nprobe: int) -> Data
             M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             d = c_sq[None, :] - 2.0 * (M @ C.T)
             probed = np.argsort(d, axis=1)[:, :nprobe]  # (n, nprobe)
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(
@@ -147,20 +158,24 @@ def _probe_lists(queries: DataFrame, centroids: np.ndarray, nprobe: int) -> Data
     return queries.select("vec_id", "embedding").mapInPandas(gen, schema)
 
 
-def knn_ivf_pair(
+def ivf_candidates_pair(
     queries: DataFrame,
     base: DataFrame,
-    cfg: AnnConfig,
     centroids: np.ndarray,
     nprobe: int,
     exclude_self: bool = False,
+    inv: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-Flat kNN: probe ``nprobe`` lists per query, exact-L2 rerank.
-    Output schema == ``knn_bruteforce_l2_pair`` (query_id, rank,
-    neighbor_id, dist)."""
-    inv = assign_lists(base, centroids).select(
-        F.col("vec_id").alias("neighbor_id"), "list_id"
-    )
+    """Distinct (query_id, neighbor_id) candidates: each query's ``nprobe``
+    nearest lists joined against the inverted index. Pass a prebuilt
+    ``inv`` (from ``assign_lists``, renamed to (neighbor_id, list_id)) to
+    reuse one index across many probe configurations — the index build is
+    the only full-data pass in the lane."""
+    if inv is None:
+        inv = assign_lists(base, centroids).select(
+            F.col("vec_id").alias("neighbor_id"), "list_id"
+        )
+    nprobe = min(nprobe, len(centroids))
     probes = _probe_lists(queries, centroids, nprobe)
     cand = (
         F.broadcast(probes).join(inv, "list_id")
@@ -169,6 +184,23 @@ def knn_ivf_pair(
     )
     if exclude_self:
         cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    return cand
+
+
+def knn_ivf_pair(
+    queries: DataFrame,
+    base: DataFrame,
+    cfg: AnnConfig,
+    centroids: np.ndarray,
+    nprobe: int,
+    exclude_self: bool = False,
+    inv: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-Flat kNN: probe ``nprobe`` lists per query, exact-L2 rerank.
+    Output schema == ``knn_bruteforce_l2_pair`` (query_id, rank,
+    neighbor_id, dist)."""
+    cand = ivf_candidates_pair(queries, base, centroids, nprobe,
+                               exclude_self, inv)
     return _rerank_candidates_l2(cand, queries, base, cfg.k)
 
 

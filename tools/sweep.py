@@ -141,12 +141,17 @@ def main() -> None:
     cfg_ivf = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
                         k=10, n_queries=20)
     cents = ivf_ops.train_centroids(ivf_ops.sample_vectors(emb), 8, 0)
+    # the inverted index is the lane's one full-data pass — built ONCE and
+    # reused across the probe grid, so wall_sec measures probe+rerank only
+    inv = ivf_ops.assign_lists(emb, cents).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id"
+    ).localCheckpoint(eager=True)
     exact_ivf = None
     for nprobe in (2, 4, 8):
         t0 = time.monotonic()
         got = ivf_ops.knn_ivf_pair(
             emb.where(F.col("vec_id") < cfg_ivf.n_queries), emb, cfg_ivf,
-            cents, nprobe, exclude_self=True,
+            cents, nprobe, exclude_self=True, inv=inv,
         ).toPandas()
         wall = time.monotonic() - t0
         if exact_ivf is None:
