@@ -40,15 +40,36 @@ ANN_CFG_L2 = AnnConfig(
 DOC_DEDUP_CFG = DedupConfig(jaccard_threshold=NEAR_DUP_THRESHOLD, shingle_k=SHINGLE_K)
 
 
+def _ensure_worker_pythonpath(spark: SparkSession) -> None:
+    """Python workers don't inherit the driver's sys.path mutations: a
+    session whose driver imported this module via ``sys.path.insert`` from
+    another cwd would fail to unpickle the package's pandas UDFs on the
+    worker side. Shipping the content-addressed package zip once per
+    session (``addPyFile`` — the runtime twin of --py-files) makes the
+    contract cwd-independent."""
+    if getattr(spark, "_dblsh_pyfiles_added", False):
+        return
+    try:
+        from db_lsh_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # e.g. zip already registered under this name — workers have it
+    spark._dblsh_pyfiles_added = True
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_worker_pythonpath(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_worker_pythonpath(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_worker_pythonpath(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
