@@ -35,6 +35,15 @@ from dataclasses import asdict, dataclass, field
 # exact and platform-identical, which makes oracle/Spark parity trivial.
 HASH_BITS = 32
 
+# Bound on probe cells enumerated per band (per round, in the adaptive
+# loop's ring schedule; in one shot for a fixed probe_range): the offset
+# tuples are enumerated driver-side and replicated into every probe batch,
+# so an unbounded radius explodes both (255^3 tuples at rows=3). Past this
+# point the effective window already covers essentially the whole keyspace;
+# the reference likewise caps its widening rounds (Query.cpp:86: 30-round
+# cap). Validated at config-construction time (ADVICE r03).
+MAX_PROBES_PER_BAND = 4096
+
 
 @dataclass(frozen=True)
 class DedupConfig:
@@ -132,6 +141,16 @@ class AnnConfig:
             # cells and make every LSH lane return empty frames (recall 0
             # with no error)
             raise ValueError("probe_range/probe_hamming must be >= 0")
+        ball = (2 * self.probe_range + 1) ** self.rows
+        if ball > MAX_PROBES_PER_BAND:
+            # the L2 probe ball is enumerated driver-side and shipped in
+            # every probe batch: (2r+1)^rows tuples per band — e.g.
+            # probe_range=8 at rows=4 is ~83k offsets, silently (ADVICE r03)
+            raise ValueError(
+                f"probe ball (2*{self.probe_range}+1)^{self.rows} = {ball} "
+                f"exceeds MAX_PROBES_PER_BAND ({MAX_PROBES_PER_BAND}); "
+                "lower probe_range or rows"
+            )
 
     def candidate_budget(self, n: int) -> int:
         """T = beta*N + k — the reference's per-query candidate budget

@@ -41,7 +41,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from db_lsh_spark.config import AnnConfig
+from db_lsh_spark.config import MAX_PROBES_PER_BAND, AnnConfig
 # one set of mixing constants engine-wide (same FNV/golden-ratio values the
 # MinHash band fold uses — functions/hashing.py:33-35)
 from db_lsh_spark.functions.hashing import _FNV_OFFSET, _FNV_PRIME, _GOLDEN
@@ -339,14 +339,9 @@ def l2_range_neighbors(
     )
 
 
-# bound on probe cells enumerated per band per round: the ring between
-# radii lo and hi has (2hi+1)^rows - (2lo+1)^rows offsets, and the geometric
-# schedule reaches radii where that explodes (255^3 tuples); rounds whose
-# ring would exceed this are not attempted — at that point the effective
-# window already covers essentially the whole keyspace and further widening
-# cannot add recall worth the cost (the reference likewise caps its rounds,
-# Query.cpp:86: 30-round cap)
-MAX_PROBES_PER_BAND = 4096
+# MAX_PROBES_PER_BAND lives in config.py (so AnnConfig can validate the
+# probe ball at construction time, ADVICE r03) and is re-exported via the
+# top-level import above for existing callers.
 
 
 def radius_schedule(cfg: AnnConfig, max_rounds: int = 8) -> list[int]:
@@ -409,7 +404,6 @@ def knn_l2_lsh_adaptive_pair(
     rounds: list[dict] = []
     radii = radius_schedule(cfg)
     prev_r = -1
-    prev_total = -1
     for t, r in enumerate(radii):
         probe_src = queries if pending_df is None else queries.join(
             pending_df, queries.vec_id == pending_df.query_id, "left_semi"
@@ -441,17 +435,134 @@ def knn_l2_lsh_adaptive_pair(
                 "queries_under_budget": len(pending),
             }
         )
-        total = int(sum(counts.values()))
-        if not pending or total == prev_total:
-            # budget met everywhere, or the widened ring added nothing —
-            # further rounds cannot change the candidate set
-            break
-        prev_total = total
+        if not pending:
+            break  # budget met for every query
+        # NO no-progress break (VERDICT r03 #2 / ADVICE): an empty ring at
+        # radius r_t does NOT imply empty rings at r_{t+1} — an isolated
+        # query whose nearest base cells sit several rings out would be
+        # stranded below budget. Like the cosine twin (ann.py), the loop
+        # runs until every query meets budget or the radius schedule is
+        # exhausted (the schedule is short: bounded by MAX_PROBES_PER_BAND
+        # and the reference's own round cap, Query.cpp:86).
         prev_r = r
         pending_df = cand.sparkSession.createDataFrame(
             [(int(q),) for q in pending], "query_id long"
         )
     return _rerank_candidates_l2(cand, queries, base, cfg.k), rounds
+
+
+def l2_near_dup_pairs(emb: DataFrame, radius: float) -> DataFrame:
+    """Embedding near-duplicate pairs under EUCLIDEAN distance, BRUTE
+    FORCE: all (id_a < id_b) with dist <= radius via a self cross join —
+    the ground-truth / oracle lane only (``Preprocess.cpp:195-227``
+    analogue). The production path is ``l2_near_dup_pairs_lsh``; keeping
+    both green against the same SQL is the recall-1 claim."""
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), _as_double("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), _as_double("embedding").alias("eb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_l2_dist(F.col("ea"), F.col("eb")), 6).alias("dist"),
+        )
+        .where(F.col("dist") <= radius)
+    )
+
+
+def l2_near_dup_pairs_lsh(
+    emb: DataFrame,
+    radius: float,
+    cfg: AnnConfig,
+    max_bucket: int | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Embedding near-duplicate pairs under Euclidean distance, E2LSH-
+    bucketed — the ALL-TO-ALL rendition of the reference's (R, c)-NN
+    primitive (``Query.cpp:50-115``), i.e. Euclidean-radius dedup over the
+    whole corpus (VERDICT r03 #3). Same shape as the cosine twin
+    (``ann.cosine_near_dup_pairs_lsh``) with the E2LSH cell kernel:
+
+    1. slim E2LSH codes (vec_id, band, band_code), one row per band;
+    2. LEFT side probe-expanded to the L-inf cell ball of radius
+       ``cfg.probe_range`` — two vectors become candidates iff some band's
+       cells are within that distance (the ball is symmetric, so one-sided
+       expansion + id_a < id_b covers every pair once);
+    3. shuffle hash join on (band, band_code), id_a < id_b, dedup BEFORE
+       any vector is fetched;
+    4. with ``max_bucket`` set, the exact-code side is capped per bucket
+       first (``bands.cap_buckets`` — the census-gated salted cap the
+       MinHash lane uses, ``candidates.py:22-54``): a degenerate corpus
+       (many identical vectors → one mega-cell) is bounded at
+       max_bucket²/2 pairs per bucket instead of B²/2. The overflow
+       census is returned alongside so capping is never silent;
+    5. exact-L2 filter dist <= radius per deduped candidate (einsum per
+       Arrow batch, value-identical to the JVM brute-force expression
+       after 1e-6 rounding).
+
+    Returns pairs (id_a, id_b, dist); with ``max_bucket`` set returns
+    (pairs, overflow_census)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    codes = l2_codes(emb, cfg)
+    overflow = None
+    if max_bucket is not None:
+        from db_lsh_spark.operators.bands import cap_buckets
+
+        renamed = codes.select(
+            F.col("vec_id").alias("file_id"), "band",
+            F.col("band_code").alias("band_hash"),
+        )
+        capped, overflow = cap_buckets(renamed, max_bucket, salt_buckets)
+        codes = capped.select(
+            F.col("file_id").alias("vec_id"), "band",
+            F.col("band_hash").alias("band_code"),
+        )
+    left = l2_probe_codes(emb, cfg).select(
+        F.col("vec_id").alias("id_a"), "band", "band_code"
+    )
+    right = codes.select(F.col("vec_id").alias("id_b"), "band", "band_code")
+    cand = (
+        left.join(right, ["band", "band_code"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"),
+                    _as_double("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"),
+                    _as_double("embedding").alias("eb"))
+    joined = cand.join(ea, "id_a").join(eb, "id_b")
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("dist", DoubleType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["ea"].to_numpy())
+            B = np.stack(pdf["eb"].to_numpy())
+            d = np.round(np.sqrt(((A - B) ** 2).sum(axis=1)), 6)
+            out = pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "dist": d}
+            )
+            yield out[out.dist <= radius]
+
+    pairs = joined.mapInPandas(gen, schema)
+    return (pairs, overflow) if max_bucket is not None else pairs
 
 
 def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:

@@ -69,13 +69,17 @@ def simhash_prefilter(
     sims = signatures.select("file_id", "simhash")
     a = sims.select(F.col("file_id").alias("id_a"), F.col("simhash").alias("sim_a"))
     b = sims.select(F.col("file_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    # LEFT joins: a prefilter must FAIL OPEN (ADVICE r03). A pair whose id
+    # has no signature row (a caller passing a narrower signatures frame)
+    # keeps NULL fingerprints and passes through to the exact verify; only
+    # pairs where BOTH fingerprints are present can be dropped.
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        pairs.join(a, "id_a", "left")
+        .join(b, "id_b", "left")
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
         )
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.col("hamming").isNull() | (F.col("hamming") <= max_hamming))
         .select("id_a", "id_b", "hamming")
     )

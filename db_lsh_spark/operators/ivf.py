@@ -3,10 +3,15 @@ LSH lanes (task brief: "an IVF or LSH-bucketed variant as the scale path").
 
 Shape (the standard IVF-Flat design, rendered Spark-native):
 
-1. ``train_centroids`` — seeded k-means (k-means++ init, Lloyd iterations)
-   on a driver-side SAMPLE. At 100 TB the quantizer is always trained on a
-   sample (centroid count ≪ N); the centroid matrix is a few KB and ships
-   in task closures like the LSH ``HashParams``.
+1. Quantizer training on a seeded uniform SAMPLE (``sample_vectors``:
+   hash-ordered top-n — deterministic across partition layouts, no
+   shuffle). ``train_centroids`` (k-means++ + Lloyd) below 64 lists;
+   ``train_centroids_minibatch`` (Sculley minibatch + empty-list repair)
+   at production list counts. At 100 TB the quantizer is always trained
+   on a sample (centroid count ≪ N); the centroid matrix ships in task
+   closures like the LSH ``HashParams`` and persists as an index artifact
+   through ``StageStore`` (``build_or_load_centroids``) exactly as the
+   reference persists its trees (``dblsh.cpp:101-184``).
 2. ``assign_lists`` — one BLAS argmin per Arrow batch maps every vector to
    its nearest centroid: the slim (vec_id, list_id) inverted index. This
    is the only full-data pass, and it shuffles nothing.
@@ -70,17 +75,155 @@ def train_centroids(
     return C
 
 
-def sample_vectors(emb: DataFrame, n: int = 4096) -> np.ndarray:
-    """Deterministic driver-side training sample: the first ``n`` vec_ids.
-    (Production would draw a seeded random sample; the fixtures are already
-    i.i.d., so a prefix IS a uniform sample.)"""
+def sample_vectors(emb: DataFrame, n: int = 4096, seed: int = 0) -> np.ndarray:
+    """Seeded UNIFORM training sample, collected driver-side (VERDICT r03
+    #1 — replaces the fixture-only id-prefix sample, which on real sorted/
+    clustered data trained the quantizer on whatever sorts first).
+
+    The sample is the ``n`` rows with the smallest ``xxhash64(vec_id,
+    seed)`` — a deterministic random permutation rank. Unlike
+    ``df.sample`` (whose draw depends on the partition layout), this is
+    reproducible across repartitions/resumes, and it executes as
+    TakeOrderedAndProject: each scan task keeps its local top-n by hash,
+    the driver merges — no shuffle of the big table, no full collect.
+    Rows are returned in hash order (a seeded shuffle), which is exactly
+    what minibatch training wants to slice sequential batches from."""
     pdf = (
         emb.select("vec_id", "embedding")
-        .where(F.col("vec_id") < n)
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .limit(n)
         .toPandas()
-        .sort_values("vec_id")
     )
     return np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+
+
+def _nearest(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_j ||x - c_j||² per row — one matmul (||c||² − 2 x·c)."""
+    return np.argmin((C**2).sum(1)[None, :] - 2.0 * (X @ C.T), axis=1)
+
+
+def _repair_empty_lists(
+    C: np.ndarray, X: np.ndarray, rng: np.random.Generator
+) -> tuple[np.ndarray, int]:
+    """Relocate centroids whose Voronoi cell over ``X`` is EMPTY to the
+    sample points farthest from their current centroid (the standard
+    k-means empty-cluster repair). Imbalance is self-correcting once every
+    list is non-empty; emptiness is not — an empty list is dead index
+    space and a probe that can never return candidates. Returns the
+    repaired matrix and the number of relocations."""
+    assign = _nearest(X, C)
+    empty = np.setdiff1d(np.arange(len(C)), np.unique(assign))
+    if not len(empty):
+        return C, 0
+    d2 = ((X - C[assign]) ** 2).sum(1)
+    # farthest points first; ties broken by index (deterministic)
+    order = np.argsort(-d2, kind="stable")
+    C = C.copy()
+    for j, pt in zip(empty, order):
+        C[j] = X[pt]
+    return C, len(empty)
+
+
+def train_centroids_minibatch(
+    sample: np.ndarray,
+    n_centroids: int,
+    seed: int = 0,
+    batch_size: int = 1024,
+    iters: int = 60,
+) -> np.ndarray:
+    """Seeded MINIBATCH k-means (Sculley 2010) — the quantizer trainer for
+    production list counts (VERDICT r03 #1: hundreds-to-thousands of lists,
+    where full Lloyd over the sample is O(iters·S·k·d) and too slow).
+
+    Per iteration: one seeded batch, one assignment matmul, per-centroid
+    moving-average update with learning rate 1/count. Deterministic for
+    (sample, n_centroids, seed). Init is a seeded random pick of distinct
+    rows (k-means++ over a large sample at k in the thousands is itself
+    O(k·S·d) — the minibatch regime's standard init). After training,
+    empty lists are repaired against the full sample and assignments
+    re-checked once — every returned centroid owns at least one sample
+    point."""
+    X = np.asarray(sample, dtype=np.float64)
+    if n_centroids > len(X):
+        raise ValueError(
+            f"n_centroids {n_centroids} exceeds sample size {len(X)}; "
+            "raise sample_n"
+        )
+    rng = np.random.Generator(np.random.MT19937(seed))
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)].copy()
+    counts = np.zeros(n_centroids, dtype=np.int64)
+    for _ in range(iters):
+        batch = X[rng.integers(0, len(X), size=min(batch_size, len(X)))]
+        assign = _nearest(batch, C)
+        # per-centroid gradient step: c += (1/count) * (x - c) for each
+        # member, applied batched via bincount sums
+        np.add.at(counts, assign, 1)
+        for j in np.unique(assign):
+            m = assign == j
+            eta = m.sum() / counts[j]
+            C[j] = (1 - eta) * C[j] + eta * batch[m].mean(0)
+    for _ in range(3):  # repair is usually one pass; bounded regardless
+        C, moved = _repair_empty_lists(C, X, rng)
+        if not moved:
+            break
+    return C
+
+
+def centroids_to_frame(spark, centroids: np.ndarray) -> DataFrame:
+    """Centroid matrix → (list_id, centroid) frame — the persistable form
+    of the quantizer artifact."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "list_id": np.arange(len(centroids), dtype=np.int32),
+                "centroid": [row.tolist() for row in centroids],
+            }
+        ),
+        "list_id int, centroid array<double>",
+    )
+
+
+def frame_to_centroids(df: DataFrame) -> np.ndarray:
+    """Inverse of ``centroids_to_frame`` (order restored by list_id)."""
+    pdf = df.toPandas().sort_values("list_id")
+    if not np.array_equal(pdf.list_id.to_numpy(), np.arange(len(pdf))):
+        raise ValueError("centroid artifact has missing/duplicate list_ids")
+    return np.stack(pdf.centroid.to_numpy()).astype(np.float64)
+
+
+def build_or_load_centroids(
+    spark,
+    emb: DataFrame,
+    store,
+    n_lists: int,
+    seed: int = 0,
+    sample_n: int | None = None,
+    stage: str = "ivf_centroids",
+) -> np.ndarray:
+    """Create-or-load the quantizer artifact through a ``StageStore`` —
+    the quantizer is INDEX STATE, persisted exactly as the reference
+    persists its trees (``dblsh.cpp:101-184`` → PageFile; VERDICT r03 #1).
+    A config change (different fingerprint on the store) invalidates the
+    artifact like any other stage; a resume run loads it without touching
+    the data.
+
+    ``sample_n`` defaults to 64 samples per list (min 4096) — the usual
+    k-means sizing heuristic; training is minibatch for > 64 lists, full
+    Lloyd below (small-k accuracy at trivial cost)."""
+    if sample_n is None:
+        sample_n = max(4096, 64 * n_lists)
+
+    def builder() -> DataFrame:
+        S = sample_vectors(emb, n=sample_n, seed=seed)
+        if n_lists > 64:
+            C = train_centroids_minibatch(S, n_lists, seed=seed)
+        else:
+            C = train_centroids(S, n_lists, seed=seed)
+        return centroids_to_frame(spark, C)
+
+    return frame_to_centroids(store.run_stage(spark, stage, builder))
 
 
 def assign_lists(emb: DataFrame, centroids: np.ndarray) -> DataFrame:

@@ -7,6 +7,7 @@ formats — the full `lshknn` flow of ``main.cpp:129-183``:
         [--metric l2|cosine] [--k 10] [--n-queries 200] \
         [--planes 24] [--bands 8] [--rows 3] \
         [--probe-hamming 1] [--bucket-width 1.0] [--probe-range 1] \
+        [--index lsh|ivf] [--n-lists 64] [--nprobe 8] [--index-dir DIR] \
         [--seed 0] [--results results.csv]
 
 Reads the binary dataset (header {4, N, dim} + float32 rows,
@@ -61,6 +62,17 @@ def main(argv: list[str] | None = None) -> None:
                         "beta*N + k, the reference's dynamic query loop) "
                         "instead of the fixed probe radius")
     p.add_argument("--beta", type=float, default=0.1)
+    p.add_argument("--index", choices=("lsh", "ivf"), default="lsh",
+                   help="candidate index: LSH buckets (the reference's) or "
+                        "IVF-Flat coarse quantizer (l2 only)")
+    p.add_argument("--n-lists", type=int, default=64,
+                   help="ivf: number of inverted lists (centroids)")
+    p.add_argument("--nprobe", type=int, default=8,
+                   help="ivf: lists probed per query")
+    p.add_argument("--index-dir", default=None,
+                   help="ivf: persist/load the centroid artifact through a "
+                        "StageStore rooted here (index state, like the "
+                        "reference's page-file trees)")
     p.add_argument("--results", default=None,
                    help="append the metrics row to this CSV (header iff empty)")
     args = p.parse_args(argv)
@@ -115,8 +127,8 @@ def _spot_check_dists(cached_pdf, queries, base, metric: str) -> bool:
         r.vec_id: np.asarray(r.embedding, dtype=np.float64)
         for r in base.where(F.col("vec_id").isin(nb_ids)).collect()
     }
-    for _, row in head.iterrows():
-        v = nb.get(int(row.neighbor_id))
+    for nb_id, cached_d in zip(head.neighbor_id, head.dist):
+        v = nb.get(int(nb_id))
         if v is None:
             return False
         if metric == "l2":
@@ -125,7 +137,7 @@ def _spot_check_dists(cached_pdf, queries, base, metric: str) -> bool:
             denom = np.linalg.norm(qv) * np.linalg.norm(v)
             d = float(1.0 - (qv @ v) / denom) if denom else float("nan")
         # ben stores float32 distances; tolerate storage rounding only
-        if not np.isfinite(d) or abs(d - float(row.dist)) > 1e-3 * max(1.0, d):
+        if not np.isfinite(d) or abs(d - float(cached_d)) > 1e-3 * max(1.0, d):
             return False
     return True
 
@@ -172,6 +184,16 @@ def _pivot_ground_truth(pdf, n_queries: int, k: int):
     error instead of a reshape ValueError deep in NumPy (ADVICE r02)."""
     import numpy as np
 
+    # the ben format stores int32 neighbor indices (Preprocess.cpp:231-246)
+    # — an id >= 2^31 would silently WRAP in the cast below and write a
+    # corrupt cache (ADVICE r03); the limit is inherent to the format, so
+    # fail loudly at the boundary
+    if len(pdf) and int(pdf.neighbor_id.max()) >= 2**31:
+        raise ValueError(
+            f"neighbor_id {int(pdf.neighbor_id.max())} exceeds the ben "
+            "format's int32 index range; the cache cannot represent this "
+            "dataset — run without --ben"
+        )
     idx = np.full((n_queries, k), -1, dtype=np.int32)
     dst = np.full((n_queries, k), np.nan, dtype=np.float32)
     q = pdf.query_id.to_numpy(np.int64)
@@ -252,6 +274,10 @@ def run(spark, args) -> dict:
         beta=getattr(args, "beta", 0.1),
     )
     adaptive = bool(getattr(args, "adaptive", False)) and metric == "l2"
+    index_kind = getattr(args, "index", "lsh")
+    if index_kind == "ivf" and metric != "l2":
+        raise ValueError("--index ivf requires --metric l2 (IVF-Flat is a "
+                         "Euclidean quantizer)")
 
     # ---- ground truth: create-or-load (ben_create, Preprocess.cpp:268-296)
     # exact carries (query_id, rank, neighbor_id, dist); dist is EUCLIDEAN
@@ -281,7 +307,41 @@ def run(spark, args) -> dict:
     t0 = time.monotonic()
     n_cand = None
     widen_rounds = None
-    if adaptive:
+    if index_kind == "ivf":
+        # IVF-Flat through the reference protocol (VERDICT r03 #4): the
+        # quantizer is trained on the PEELED base (the same frame the ben
+        # indices are relative to) and — with --index-dir — persisted as
+        # an index artifact, create-or-loaded like the reference's trees
+        # (dblsh.cpp:101-184)
+        from db_lsh_spark.operators import ivf as ivf_ops
+
+        n_lists = min(getattr(args, "n_lists", 64), n_base)
+        nprobe = getattr(args, "nprobe", 8)
+        index_dir = getattr(args, "index_dir", None)
+        if index_dir:
+            from db_lsh_spark.sources.io import StageStore
+
+            store = StageStore(index_dir,
+                               fingerprint=f"{cfg.fingerprint()}-ivf{n_lists}")
+            cents = ivf_ops.build_or_load_centroids(
+                spark, base, store, n_lists, seed=args.seed
+            )
+        else:
+            sample = ivf_ops.sample_vectors(
+                base, n=max(4096, 64 * n_lists), seed=args.seed
+            )
+            if n_lists > 64:
+                cents = ivf_ops.train_centroids_minibatch(
+                    sample, n_lists, seed=args.seed
+                )
+            else:
+                cents = ivf_ops.train_centroids(sample, n_lists, seed=args.seed)
+        cand = ivf_ops.ivf_candidates_pair(queries, base, cents, nprobe)
+        cand = cand.localCheckpoint(eager=True)
+        approx = l2_ops._rerank_candidates_l2(cand, queries, base, k)
+        approx = approx.localCheckpoint(eager=True)
+        approx_d = approx
+    elif adaptive:
         # the reference's ACTUAL query loop: widen the window by c per
         # round until T = beta*N + k candidates per query (Query.cpp:76-100)
         approx, rounds = l2_ops.knn_l2_lsh_adaptive_pair(queries, base, cfg)
@@ -330,6 +390,7 @@ def run(spark, args) -> dict:
     cost = n_cand / (n_queries * max(1, n_base))
     row = {
         "metric_space": metric,
+        "index": index_kind,
         "adaptive": adaptive,
         "widen_rounds": widen_rounds,
         "n": n_queries + n_base, "n_base": n_base, "dim": dim, "k": k,
@@ -337,6 +398,10 @@ def run(spark, args) -> dict:
         "bands": cfg.bands, "rows": cfg.rows,
         "probe_hamming": cfg.probe_hamming,
         "bucket_width": cfg.bucket_width, "probe_range": cfg.probe_range,
+        # fixed column set across index kinds (one history CSV serves both;
+        # header-iff-empty would reject a drifting schema)
+        "n_lists": n_lists if index_kind == "ivf" else None,
+        "nprobe": nprobe if index_kind == "ivf" else None,
         "recall": round(recall, 4),
         "ratio": round(ratio, 4),
         "cost": round(cost, 4),

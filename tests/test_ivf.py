@@ -101,3 +101,94 @@ def test_nprobe_clamped_to_list_count(emb):
         map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]].values.tolist())
     )
     assert key(got) == key(full)
+
+
+# ---------------------------------------------------------------------------
+# round-4: production quantizer path (VERDICT r03 #1)
+# ---------------------------------------------------------------------------
+def test_sample_vectors_partition_independent(emb):
+    """The seeded sample must be identical regardless of partition layout
+    (df.sample would not be) — the resume/determinism contract."""
+    a = ivf.sample_vectors(emb, n=64, seed=7)
+    b = ivf.sample_vectors(emb.repartition(13), n=64, seed=7)
+    assert np.array_equal(a, b)
+    c = ivf.sample_vectors(emb, n=64, seed=8)
+    assert not np.array_equal(a, c)  # seed actually matters
+
+
+def test_minibatch_deterministic_and_no_empty_lists():
+    rng = np.random.Generator(np.random.MT19937(5))
+    X = rng.normal(size=(4000, 16))
+    a = ivf.train_centroids_minibatch(X, 128, seed=0)
+    b = ivf.train_centroids_minibatch(X, 128, seed=0)
+    assert np.array_equal(a, b)
+    assert a.shape == (128, 16)
+    # every list owns at least one sample point (empty-list repair)
+    assign = ivf._nearest(X, a)
+    assert len(np.unique(assign)) == 128
+
+
+def test_minibatch_rejects_oversized_k():
+    X = np.zeros((10, 4))
+    with pytest.raises(ValueError, match="sample size"):
+        ivf.train_centroids_minibatch(X, 11)
+
+
+def test_empty_list_repair_relocates():
+    """A centroid parked far from all data (guaranteed-empty Voronoi cell)
+    must be relocated onto a sample point."""
+    rng = np.random.Generator(np.random.MT19937(9))
+    X = rng.normal(size=(500, 8))
+    C = ivf.train_centroids(X, 7, seed=0)
+    C_bad = np.vstack([C, np.full((1, 8), 1e6)])
+    fixed, moved = ivf._repair_empty_lists(C_bad, X, rng)
+    assert moved == 1
+    assert len(np.unique(ivf._nearest(X, fixed))) == 8
+
+
+def test_minibatch_ivf_prunes_at_production_list_count(spark):
+    """VERDICT r03 #1 done-criterion: planted clusters, n_lists >= 64
+    minibatch-trained, recall 1 with candidate fraction < 0.1."""
+    rng = np.random.Generator(np.random.MT19937(13))
+    n_clusters, per, dim = 80, 40, 16
+    cents = rng.normal(size=(n_clusters, dim)) * 4.0
+    pts = np.repeat(cents, per, axis=0) + rng.normal(
+        size=(n_clusters * per, dim)
+    ) * 0.01
+    emb = spark.createDataFrame(
+        [(int(i), pts[i].astype(float).tolist()) for i in range(len(pts))],
+        "vec_id long, embedding array<double>",
+    )
+    n_lists, nprobe, n_queries = 64, 4, 10
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2, k=5,
+                    n_queries=n_queries)
+    trained = ivf.train_centroids_minibatch(pts, n_lists, seed=0)
+    queries = emb.where(F.col("vec_id") < n_queries)
+    exact = ann_l2.knn_bruteforce_l2(emb, cfg).toPandas()
+    got = ivf.knn_ivf_pair(queries, emb, cfg, trained, nprobe=nprobe,
+                           exclude_self=True).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id"]].values.tolist())
+    )
+    assert key(got) == key(exact), "recall < 1 at nprobe=4/64"
+    cand = ivf.ivf_candidates_pair(queries, emb, trained, nprobe=nprobe)
+    frac = cand.count() / (n_queries * len(pts))
+    assert frac < 0.1, f"candidate fraction {frac} >= 0.1"
+
+
+def test_centroid_artifact_create_then_load(spark, emb, tmp_path):
+    """The quantizer is index state: first call trains + persists through
+    StageStore; second call LOADS (skipped stage) and returns the identical
+    matrix; a different fingerprint (config change) retrains."""
+    from db_lsh_spark.sources.io import StageStore
+
+    store = StageStore(str(tmp_path / "ivf"), fingerprint="cfgA")
+    C1 = ivf.build_or_load_centroids(spark, emb, store, n_lists=8, seed=0)
+    assert not store.results[-1].skipped
+    C2 = ivf.build_or_load_centroids(spark, emb, store, n_lists=8, seed=0)
+    assert store.results[-1].skipped
+    assert np.array_equal(C1, C2)
+    store_b = StageStore(str(tmp_path / "ivf"), fingerprint="cfgB")
+    C3 = ivf.build_or_load_centroids(spark, emb, store_b, n_lists=8, seed=0)
+    assert not store_b.results[-1].skipped
+    assert np.array_equal(C1, C3)  # same seed/sample → same quantizer

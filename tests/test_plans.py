@@ -122,6 +122,7 @@ def test_no_cartesian_in_any_driver_query(spark):
         "emb_near_dup_pairs",   # the brute-force pair oracle
         "emb_knn_l2",           # L2 ground truth: same query-broadcast shape
         "emb_l2_recall",        # composes the L2 brute force + LSH lane
+        "emb_l2_near_dup_pairs",  # the L2 brute-force pair oracle
     }
     offenders = []
     for name, fn in entrymod.queries().items():

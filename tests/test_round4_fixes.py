@@ -1,0 +1,131 @@
+"""Round-4 fix tests (VERDICT r03 #2/#5 + ADVICE r03 items): the adaptive
+L2 loop must not stop on one empty ring, the probe ball is validated at
+config time, the SimHash prefilter fails open, and the ben pivot rejects
+ids outside the format's int32 range."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from db_lsh_spark.config import MAX_PROBES_PER_BAND, AnnConfig
+from db_lsh_spark.operators import ann_l2
+
+
+def _isolated_fixture(cfg: AnnConfig, n_base: int = 30):
+    """Deterministic (query, base) vectors whose E2LSH cells are >= 2 rings
+    apart in EVERY band at cfg's window — verified against the shared
+    kernel, not assumed. The base cluster sits at distance D along a fixed
+    direction; D is chosen (from a deterministic ladder) so that
+    2 <= min_band(Linf cell dist) <= max schedule radius."""
+    rng = np.random.default_rng(40)
+    u = rng.normal(size=cfg.dim)
+    u /= np.linalg.norm(u)
+    q = rng.normal(scale=0.01, size=cfg.dim)
+    A, b = ann_l2.draw_projections(cfg)
+    radii = ann_l2.radius_schedule(cfg)
+    for scale in (8.0, 16.0, 32.0, 48.0, 64.0):
+        base = q + scale * u + rng.normal(scale=1e-3, size=(n_base, cfg.dim))
+        M = np.vstack([q[None, :], base])
+        cells = ann_l2.cell_codes_batch(
+            M, A, b, cfg.bucket_width, cfg.bands, cfg.rows
+        )
+        # L-inf cell distance from the query to its NEAREST base point,
+        # minimized over bands (the radius at which probing first hits)
+        d = np.abs(cells[1:] - cells[0]).max(axis=2).min(axis=1).min()
+        if 2 <= d <= radii[-1]:
+            return M, int(d)
+    raise AssertionError("no scale produced an isolated-but-reachable query")
+
+
+def test_adaptive_l2_widens_past_empty_rings(spark):
+    """VERDICT r03 #2: an isolated query whose nearest base cells are >= 2
+    rings out must KEEP widening (the old total==prev_total heuristic broke
+    after one empty ring and stranded it below budget with zero rows)."""
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                    bucket_width=1.0, probe_range=1, k=3, n_queries=1)
+    M, first_hit_radius = _isolated_fixture(cfg)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(len(M)),
+                      "embedding": [r.tolist() for r in M]})
+    )
+    topk, rounds = ann_l2.knn_l2_lsh_adaptive(emb, cfg, budget=1)
+    got = topk.toPandas()
+    assert len(got) == cfg.k, f"isolated query stranded: {rounds}"
+    # the first hit happened at a radius past at least one EMPTY ring
+    empty_rounds = [r for r in rounds if r["cum_candidates"] == 0]
+    assert empty_rounds, f"fixture not isolated: {rounds}"
+    assert rounds[-1]["probe_radius"] >= first_hit_radius
+
+
+def test_adaptive_l2_still_stops_when_budget_met(spark):
+    """The budget stop (not pending) is unchanged: a trivially-met budget
+    ends the loop after round 0."""
+    sf = "/root/testdata/sf0.001"
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                    bucket_width=1.0, probe_range=1, k=5, n_queries=5)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    _, rounds = ann_l2.knn_l2_lsh_adaptive(emb, cfg, budget=1)
+    assert len(rounds) == 1
+    assert rounds[-1]["queries_under_budget"] == 0
+
+
+def test_probe_ball_validated_at_config_time():
+    """ADVICE r03: (2*probe_range+1)**rows must be bounded — probe_range=8
+    at rows=4 would silently enumerate ~83k offsets per band."""
+    with pytest.raises(ValueError, match="MAX_PROBES_PER_BAND"):
+        AnnConfig(metric="l2", n_planes=32, bands=8, rows=4, probe_range=8)
+    # boundary: the largest legal ball still constructs
+    r_ok = 1
+    while (2 * (r_ok + 1) + 1) ** 2 <= MAX_PROBES_PER_BAND:
+        r_ok += 1
+    AnnConfig(metric="l2", n_planes=16, bands=8, rows=2, probe_range=r_ok)
+
+
+def test_simhash_prefilter_fails_open(spark):
+    """ADVICE r03: a candidate pair whose id lacks a signature row must
+    pass through (NULL hamming), not be dropped — a prefilter fails open."""
+    from db_lsh_spark.operators.candidates import simhash_prefilter
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    # id 3 and 5 have no signature rows; 1<->2 differ in 1 bit (kept),
+    # 4 has a signature but its partner 5 does not (kept: fail open)
+    sigs = spark.createDataFrame(
+        [(1, 0b1111), (2, 0b1110), (4, 0)], "file_id long, simhash long"
+    )
+    out = simhash_prefilter(pairs, sigs, max_hamming=2).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(out.id_a, out.id_b)}
+    assert got == {(1, 2), (1, 3), (4, 5)}
+    # and a genuinely-far pair with BOTH fingerprints present is dropped
+    far = spark.createDataFrame([(1, 6)], "id_a long, id_b long")
+    sigs2 = sigs.union(
+        spark.createDataFrame([(6, 0b111111110000)], "file_id long, simhash long")
+    )
+    assert simhash_prefilter(far, sigs2, max_hamming=2).count() == 0
+
+
+def test_pivot_ground_truth_rejects_int32_overflow():
+    """ADVICE r03: a neighbor_id >= 2^31 cannot be represented in the ben
+    format's int32 indices — the pivot must raise, not wrap."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_ann_r4",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "run_ann.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pdf = pd.DataFrame(
+        {"query_id": [0], "rank": [1], "neighbor_id": [2**31], "dist": [0.5]}
+    )
+    with pytest.raises(ValueError, match="int32"):
+        mod._pivot_ground_truth(pdf, n_queries=1, k=1)
+    ok = pd.DataFrame(
+        {"query_id": [0], "rank": [1], "neighbor_id": [2**31 - 1], "dist": [0.5]}
+    )
+    idx, dst = mod._pivot_ground_truth(ok, n_queries=1, k=1)
+    assert idx[0, 0] == 2**31 - 1

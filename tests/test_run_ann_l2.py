@@ -186,3 +186,47 @@ def test_adaptive_entry_mode(spark, run_ann, dataset, tmp_path):
                                    bucket_width=0.5))
     assert out["adaptive"] and out["widen_rounds"] >= 2
     assert out["recall"] == 1.0 and out["ratio"] == 1.0
+
+
+def test_ivf_entry_mode(spark, run_ann, dataset, tmp_path):
+    """--index ivf drives the IVF-Flat lane through the reference protocol
+    (VERDICT r03 #4): ben-scored RECALL/RATIO/COST on a *_new file, one
+    history row, centroid artifact create-or-loaded from --index-dir."""
+    data, _ = dataset
+    ben = str(tmp_path / "ivf.ben")
+    csv_path = str(tmp_path / "ivf_results.csv")
+    idx_dir = str(tmp_path / "ivf_index")
+    args = _args(data, ben, index="ivf", n_lists=8, nprobe=8,
+                 index_dir=idx_dir, results=csv_path)
+    first = run_ann.run(spark, args)
+    assert first["index"] == "ivf"
+    # nprobe == n_lists probes every list → exact result, recall/ratio 1
+    assert first["recall"] == 1.0 and first["ratio"] == 1.0
+    assert first["n_lists"] == 8 and first["nprobe"] == 8
+    assert os.path.exists(os.path.join(idx_dir, "ivf_centroids",
+                                       "_MANIFEST.json"))
+    # second run: ben cache AND centroid artifact both load
+    second = run_ann.run(spark, args)
+    assert second["ben_loaded_from_cache"]
+    assert second["recall"] == first["recall"]
+    lines = open(csv_path).read().strip().splitlines()
+    assert len(lines) == 3  # header + 2 rows
+    assert "n_lists" in lines[0]
+
+
+def test_ivf_entry_prunes_cost(spark, run_ann, dataset, tmp_path):
+    """nprobe < n_lists must report cost < 1 (the probe join actually
+    restricts candidates) while the rerank keeps ratio sane."""
+    data, _ = dataset
+    out = run_ann.run(spark, _args(data, None, index="ivf", n_lists=16,
+                                   nprobe=4))
+    assert out["cost"] < 0.9
+    assert out["ratio"] >= 1.0 - 1e-6
+
+
+def test_ivf_rejects_cosine(spark, run_ann, dataset):
+    data, _ = dataset
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ivf"):
+        run_ann.run(spark, _args(data, None, metric="cosine", planes=24,
+                                 rows=3, index="ivf"))
