@@ -94,6 +94,19 @@ class DedupConfig:
         return hashlib.sha256(payload).hexdigest()[:16]
 
 
+# The reference's per-dataset bootstrap radii (``set_rmin``,
+# ``basis.cpp:100-123``) — all seven published datasets, verbatim values.
+DATASET_RMIN: dict[str, float] = {
+    "audio": 0.3,
+    "mnist": 500.0,
+    "cifar": 300.0,
+    "deep1m": 0.2,
+    "nus": 6.5,
+    "trevi": 700.0,
+    "gist": 0.3,
+}
+
+
 @dataclass(frozen=True)
 class AnnConfig:
     """Configuration for the cosine-ANN lane over ``embeddings``.
@@ -156,6 +169,31 @@ class AnnConfig:
         """T = beta*N + k — the reference's per-query candidate budget
         (``Query.cpp:81``), driving the adaptive probe-widening loop."""
         return int(self.beta * n) + self.k
+
+    @staticmethod
+    def for_dataset(name: str, c: float = 1.5, **overrides) -> "AnnConfig":
+        """Named per-dataset presets — the analogue of the reference's
+        R_min table (``set_rmin``, ``basis.cpp:100-123``), which hard-codes
+        the bootstrap radius per published dataset so runs need no
+        hand-tuned flags (VERDICT r03 #6).
+
+        The mapping is the reference's own: its initial window is
+        init_w = 4·c²·R_min (``Query.cpp:20``) with c defaulting to 1.5
+        (``main.cpp:35``), so the preset sets ``bucket_width`` to exactly
+        that and ``window_growth`` to c. Remaining fields keep the l2-lane
+        defaults; ``overrides`` lets callers adjust k/bands/etc. on top."""
+        rmin = DATASET_RMIN.get(name.lower())
+        if rmin is None:
+            raise ValueError(
+                f"unknown dataset {name!r}; presets: {sorted(DATASET_RMIN)}"
+            )
+        base = dict(
+            metric="l2",
+            bucket_width=4.0 * c * c * rmin,
+            window_growth=c,
+        )
+        base.update(overrides)
+        return AnnConfig(**base)
 
     def fingerprint(self) -> str:
         payload = json.dumps(asdict(self), sort_keys=True).encode()

@@ -201,6 +201,56 @@ def incremental_ann_query(
     )
 
 
+def incremental_ann_ivf_query(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    index_emb: DataFrame,
+    cfg,
+    centroids,
+    nprobe: int,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental IVF-Flat ANN — the coarse-quantizer twin of
+    ``incremental_ann_query`` (VERDICT r03 #7): the centroid matrix and the
+    inverted index (vec_id, list_id) are built ONCE from the static frame;
+    each arriving vector is assigned its ``nprobe`` nearest lists in the
+    Arrow kernel, probes the inverted index with a broadcast equi-join,
+    and reranks exact-L2 — identical dataflow to the batch
+    ``knn_ivf_pair``, per micro-batch. The centroid matrix ships in the
+    task closures like the LSH ``HashParams`` (it IS the quantizer index
+    state, ``dblsh.cpp:101-184`` analogue); the sink is the same
+    overwrite-per-batch-directory exactly-once contract as the other
+    incremental lanes."""
+    import numpy as np
+
+    from db_lsh_spark.operators import ann_l2, ivf
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    inv = ivf.assign_lists(index_emb, C).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id"
+    ).localCheckpoint(eager=True)
+    index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probe = batch_df.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
+        cand = ivf.ivf_candidates_pair(probe, index_vecs, C, nprobe, inv=inv)
+        topk = ann_l2._rerank_candidates_l2(cand, probe, index_vecs, cfg.k)
+        (topk.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}"))
+
+    return (
+        vec_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def running_type_stats(doc_stream: DataFrame):
     """Custom STATEFUL streaming operator (``applyInPandasWithState`` —
     SURVEY §2.9's arbitrary-state lane): a running per-event_type profile

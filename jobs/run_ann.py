@@ -54,8 +54,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--bands", type=int, default=8)
     p.add_argument("--rows", type=int, default=3)
     p.add_argument("--probe-hamming", type=int, default=1)
-    p.add_argument("--bucket-width", type=float, default=1.0)
+    p.add_argument("--bucket-width", type=float, default=None,
+                   help="E2LSH window w (default 1.0, or the --dataset "
+                        "preset's init_w when one is named)")
     p.add_argument("--probe-range", type=int, default=1)
+    p.add_argument("--window-growth", type=float, default=None,
+                   help="adaptive window growth factor c (default 2.0, or "
+                        "the --dataset preset's c=1.5)")
+    p.add_argument("--dataset", default=None,
+                   help="named preset from the reference's R_min table "
+                        "(basis.cpp:100-123): audio/mnist/cifar/deep1m/"
+                        "nus/trevi/gist — sets bucket_width = 4*c^2*R_min "
+                        "(Query.cpp:20) and window_growth = c; explicit "
+                        "flags still win")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--adaptive", action="store_true",
                    help="l2 only: budget-driven window widening (T = "
@@ -264,12 +275,25 @@ def run(spark, args) -> dict:
     n_queries, n_base = queries.count(), base.count()
     dim = len(queries.first().embedding)
     k = min(args.k, n_base)  # a base smaller than k can't fill k ranks
+    # preset resolution (VERDICT r03 #6): a named --dataset supplies the
+    # reference's per-dataset bootstrap window (set_rmin, basis.cpp:100-123
+    # via init_w = 4*c^2*R_min, Query.cpp:20); explicitly-passed flags win
+    bucket_width = getattr(args, "bucket_width", None)
+    window_growth = getattr(args, "window_growth", None)
+    dataset = getattr(args, "dataset", None)
+    if dataset:
+        preset = AnnConfig.for_dataset(dataset)
+        if bucket_width is None:
+            bucket_width = preset.bucket_width
+        if window_growth is None:
+            window_growth = preset.window_growth
     cfg = AnnConfig(
         seed=args.seed, dim=dim, metric=metric, n_planes=args.planes,
         bands=args.bands, rows=args.rows,
         probe_hamming=getattr(args, "probe_hamming", 1),
-        bucket_width=getattr(args, "bucket_width", 1.0),
+        bucket_width=1.0 if bucket_width is None else bucket_width,
         probe_range=getattr(args, "probe_range", 1),
+        window_growth=2.0 if window_growth is None else window_growth,
         k=k, n_queries=n_queries,
         beta=getattr(args, "beta", 0.1),
     )

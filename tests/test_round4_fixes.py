@@ -129,3 +129,25 @@ def test_pivot_ground_truth_rejects_int32_overflow():
     )
     idx, dst = mod._pivot_ground_truth(ok, n_queries=1, k=1)
     assert idx[0, 0] == 2**31 - 1
+
+
+# ---------------------------------------------------------------------------
+# per-dataset presets (VERDICT r03 #6)
+# ---------------------------------------------------------------------------
+def test_for_dataset_presets_follow_reference_formula():
+    """bucket_width = 4*c^2*R_min (init_w, Query.cpp:20) for every dataset
+    in the reference's set_rmin table (basis.cpp:100-123)."""
+    from db_lsh_spark.config import DATASET_RMIN
+
+    assert set(DATASET_RMIN) == {
+        "audio", "mnist", "cifar", "deep1m", "nus", "trevi", "gist"
+    }
+    for name, rmin in DATASET_RMIN.items():
+        cfg = AnnConfig.for_dataset(name)
+        assert cfg.metric == "l2"
+        assert cfg.bucket_width == pytest.approx(4.0 * 1.5 * 1.5 * rmin)
+        assert cfg.window_growth == 1.5
+    audio = AnnConfig.for_dataset("AUDIO", k=25)  # case-insensitive + overrides
+    assert audio.bucket_width == pytest.approx(2.7) and audio.k == 25
+    with pytest.raises(ValueError, match="unknown dataset"):
+        AnnConfig.for_dataset("imagenet")

@@ -230,3 +230,24 @@ def test_ivf_rejects_cosine(spark, run_ann, dataset):
     with _pytest.raises(ValueError, match="ivf"):
         run_ann.run(spark, _args(data, None, metric="cosine", planes=24,
                                  rows=3, index="ivf"))
+
+
+def test_dataset_preset_equals_explicit_flags(spark, run_ann, dataset, tmp_path):
+    """VERDICT r03 #6: --dataset audio must reproduce the run you would
+    get by spelling out its derived flags (bucket_width = 4*c^2*R_min =
+    2.7, window_growth = 1.5) — and an explicit flag still wins."""
+    from db_lsh_spark.config import AnnConfig
+
+    data, _ = dataset
+    w_audio = AnnConfig.for_dataset("audio").bucket_width  # 4*1.5^2*0.3
+    preset_run = run_ann.run(spark, _args(data, None, bucket_width=None,
+                                          dataset="audio"))
+    explicit_run = run_ann.run(spark, _args(data, None, bucket_width=w_audio,
+                                            window_growth=1.5))
+    assert preset_run["bucket_width"] == explicit_run["bucket_width"] == w_audio
+    for key in ("recall", "ratio", "cost"):
+        assert preset_run[key] == explicit_run[key], key
+    # explicit flag beats the preset
+    override = run_ann.run(spark, _args(data, None, bucket_width=1.0,
+                                        dataset="audio"))
+    assert override["bucket_width"] == 1.0

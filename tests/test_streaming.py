@@ -318,3 +318,45 @@ def test_incremental_ann_stream_equals_batch(spark, tmp_path):
     )
     assert key(got) == key(batch)
     assert set(got.batch_id) == {0, 1}
+
+
+def test_incremental_ann_ivf_stream_equals_batch(spark, tmp_path):
+    """Streaming IVF twin (VERDICT r03 #7): arriving vectors assigned to
+    their nprobe nearest lists against the static centroid broadcast +
+    inverted index must equal the batch knn_ivf_pair result exactly."""
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators import ivf
+    from db_lsh_spark.streaming.jobs import incremental_ann_ivf_query
+
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2, k=5,
+                    n_queries=20)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    index = emb.where(F.col("vec_id") >= 20)
+    cents = ivf.train_centroids(ivf.sample_vectors(index, n=256), 8, seed=0)
+
+    src = str(tmp_path / "ivf_src")
+    os.makedirs(src)
+    qpdf = queries.toPandas()
+    for i, chunk in enumerate((qpdf.iloc[:10], qpdf.iloc[10:])):
+        chunk.to_parquet(f"{src}/chunk{i}.parquet", index=False)
+    schema = spark.createDataFrame(qpdf.iloc[:1]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "ivf_out")
+    q = incremental_ann_ivf_query(
+        spark, stream, index, cfg, cents, nprobe=8, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ivf_ck"),
+    )
+    q.awaitTermination(600)
+    got = (spark.read.option("recursiveFileLookup", "true")
+           .parquet(out).toPandas())
+
+    batch = ivf.knn_ivf_pair(queries, index, cfg, cents, nprobe=8).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]].values.tolist())
+    )
+    assert key(got) == key(batch)
+    assert set(got.batch_id) == {0, 1}
