@@ -56,13 +56,24 @@ def _ensure_worker_pythonpath(spark: SparkSession) -> None:
     except Exception as exc:
         # addPyFile raises on a re-registered name (the zip is content-
         # addressed, so same-name == same-bytes: the workers already have
-        # it). Any OTHER failure must stay retryable — permanently setting
-        # the flag here would surface later as an opaque
-        # ModuleNotFoundError inside a pandas UDF on the workers (ADVICE
-        # r03).
-        if "has already been registered" not in str(exc) and not isinstance(
-            exc, FileExistsError
-        ):
+        # it). Distinguish that benign case from a real failure by asking
+        # the context what it HAS registered — not by matching the error
+        # message text, which varies across Spark versions (code-review
+        # r4). A real failure must stay retryable: permanently setting the
+        # flag would surface later as an opaque ModuleNotFoundError inside
+        # a pandas UDF on the workers (ADVICE r03).
+        registered = False
+        try:
+            from db_lsh_spark.session import package_zip
+
+            name = os.path.basename(package_zip())
+            registered = any(
+                os.path.basename(uri) == name
+                for uri in spark.sparkContext.listFiles
+            )
+        except Exception:
+            pass
+        if not registered:
             import warnings
 
             warnings.warn(f"package zip not shipped to workers: {exc!r}")
@@ -291,6 +302,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), 1.05
     )
     q["emb_l2_near_dup_pairs_lsh"] = lambda s, d: ann_l2_ops.l2_near_dup_pairs_lsh(
+        _emb(s, d), 1.05, ANN_CFG_L2
+    )
+    # embedding dedup clusters: connected components over the L2 radius
+    # pairs (the vector-lane twin of doc_dedup_clusters; oracled by the
+    # same recursive-CTE min-label closure over the brute-force pair graph)
+    q["emb_l2_dedup_clusters"] = lambda s, d: ann_l2_ops.l2_dedup_clusters(
         _emb(s, d), 1.05, ANN_CFG_L2
     )
     q["emb_near_dup_pairs"] = lambda s, d: ann_ops.cosine_near_dup_pairs(
@@ -667,6 +684,30 @@ def oracle_sql() -> dict[str, str]:
                   'sum')), 6) <= 1.05
     """
     sql["emb_l2_near_dup_pairs_lsh"] = sql["emb_l2_near_dup_pairs"]
+    # clusters = recursive min-label closure over the radius-pair graph
+    # (same CC oracle pattern as doc_dedup_clusters)
+    sql["emb_l2_dedup_clusters"] = """
+        WITH RECURSIVE p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(sqrt(list_aggregate(
+                      list_transform(
+                          list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+                          q -> (q[1] - q[2]) * (q[1] - q[2])),
+                      'sum')), 6) <= 1.05
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+        )
+        SELECT min(label) AS cluster_id, node AS vec_id
+        FROM reach GROUP BY node
+    """
     sql["emb_near_dup_pairs"] = """
         WITH u AS (
             SELECT vec_id,

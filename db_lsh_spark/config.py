@@ -155,7 +155,11 @@ class AnnConfig:
             # with no error)
             raise ValueError("probe_range/probe_hamming must be >= 0")
         ball = (2 * self.probe_range + 1) ** self.rows
-        if ball > MAX_PROBES_PER_BAND:
+        # l2 only: probe_range is the L2 lane's knob — the cosine lane
+        # probes Hamming balls, never cell balls, and legitimate sign-LSH
+        # configs (e.g. 8 bands x 8 rows) would trip a check on a
+        # parameter they don't use (code-review r4)
+        if self.metric == "l2" and ball > MAX_PROBES_PER_BAND:
             # the L2 probe ball is enumerated driver-side and shipped in
             # every probe batch: (2r+1)^rows tuples per band — e.g.
             # probe_range=8 at rows=4 is ~83k offsets, silently (ADVICE r03)

@@ -301,8 +301,13 @@ def knn_lsh_adaptive(
     Returns (topk DataFrame, per-round stats). Rounds are bounded by
     cfg.rows (radius > rows is the full keyspace).
     """
+    n = emb.count()
     if budget is None:  # explicit 0 is a valid (immediately satisfied) budget
-        budget = cfg.candidate_budget(emb.count())
+        budget = cfg.candidate_budget(n)
+    # shared-id convention: a query can collect at most n-1 neighbors —
+    # an unattainable budget would keep every query pending through all
+    # cfg.rows+1 rounds for nothing (same clamp as the L2 twin)
+    budget = min(budget, n - 1)
     codes = sign_codes(emb, cfg).localCheckpoint(eager=True)
     base = codes.select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
     qcodes = codes.where(F.col("vec_id") < cfg.n_queries)

@@ -391,8 +391,14 @@ def knn_l2_lsh_adaptive_pair(
     the queries still under budget; satisfied queries stop probing. The
     base-side banded table is built ONCE and never expanded — exactly the
     paper's claim that widening re-queries the same index."""
+    n_base = base.count()
     if budget is None:
-        budget = cfg.candidate_budget(base.count())
+        budget = cfg.candidate_budget(n_base)
+    # a query can never hold more candidates than the base offers (minus
+    # itself in the shared-id convention) — without this clamp an
+    # unattainable T = βN+k keeps every query pending and the loop pays
+    # the full schedule of empty-ring rounds for nothing (code-review r4)
+    budget = min(budget, n_base - 1 if exclude_self else n_base)
     queries = queries.localCheckpoint(eager=True)
     base_codes = l2_codes(base, cfg).select(
         F.col("vec_id").alias("neighbor_id"), "band", "band_code"
@@ -494,12 +500,13 @@ def l2_near_dup_pairs_lsh(
        expansion + id_a < id_b covers every pair once);
     3. shuffle hash join on (band, band_code), id_a < id_b, dedup BEFORE
        any vector is fetched;
-    4. with ``max_bucket`` set, the exact-code side is capped per bucket
+    4. with ``max_bucket`` set, BOTH join sides are capped per bucket
        first (``bands.cap_buckets`` — the census-gated salted cap the
        MinHash lane uses, ``candidates.py:22-54``): a degenerate corpus
        (many identical vectors → one mega-cell) is bounded at
-       max_bucket²/2 pairs per bucket instead of B²/2. The overflow
-       census is returned alongside so capping is never silent;
+       max_bucket² pairs per bucket instead of B². The overflow census
+       (with a ``side`` column: exact vs probe) is returned alongside so
+       capping is never silent;
     5. exact-L2 filter dist <= radius per deduped candidate (einsum per
        Arrow batch, value-identical to the JVM brute-force expression
        after 1e-6 rounding).
@@ -511,24 +518,42 @@ def l2_near_dup_pairs_lsh(
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    codes = l2_codes(emb, cfg)
-    overflow = None
-    if max_bucket is not None:
+    def _cap(df: DataFrame, id_col: str):
         from db_lsh_spark.operators.bands import cap_buckets
 
-        renamed = codes.select(
-            F.col("vec_id").alias("file_id"), "band",
+        renamed = df.select(
+            F.col(id_col).alias("file_id"), "band",
             F.col("band_code").alias("band_hash"),
         )
-        capped, overflow = cap_buckets(renamed, max_bucket, salt_buckets)
-        codes = capped.select(
-            F.col("file_id").alias("vec_id"), "band",
-            F.col("band_hash").alias("band_code"),
+        capped, over = cap_buckets(renamed, max_bucket, salt_buckets)
+        return (
+            capped.select(
+                F.col("file_id").alias(id_col), "band",
+                F.col("band_hash").alias("band_code"),
+            ),
+            over,
         )
+
     left = l2_probe_codes(emb, cfg).select(
         F.col("vec_id").alias("id_a"), "band", "band_code"
     )
-    right = codes.select(F.col("vec_id").alias("id_b"), "band", "band_code")
+    right = l2_codes(emb, cfg).select(
+        F.col("vec_id").alias("id_b"), "band", "band_code"
+    )
+    overflow = None
+    if max_bucket is not None:
+        # BOTH sides capped (the MinHash twin joins capped-vs-capped too,
+        # candidates.py:45-49): capping only the exact-code side would
+        # leave a degenerate mega-cell's join output linear in corpus size
+        # through the uncapped probe rows — max_bucket² per bucket is the
+        # whole point (code-review r4). The probe side caps per PROBED
+        # cell, so a probe ring member competes in each target bucket on
+        # the same deterministic lowest-id rule.
+        right, over_r = _cap(right, "id_b")
+        left, over_l = _cap(left, "id_a")
+        overflow = over_r.withColumn("side", F.lit("exact")).unionByName(
+            over_l.withColumn("side", F.lit("probe"))
+        )
     cand = (
         left.join(right, ["band", "band_code"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -563,6 +588,38 @@ def l2_near_dup_pairs_lsh(
 
     pairs = joined.mapInPandas(gen, schema)
     return (pairs, overflow) if max_bucket is not None else pairs
+
+
+def l2_dedup_clusters(
+    emb: DataFrame,
+    radius: float,
+    cfg: AnnConfig,
+    max_bucket: int | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Embedding dedup CLUSTERS under Euclidean distance: connected
+    components over the radius-pair graph — the vector-lane twin of
+    ``documents.dedup_clusters`` (north_rule: "connected components over
+    the candidate-pair graph yield cluster assignments"), with the
+    reference's (R, c)-NN primitive supplying the edges. Output
+    (cluster_id, vec_id), cluster_id = min vec_id of the component,
+    components of size >= 2 only (a singleton has no pair edge — callers
+    wanting full assignments union the complement in, exactly as the text
+    lane's ``assignments_with_singletons``)."""
+    from db_lsh_spark.operators.cluster import connected_components
+
+    out = l2_near_dup_pairs_lsh(emb, radius, cfg, max_bucket, salt_buckets)
+    pairs = out[0] if isinstance(out, tuple) else out
+    # lineage cut before the CC iteration (same discipline as the text
+    # lane: the alternating-star loop re-reads its input many times, and
+    # Spark 4.1's constraint propagation chokes on deep self-union plans)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    comp = connected_components(edges)
+    return comp.select(
+        "cluster_id", F.col("file_id").alias("vec_id")
+    )
 
 
 def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:

@@ -102,9 +102,7 @@ def _nearest(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return np.argmin((C**2).sum(1)[None, :] - 2.0 * (X @ C.T), axis=1)
 
 
-def _repair_empty_lists(
-    C: np.ndarray, X: np.ndarray, rng: np.random.Generator
-) -> tuple[np.ndarray, int]:
+def _repair_empty_lists(C: np.ndarray, X: np.ndarray) -> tuple[np.ndarray, int]:
     """Relocate centroids whose Voronoi cell over ``X`` is EMPTY to the
     sample points farthest from their current centroid (the standard
     k-means empty-cluster repair). Imbalance is self-correcting once every
@@ -162,10 +160,20 @@ def train_centroids_minibatch(
             m = assign == j
             eta = m.sum() / counts[j]
             C[j] = (1 - eta) * C[j] + eta * batch[m].mean(0)
-    for _ in range(3):  # repair is usually one pass; bounded regardless
-        C, moved = _repair_empty_lists(C, X, rng)
+    # repair until converged: a relocation can empty the donor's cell (a
+    # sole-member cell donating its point), so one pass is not enough in
+    # general; each pass is one matmul and the chain is bounded by k
+    # (code-review r4 — the old 3-pass cap could return dead lists)
+    for _ in range(n_centroids):
+        C, moved = _repair_empty_lists(C, X)
         if not moved:
             break
+    if len(np.unique(_nearest(X, C))) < n_centroids:
+        raise ValueError(
+            f"cannot fill {n_centroids} lists from this sample (fewer "
+            "distinct points than centroids?); lower n_lists or enlarge "
+            "the sample"
+        )
     return C
 
 
@@ -193,6 +201,24 @@ def frame_to_centroids(df: DataFrame) -> np.ndarray:
     return np.stack(pdf.centroid.to_numpy()).astype(np.float64)
 
 
+def train_quantizer(
+    emb: DataFrame, n_lists: int, seed: int = 0, sample_n: int | None = None
+) -> np.ndarray:
+    """Sample-and-train in one step — THE quantizer recipe, used by both
+    the persisted-artifact path (``build_or_load_centroids``) and
+    ephemeral callers (``jobs/run_ann.py``), so the sizing heuristic and
+    the Lloyd/minibatch cutover live in exactly one place (code-review
+    r4). ``sample_n`` defaults to 64 samples per list (min 4096); full
+    Lloyd below 64 lists (small-k accuracy at trivial cost), Sculley
+    minibatch above."""
+    if sample_n is None:
+        sample_n = max(4096, 64 * n_lists)
+    S = sample_vectors(emb, n=sample_n, seed=seed)
+    if n_lists > 64:
+        return train_centroids_minibatch(S, n_lists, seed=seed)
+    return train_centroids(S, n_lists, seed=seed)
+
+
 def build_or_load_centroids(
     spark,
     emb: DataFrame,
@@ -209,19 +235,12 @@ def build_or_load_centroids(
     artifact like any other stage; a resume run loads it without touching
     the data.
 
-    ``sample_n`` defaults to 64 samples per list (min 4096) — the usual
-    k-means sizing heuristic; training is minibatch for > 64 lists, full
-    Lloyd below (small-k accuracy at trivial cost)."""
-    if sample_n is None:
-        sample_n = max(4096, 64 * n_lists)
+    Sizing and trainer selection are ``train_quantizer``'s."""
 
     def builder() -> DataFrame:
-        S = sample_vectors(emb, n=sample_n, seed=seed)
-        if n_lists > 64:
-            C = train_centroids_minibatch(S, n_lists, seed=seed)
-        else:
-            C = train_centroids(S, n_lists, seed=seed)
-        return centroids_to_frame(spark, C)
+        return centroids_to_frame(
+            spark, train_quantizer(emb, n_lists, seed=seed, sample_n=sample_n)
+        )
 
     return frame_to_centroids(store.run_stage(spark, stage, builder))
 

@@ -297,11 +297,16 @@ def run(spark, args) -> dict:
         k=k, n_queries=n_queries,
         beta=getattr(args, "beta", 0.1),
     )
-    adaptive = bool(getattr(args, "adaptive", False)) and metric == "l2"
     index_kind = getattr(args, "index", "lsh")
     if index_kind == "ivf" and metric != "l2":
         raise ValueError("--index ivf requires --metric l2 (IVF-Flat is a "
                          "Euclidean quantizer)")
+    if index_kind == "ivf" and getattr(args, "adaptive", False):
+        # silently ignoring --adaptive would record adaptive=True in the
+        # history CSV for a run that never widened (code-review r4)
+        raise ValueError("--adaptive is the LSH window-widening loop; it "
+                         "does not combine with --index ivf")
+    adaptive = bool(getattr(args, "adaptive", False)) and metric == "l2"
 
     # ---- ground truth: create-or-load (ben_create, Preprocess.cpp:268-296)
     # exact carries (query_id, rank, neighbor_id, dist); dist is EUCLIDEAN
@@ -340,26 +345,27 @@ def run(spark, args) -> dict:
         from db_lsh_spark.operators import ivf as ivf_ops
 
         n_lists = min(getattr(args, "n_lists", 64), n_base)
-        nprobe = getattr(args, "nprobe", 8)
+        # record the EFFECTIVE probe depth: ivf_candidates_pair clamps
+        # internally, and a history row claiming nprobe=8 against 4 lists
+        # would attribute full-scan cost to a depth that never ran
+        nprobe = min(getattr(args, "nprobe", 8), n_lists)
         index_dir = getattr(args, "index_dir", None)
         if index_dir:
             from db_lsh_spark.sources.io import StageStore
 
-            store = StageStore(index_dir,
-                               fingerprint=f"{cfg.fingerprint()}-ivf{n_lists}")
+            # dataset identity belongs in the artifact fingerprint: the
+            # config hash alone would let --data B load a quantizer
+            # trained on --data A of the same shape (code-review r4)
+            ds_id = f"{os.path.abspath(args.data)}:{n_base}:{dim}"
+            store = StageStore(
+                index_dir,
+                fingerprint=f"{cfg.fingerprint()}-ivf{n_lists}-{ds_id}",
+            )
             cents = ivf_ops.build_or_load_centroids(
                 spark, base, store, n_lists, seed=args.seed
             )
         else:
-            sample = ivf_ops.sample_vectors(
-                base, n=max(4096, 64 * n_lists), seed=args.seed
-            )
-            if n_lists > 64:
-                cents = ivf_ops.train_centroids_minibatch(
-                    sample, n_lists, seed=args.seed
-                )
-            else:
-                cents = ivf_ops.train_centroids(sample, n_lists, seed=args.seed)
+            cents = ivf_ops.train_quantizer(base, n_lists, seed=args.seed)
         cand = ivf_ops.ivf_candidates_pair(queries, base, cents, nprobe)
         cand = cand.localCheckpoint(eager=True)
         approx = l2_ops._rerank_candidates_l2(cand, queries, base, k)

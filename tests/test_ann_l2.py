@@ -294,3 +294,25 @@ def test_l2_near_dup_pairs_capped_census(spark, emb):
         emb, 1.05, CFG, max_bucket=5, salt_buckets=4
     )
     assert tight_census.count() > 0  # capping is never silent
+
+
+def test_l2_dedup_clusters_matches_pair_graph(spark, emb):
+    """Cluster assignments must be exactly the connected components of the
+    brute-force radius-pair graph (min-id labels, size >= 2)."""
+    pairs = ann_l2.l2_near_dup_pairs(emb, 1.05).toPandas()
+    # reference union-find over the exact pairs
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((find(x), x) for x in parent)
+    got = ann_l2.l2_dedup_clusters(emb, 1.05, CFG).toPandas()
+    assert sorted(zip(got.cluster_id, got.vec_id)) == want
+    assert len(want) > 0  # non-vacuous at sf0.001

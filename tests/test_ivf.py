@@ -141,9 +141,25 @@ def test_empty_list_repair_relocates():
     X = rng.normal(size=(500, 8))
     C = ivf.train_centroids(X, 7, seed=0)
     C_bad = np.vstack([C, np.full((1, 8), 1e6)])
-    fixed, moved = ivf._repair_empty_lists(C_bad, X, rng)
+    fixed, moved = ivf._repair_empty_lists(C_bad, X)
     assert moved == 1
     assert len(np.unique(ivf._nearest(X, fixed))) == 8
+
+
+def test_minibatch_sole_member_relocation_chain():
+    """Repair chains (a relocation emptying the donor's sole-member cell)
+    must resolve: k close to the number of distinct points still yields
+    all-nonempty lists (code-review r4 — the old 3-pass cap could return
+    dead lists)."""
+    rng = np.random.Generator(np.random.MT19937(11))
+    # 40 distinct points, k=36: dense repair pressure
+    X = rng.normal(size=(40, 4))
+    C = ivf.train_centroids_minibatch(X, 36, seed=0, batch_size=8, iters=10)
+    assert len(np.unique(ivf._nearest(X, C))) == 36
+    # genuinely unfillable: fewer distinct points than lists must raise
+    X_dup = np.repeat(rng.normal(size=(3, 4)), 5, axis=0)
+    with pytest.raises(ValueError, match="lists"):
+        ivf.train_centroids_minibatch(X_dup, 10, seed=0)
 
 
 def test_minibatch_ivf_prunes_at_production_list_count(spark):

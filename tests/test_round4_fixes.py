@@ -151,3 +151,29 @@ def test_for_dataset_presets_follow_reference_formula():
     assert audio.bucket_width == pytest.approx(2.7) and audio.k == 25
     with pytest.raises(ValueError, match="unknown dataset"):
         AnnConfig.for_dataset("imagenet")
+
+
+def test_probe_ball_check_is_l2_only():
+    """code-review r4: legitimate sign-LSH configs (8 bands x 8 rows)
+    never use the L2 probe ball and must keep constructing."""
+    cfg = AnnConfig(metric="cosine", n_planes=64, bands=8, rows=8)
+    assert cfg.rows == 8
+    with pytest.raises(ValueError, match="MAX_PROBES_PER_BAND"):
+        AnnConfig(metric="l2", n_planes=64, bands=8, rows=8, probe_range=1)
+
+
+def test_adaptive_budget_clamped_to_attainable(spark):
+    """code-review r4: an unattainable T = βN+k (budget > n_base) must not
+    run the full schedule of empty rounds — the clamp ends the loop as
+    soon as every query holds all attainable candidates."""
+    sf = "/root/testdata/sf0.001"
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                    bucket_width=4.0, probe_range=1, k=3, n_queries=3)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").limit(40)
+    # budget far beyond n_base: without the clamp every round runs
+    topk, rounds = ann_l2.knn_l2_lsh_adaptive(emb, cfg, budget=10_000)
+    full_schedule = len(ann_l2.radius_schedule(cfg))
+    # wide buckets (w=4) put everything in radius<=1 cells: the clamp lets
+    # the loop stop before schedule exhaustion once all 39 are collected
+    assert len(rounds) < full_schedule, rounds
+    assert rounds[-1]["queries_under_budget"] == 0

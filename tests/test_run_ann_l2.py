@@ -251,3 +251,46 @@ def test_dataset_preset_equals_explicit_flags(spark, run_ann, dataset, tmp_path)
     override = run_ann.run(spark, _args(data, None, bucket_width=1.0,
                                         dataset="audio"))
     assert override["bucket_width"] == 1.0
+
+
+def test_ivf_adaptive_combination_rejected(spark, run_ann, dataset):
+    """code-review r4: --adaptive is the LSH widening loop; combining it
+    with --index ivf must raise, not silently record adaptive=True."""
+    data, _ = dataset
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="adaptive"):
+        run_ann.run(spark, _args(data, None, index="ivf", adaptive=True))
+
+
+def test_ivf_nprobe_recorded_effective(spark, run_ann, dataset):
+    """code-review r4: nprobe > n_lists clamps inside the kernel — the
+    history row must report the depth that actually ran."""
+    data, _ = dataset
+    out = run_ann.run(spark, _args(data, None, index="ivf", n_lists=4,
+                                   nprobe=8))
+    assert out["nprobe"] == 4 and out["n_lists"] == 4
+
+
+def test_ivf_index_dir_foreign_dataset_retrains(spark, run_ann, dataset,
+                                                tmp_path):
+    """code-review r4: an --index-dir built from dataset A must NOT serve
+    its quantizer to dataset B of the same shape — the artifact
+    fingerprint carries the dataset identity."""
+    data, M = dataset
+    idx_dir = str(tmp_path / "shared_idx")
+    run_ann.run(spark, _args(data, None, index="ivf", n_lists=8, nprobe=8,
+                             index_dir=idx_dir))
+    manifest = os.path.join(idx_dir, "ivf_centroids", "_MANIFEST.json")
+    fp_a = json.load(open(manifest))["fingerprint"]
+    # same shape, different bytes → different dataset identity
+    rng = np.random.default_rng(123)
+    other = rng.normal(size=M.shape).astype(np.float32)
+    other /= np.linalg.norm(other, axis=1, keepdims=True)
+    from db_lsh_spark.sources.binary_vectors import write_vectors as _wv
+    data_b = str(tmp_path / "other.data_new")
+    _wv(data_b, other)
+    out_b = run_ann.run(spark, _args(data_b, None, index="ivf", n_lists=8,
+                                     nprobe=8, index_dir=idx_dir))
+    fp_b = json.load(open(manifest))["fingerprint"]
+    assert fp_a != fp_b  # B retrained: the store was invalidated
+    assert out_b["recall"] == 1.0
