@@ -74,6 +74,8 @@ def main() -> None:
         "emb_knn_l2_lsh",
         "emb_knn_ivf",
         "emb_near_dup_pairs_lsh",
+        "emb_l2_near_dup_pairs_lsh",
+        "emb_l2_dedup_clusters",
         "media_frame_sample",
         "tpch_q1",
         "tpch_topk_orders_per_cust",
