@@ -168,6 +168,38 @@ def main() -> None:
         )
         print(json.dumps(ivf_rows[-1]))
 
+    # ---- L2 corpus pair-lane grid (round 4): the all-to-all (R,c)-NN
+    # frontier — pair recall vs the brute-force radius pairs and candidate
+    # cost (distinct candidate pairs / C(N,2)) per (w, probe) config
+    l2_pair_rows = []
+    exact_pairs = set(
+        map(tuple, ann_l2.l2_near_dup_pairs(emb, 1.05)
+            .select("id_a", "id_b").toPandas().values.tolist())
+    )
+    all_pairs = n_emb * (n_emb - 1) / 2
+    for w, probe in ((1.0, 0), (1.0, 1), (2.0, 0)):
+        cfg = AnnConfig(
+            metric="l2", n_planes=16, bands=8, rows=2,
+            bucket_width=w, probe_range=probe, k=10, n_queries=20,
+        )
+        t0 = time.monotonic()
+        got = ann_l2.l2_near_dup_pairs_lsh(emb, 1.05, cfg).toPandas()
+        wall = time.monotonic() - t0
+        hit = sum((a, b) in exact_pairs for a, b in zip(got.id_a, got.id_b))
+        # candidate census outside the timed window (radius=inf keeps every
+        # candidate through the exact filter → distinct candidate count)
+        n_cand = ann_l2.l2_near_dup_pairs_lsh(emb, 1e9, cfg).count()
+        l2_pair_rows.append(
+            {
+                "radius": 1.05, "bucket_width": w, "probe_range": probe,
+                "pair_recall": round(hit / max(1, len(exact_pairs)), 4),
+                "n_exact": len(exact_pairs),
+                "cost": round(n_cand / all_pairs, 4),
+                "wall_sec": round(wall, 2),
+            }
+        )
+        print(json.dumps(l2_pair_rows[-1]))
+
     # ---- beta-sweep (expe_beta, main.cpp:109-122): the candidate budget
     # T = beta*N + k drives the adaptive widening loop; smaller beta stops
     # at narrower windows (fewer rounds, lower recall), larger beta widens
@@ -218,6 +250,7 @@ def main() -> None:
         json.dump(
             {"n_files": n_files, "grid": rows_out, "ann_grid": ann_rows,
              "l2_grid": l2_rows, "ivf_grid": ivf_rows,
+             "l2_pair_grid": l2_pair_rows,
              "beta_sweep": beta_rows, "k_sweep": k_rows},
             f,
             indent=2,
