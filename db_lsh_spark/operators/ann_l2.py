@@ -622,6 +622,61 @@ def l2_dedup_clusters(
     )
 
 
+def run_l2_dedup(
+    spark,
+    emb: DataFrame,
+    cfg: AnnConfig,
+    radius: float,
+    checkpoint_root: str | None = None,
+    max_bucket: int | None = None,
+    salt_buckets: int | None = None,
+):
+    """The embedding-dedup PIPELINE: radius pairs → connected components →
+    full cluster assignment (every vec_id, singletons as their own
+    cluster), each stage checkpointed through ``StageStore`` with
+    per-partition lineage — the vector-lane twin of ``pipeline.run_dedup``
+    (north_rule: "every stage writes per-partition lineage and metrics …
+    so the pipeline resumes from checkpoint mid-run").
+
+    Returns (pairs, clusters, store): ``pairs`` (id_a, id_b, dist),
+    ``clusters`` (vec_id, cluster_id) covering the whole id universe. The
+    store fingerprint folds in radius and cap settings, so changing any
+    knob invalidates downstream checkpoints exactly like the text lane."""
+    from db_lsh_spark.operators.cluster import connected_components
+    from db_lsh_spark.sources.io import StageStore
+
+    fp = f"{cfg.fingerprint()}-r{radius}-mb{max_bucket}-sb{salt_buckets}"
+    store = StageStore(checkpoint_root, fp) if checkpoint_root else None
+
+    def stage(name: str, builder, **kw) -> DataFrame:
+        if store:
+            return store.run_stage(spark, name, builder, **kw)
+        return builder()
+
+    def build_pairs() -> DataFrame:
+        out = l2_near_dup_pairs_lsh(emb, radius, cfg, max_bucket, salt_buckets)
+        return out[0] if isinstance(out, tuple) else out
+
+    pairs = stage("l2_pairs", build_pairs)
+
+    def build_clusters() -> DataFrame:
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).localCheckpoint(eager=True)
+        comp = connected_components(edges).select(
+            F.col("file_id").alias("vec_id"), "cluster_id"
+        )
+        singles = (
+            emb.select("vec_id")
+            .join(comp.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", F.col("vec_id").alias("cluster_id"))
+        )
+        return comp.unionByName(singles)
+
+    clusters = stage("l2_clusters", build_clusters)
+    return pairs, clusters, store
+
+
 def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
     """(query_id, recall) over EVERY query in the ground truth: |approx ∩
     exact| / |exact rows for that query|. The per-query denominator (not a

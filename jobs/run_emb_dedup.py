@@ -1,0 +1,112 @@
+"""spark-submit entry for EMBEDDING dedup — Euclidean-radius near-dup
+pairs + connected-component clusters over a vector table, resumable from
+checkpoint (the vector-lane twin of ``jobs/run_pipeline.py``; the radius
+primitive is the reference's (R, c)-NN, ``Query.cpp:50-115``, applied
+all-to-all):
+
+    spark-submit --py-files db_lsh_spark.zip jobs/run_emb_dedup.py \
+        --emb /data/embeddings_parquet \
+        --output /data/emb_dedup_out \
+        --checkpoint /data/emb_dedup_ckpt \
+        --radius 1.05 \
+        [--bucket-width 1.0] [--planes 16] [--bands 8] [--rows 2] \
+        [--probe-range 1] [--max-bucket 1000] [--salt-buckets 32] \
+        [--seed 0]
+
+Input schema: (vec_id long, embedding array<float|double>). Stages
+(``l2_pairs``, ``l2_clusters``) checkpoint through StageStore with
+per-partition lineage and resume automatically after a mid-run kill; a
+changed radius/config invalidates them. Output: ``<out>/pairs`` (id_a,
+id_b, dist) and ``<out>/clusters`` (vec_id, cluster_id — every input
+vec_id, singletons as their own cluster).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("db-lsh-spark-emb-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    print(json.dumps(run(spark, args)))
+    spark.stop()
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser()
+    p.add_argument("--emb", required=True, help="parquet dir of the embeddings table")
+    p.add_argument("--output", required=True, help="output dir (pairs + clusters)")
+    p.add_argument("--checkpoint", default=None, help="stage checkpoint root")
+    p.add_argument("--radius", type=float, required=True,
+                   help="Euclidean near-duplicate radius R")
+    p.add_argument("--bucket-width", type=float, default=1.0)
+    p.add_argument("--planes", type=int, default=16)
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--rows", type=int, default=2)
+    p.add_argument("--probe-range", type=int, default=1)
+    p.add_argument("--max-bucket", type=int, default=None,
+                   help="cap per-bucket membership (salted two-phase with "
+                        "--salt-buckets) — bounds degenerate mega-cells")
+    p.add_argument("--salt-buckets", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def run(spark, args) -> dict:
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators.ann_l2 import run_l2_dedup
+
+    emb = spark.read.parquet(args.emb)
+    dim = len(emb.select("embedding").first()[0])
+    cfg = AnnConfig(
+        seed=args.seed, dim=dim, metric="l2", n_planes=args.planes,
+        bands=args.bands, rows=args.rows,
+        bucket_width=getattr(args, "bucket_width", 1.0),
+        probe_range=getattr(args, "probe_range", 1),
+    )
+    t0 = time.monotonic()
+    pairs, clusters, store = run_l2_dedup(
+        spark, emb, cfg, args.radius,
+        checkpoint_root=getattr(args, "checkpoint", None),
+        max_bucket=getattr(args, "max_bucket", None),
+        salt_buckets=getattr(args, "salt_buckets", None),
+    )
+    pairs.write.mode("overwrite").parquet(f"{args.output}/pairs")
+    clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    n_vec = clusters.count()
+    n_dup = clusters.where("vec_id != cluster_id").count()
+    wall = time.monotonic() - t0
+    return {
+        "n_vectors": n_vec,
+        "n_dup_assignments": n_dup,
+        "radius": args.radius,
+        "wall_sec": round(wall, 2),
+        "vectors_per_sec": round(n_vec / wall, 1),
+        "config_fingerprint": cfg.fingerprint(),
+        "stages": [
+            {"name": r.name, "rows": r.rows, "wall_ms": round(r.wall_ms, 1),
+             "resumed_from_checkpoint": r.skipped}
+            for r in (store.results if store else [])
+        ],
+    }
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,101 @@
+"""Embedding-dedup job tests: end-to-end correctness vs the oracled
+cluster lane, checkpoint resume (both stages skipped, identical output),
+and config-change invalidation — the vector-lane rendition of the
+north_rule resume contract."""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import AnnConfig
+from db_lsh_spark.operators import ann_l2
+
+SF = "/root/testdata/sf0.001"
+CFG = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                bucket_width=1.0, probe_range=1)
+
+
+@pytest.fixture(scope="module")
+def job():
+    spec = importlib.util.spec_from_file_location(
+        "run_emb_dedup",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "run_emb_dedup.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _args(out, ck=None, **kw):
+    base = dict(
+        emb=f"{SF}/embeddings.parquet", output=out, checkpoint=ck,
+        radius=1.05, bucket_width=1.0, planes=16, bands=8, rows=2,
+        probe_range=1, max_bucket=None, salt_buckets=None, seed=0,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_job_matches_cluster_lane(spark, job, tmp_path):
+    """Pairs == the oracled LSH pair lane; clusters == the oracled cluster
+    lane on size>=2 components; singletons complete the id universe."""
+    out = str(tmp_path / "out")
+    summary = job.run(spark, _args(out))
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    assert summary["n_vectors"] == n
+    pairs = spark.read.parquet(f"{out}/pairs").toPandas()
+    want_pairs = ann_l2.l2_near_dup_pairs(emb, 1.05).toPandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b))
+    assert key(pairs) == key(want_pairs)
+    clusters = spark.read.parquet(f"{out}/clusters")
+    assert clusters.count() == n  # every vec_id assigned exactly once
+    assert clusters.select("vec_id").distinct().count() == n
+    multi = clusters.join(
+        clusters.groupBy("cluster_id").agg(F.count("*").alias("sz")),
+        "cluster_id",
+    ).where(F.col("sz") >= 2).select("cluster_id", "vec_id").toPandas()
+    want = ann_l2.l2_dedup_clusters(emb, 1.05, CFG).toPandas()
+    assert sorted(zip(multi.cluster_id, multi.vec_id)) == sorted(
+        zip(want.cluster_id, want.vec_id)
+    )
+    assert summary["n_dup_assignments"] == int(
+        (want.cluster_id != want.vec_id).sum()
+    )
+
+
+def test_job_resumes_from_checkpoint(spark, job, tmp_path):
+    """Second run with the same checkpoint must SKIP both stages and
+    produce identical outputs; a changed radius re-executes."""
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    ck = str(tmp_path / "ck")
+    first = job.run(spark, _args(out1, ck))
+    assert [s["resumed_from_checkpoint"] for s in first["stages"]] == [
+        False, False
+    ]
+    second = job.run(spark, _args(out2, ck))
+    assert [s["resumed_from_checkpoint"] for s in second["stages"]] == [
+        True, True
+    ]
+    a = spark.read.parquet(f"{out1}/clusters").toPandas()
+    b = spark.read.parquet(f"{out2}/clusters").toPandas()
+    assert sorted(zip(a.vec_id, a.cluster_id)) == sorted(
+        zip(b.vec_id, b.cluster_id)
+    )
+    # config change (different radius) invalidates the checkpoint
+    third = job.run(spark, _args(str(tmp_path / "o3"), ck, radius=0.9))
+    assert [s["resumed_from_checkpoint"] for s in third["stages"]] == [
+        False, False
+    ]
+    # stage lineage (per-partition rows) was written for the metrics table
+    from db_lsh_spark.sources.io import StageStore
+
+    metrics_dir = os.path.join(ck, "stage_metrics")
+    assert os.path.isdir(metrics_dir)
+    assert {"l2_pairs", "l2_clusters"} <= set(os.listdir(metrics_dir))
