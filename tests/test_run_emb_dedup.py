@@ -99,3 +99,16 @@ def test_job_resumes_from_checkpoint(spark, job, tmp_path):
     metrics_dir = os.path.join(ck, "stage_metrics")
     assert os.path.isdir(metrics_dir)
     assert {"l2_pairs", "l2_clusters"} <= set(os.listdir(metrics_dir))
+
+
+def test_job_edge_free_corpus_all_singletons(spark, job, tmp_path):
+    """A radius below the minimum pair distance yields ZERO pairs — the
+    empty edge list must not crash CC, and every vector becomes its own
+    cluster."""
+    out = str(tmp_path / "empty_out")
+    summary = job.run(spark, _args(out, radius=0.0001))
+    assert summary["n_dup_assignments"] == 0
+    clusters = spark.read.parquet(f"{out}/clusters").toPandas()
+    assert (clusters.vec_id == clusters.cluster_id).all()
+    assert len(clusters) == summary["n_vectors"] == 500
+    assert spark.read.parquet(f"{out}/pairs").count() == 0
