@@ -642,7 +642,10 @@ def run_l2_dedup(
     ``clusters`` (vec_id, cluster_id) covering the whole id universe. The
     store fingerprint folds in radius and cap settings, so changing any
     knob invalidates downstream checkpoints exactly like the text lane."""
-    from db_lsh_spark.operators.cluster import connected_components
+    from db_lsh_spark.operators.cluster import (
+        assignments_with_singletons,
+        connected_components,
+    )
     from db_lsh_spark.sources.io import StageStore
 
     fp = f"{cfg.fingerprint()}-r{radius}-mb{max_bucket}-sb{salt_buckets}"
@@ -658,20 +661,21 @@ def run_l2_dedup(
         return out[0] if isinstance(out, tuple) else out
 
     pairs = stage("l2_pairs", build_pairs)
+    if store is None:
+        # the stage gate materializes to parquet when a store exists; with
+        # no store the lazy pair plan would otherwise execute TWICE — once
+        # for the cluster edges and again when the caller writes pairs
+        # (the probe-expanded self-join is the job's dominant cost)
+        pairs = pairs.localCheckpoint(eager=True)
 
     def build_clusters() -> DataFrame:
         edges = pairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         ).localCheckpoint(eager=True)
-        comp = connected_components(edges).select(
-            F.col("file_id").alias("vec_id"), "cluster_id"
-        )
-        singles = (
-            emb.select("vec_id")
-            .join(comp.select("vec_id"), "vec_id", "left_anti")
-            .select("vec_id", F.col("vec_id").alias("cluster_id"))
-        )
-        return comp.unionByName(singles)
+        comp = connected_components(edges)
+        return assignments_with_singletons(
+            comp, emb.select(F.col("vec_id").alias("file_id"))
+        ).select(F.col("file_id").alias("vec_id"), "cluster_id")
 
     clusters = stage("l2_clusters", build_clusters)
     return pairs, clusters, store

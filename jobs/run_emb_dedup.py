@@ -74,7 +74,13 @@ def run(spark, args) -> dict:
     from db_lsh_spark.operators.ann_l2 import run_l2_dedup
 
     emb = spark.read.parquet(args.emb)
-    dim = len(emb.select("embedding").first()[0])
+    first = emb.select("embedding").first()
+    if first is None:
+        raise ValueError(
+            f"--emb {args.emb}: embeddings table is empty (cannot infer "
+            "vector dimension); nothing to deduplicate"
+        )
+    dim = len(first[0])
     cfg = AnnConfig(
         seed=args.seed, dim=dim, metric="l2", n_planes=args.planes,
         bands=args.bands, rows=args.rows,

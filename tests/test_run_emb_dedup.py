@@ -94,8 +94,6 @@ def test_job_resumes_from_checkpoint(spark, job, tmp_path):
         False, False
     ]
     # stage lineage (per-partition rows) was written for the metrics table
-    from db_lsh_spark.sources.io import StageStore
-
     metrics_dir = os.path.join(ck, "stage_metrics")
     assert os.path.isdir(metrics_dir)
     assert {"l2_pairs", "l2_clusters"} <= set(os.listdir(metrics_dir))
