@@ -318,6 +318,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_near_dup_pairs_lsh"] = lambda s, d: ann_ops.cosine_near_dup_pairs_lsh(
         _emb(s, d), 0.45, ANN_CFG
     )
+    # cosine dedup clusters: CC over the thresholded pair graph (the
+    # cosine twin of emb_l2_dedup_clusters, same recursive-CTE oracle shape)
+    q["emb_dedup_clusters"] = lambda s, d: ann_ops.cosine_dedup_clusters(
+        _emb(s, d), 0.45, ANN_CFG
+    )
 
     # ---- generic operator lane (TPC-H-ish tables; SURVEY §2.3/2.4/2.6) ----
     def _q1(s: SparkSession, d: str) -> DataFrame:
@@ -722,6 +727,31 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_dot_product(a.e, b.e), 6) >= 0.45
     """
     sql["emb_near_dup_pairs_lsh"] = sql["emb_near_dup_pairs"]
+    sql["emb_dedup_clusters"] = """
+        WITH RECURSIVE u AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_aggregate(
+                           list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))) AS e
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e), 6) >= 0.45
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.node
+        )
+        SELECT min(label) AS cluster_id, node AS vec_id
+        FROM reach GROUP BY node
+    """
     sql["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,

@@ -391,8 +391,9 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float) -> DataFrame:
 
 
 def cosine_near_dup_pairs_lsh(
-    emb: DataFrame, threshold: float, cfg: AnnConfig
-) -> DataFrame:
+    emb: DataFrame, threshold: float, cfg: AnnConfig,
+    max_bucket: int | None = None, salt_buckets: int | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Embedding near-duplicate pairs, LSH-bucketed — the scale path that
     replaces the O(N²) cross join with a banded equi-join (the same shape
     as the text lane's candidate join, ``Query.cpp:50-115``):
@@ -423,6 +424,20 @@ def cosine_near_dup_pairs_lsh(
         F.col("vec_id").alias("id_a"), "band", "band_code"
     )
     right = codes.select(F.col("vec_id").alias("id_b"), "band", "band_code")
+    overflow = None
+    if max_bucket is not None:
+        # census-gated salted cap on BOTH sides — the same degenerate-
+        # mega-bucket bound the L2 pair twin and the MinHash lane carry
+        # (a corpus of B identical vectors is bounded at max_bucket² pairs
+        # per bucket instead of B²); with caps set the function returns
+        # (pairs, overflow_census) like the L2 twin
+        from db_lsh_spark.operators.bands import cap_code_buckets
+
+        right, over_r = cap_code_buckets(right, "id_b", max_bucket, salt_buckets)
+        left, over_l = cap_code_buckets(left, "id_a", max_bucket, salt_buckets)
+        overflow = over_r.withColumn("side", F.lit("exact")).unionByName(
+            over_l.withColumn("side", F.lit("probe"))
+        )
     cand = (
         left.join(right, ["band", "band_code"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -454,7 +469,30 @@ def cosine_near_dup_pairs_lsh(
             )
             yield out[out.cosine >= threshold]
 
-    return joined.mapInPandas(gen, schema)
+    pairs = joined.mapInPandas(gen, schema)
+    return (pairs, overflow) if max_bucket is not None else pairs
+
+
+def cosine_dedup_clusters(
+    emb: DataFrame, threshold: float, cfg: AnnConfig,
+    max_bucket: int | None = None, salt_buckets: int | None = None,
+) -> DataFrame:
+    """Embedding dedup CLUSTERS under cosine similarity: connected
+    components over the thresholded pair graph — the cosine twin of
+    ``ann_l2.l2_dedup_clusters`` (north_rule: clusters from the
+    candidate-pair graph). Output (cluster_id, vec_id), cluster_id = min
+    vec_id of the component, components of size >= 2 only."""
+    from db_lsh_spark.operators.cluster import connected_components
+
+    out = cosine_near_dup_pairs_lsh(emb, threshold, cfg, max_bucket,
+                                    salt_buckets)
+    pairs = out[0] if isinstance(out, tuple) else out
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    return connected_components(edges).select(
+        "cluster_id", F.col("file_id").alias("vec_id")
+    )
 
 
 def _per_query_recall(

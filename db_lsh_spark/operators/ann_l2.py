@@ -518,21 +518,7 @@ def l2_near_dup_pairs_lsh(
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    def _cap(df: DataFrame, id_col: str):
-        from db_lsh_spark.operators.bands import cap_buckets
-
-        renamed = df.select(
-            F.col(id_col).alias("file_id"), "band",
-            F.col("band_code").alias("band_hash"),
-        )
-        capped, over = cap_buckets(renamed, max_bucket, salt_buckets)
-        return (
-            capped.select(
-                F.col("file_id").alias(id_col), "band",
-                F.col("band_hash").alias("band_code"),
-            ),
-            over,
-        )
+    from db_lsh_spark.operators.bands import cap_code_buckets
 
     left = l2_probe_codes(emb, cfg).select(
         F.col("vec_id").alias("id_a"), "band", "band_code"
@@ -549,8 +535,8 @@ def l2_near_dup_pairs_lsh(
         # whole point (code-review r4). The probe side caps per PROBED
         # cell, so a probe ring member competes in each target bucket on
         # the same deterministic lowest-id rule.
-        right, over_r = _cap(right, "id_b")
-        left, over_l = _cap(left, "id_a")
+        right, over_r = cap_code_buckets(right, "id_b", max_bucket, salt_buckets)
+        left, over_l = cap_code_buckets(left, "id_a", max_bucket, salt_buckets)
         overflow = over_r.withColumn("side", F.lit("exact")).unionByName(
             over_l.withColumn("side", F.lit("probe"))
         )

@@ -101,6 +101,27 @@ def cap_buckets(
     return capped, overflow
 
 
+def cap_code_buckets(
+    df: DataFrame, id_col: str, max_bucket: int, salt_buckets: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """``cap_buckets`` for the ANN lanes' (id, band, band_code) tables —
+    renames through the (file_id, band, band_hash) contract and back, so
+    the cosine and L2 pair self-joins share one cap implementation
+    (lowest ids kept, salted two-phase, overflow censused)."""
+    renamed = df.select(
+        F.col(id_col).alias("file_id"), "band",
+        F.col("band_code").alias("band_hash"),
+    )
+    capped, overflow = cap_buckets(renamed, max_bucket, salt_buckets)
+    return (
+        capped.select(
+            F.col("file_id").alias(id_col), "band",
+            F.col("band_hash").alias("band_code"),
+        ),
+        overflow,
+    )
+
+
 def salt_column(df: DataFrame, key_cols: list[str], buckets: int) -> DataFrame:
     """Deterministic salt in [0, buckets) derived from xxhash64(file_id) —
     used to split a hot groupBy key into ``buckets`` sub-keys (north_rule:

@@ -201,6 +201,74 @@ def incremental_ann_query(
     )
 
 
+def incremental_l2_range_query(
+    spark: SparkSession,
+    vec_stream: DataFrame,
+    index_emb: DataFrame,
+    cfg,
+    radius: float,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Incremental (R, c)-near-neighbor search — the streaming rendition
+    of the reference's actual query PRIMITIVE (``Query.cpp:50-115``:
+    DB-LSH answers everything through R-radius searches): each arriving
+    vector probes the static E2LSH banded index and keeps every index
+    neighbor within Euclidean ``radius``. The batch twin is
+    ``ann_l2.l2_range_neighbors``; same static-index/per-batch-probe state
+    shape and overwrite-per-batch exactly-once sink as the other
+    incremental lanes. Output rows: (query_id, neighbor_id, dist,
+    batch_id)."""
+    from db_lsh_spark.operators import ann_l2
+
+    index_codes = ann_l2.l2_codes(index_emb, cfg).select(
+        F.col("vec_id").alias("neighbor_id"), "band", "band_code"
+    ).localCheckpoint(eager=True)
+    index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probe = batch_df.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
+        probes = ann_l2.l2_probe_codes(probe, cfg).select(
+            F.col("vec_id").alias("query_id"), "band", "band_code"
+        )
+        cand = (
+            F.broadcast(probes).join(index_codes, ["band", "band_code"])
+            .select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        eq = probe.select(
+            F.col("vec_id").alias("query_id"),
+            ann_l2._as_double("embedding").alias("e_q"),
+        )
+        eb = index_vecs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            ann_l2._as_double("embedding").alias("e_b"),
+        )
+        hits = (
+            cand.join(eb, "neighbor_id")
+            .join(F.broadcast(eq), "query_id")
+            .select(
+                "query_id", "neighbor_id",
+                F.round(ann_l2._l2_dist(F.col("e_q"), F.col("e_b")), 6)
+                .alias("dist"),
+            )
+            .where(F.col("dist") <= radius)
+        )
+        (hits.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}"))
+
+    return (
+        vec_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_ann_ivf_query(
     spark: SparkSession,
     vec_stream: DataFrame,

@@ -165,3 +165,46 @@ def test_k_sweep_result_reuse(emb):
     assert sorted(rows) == [1, 5, 10]
     for k, r in rows.items():
         assert r.avg_recall == 1.0 and r.avg_ratio == 1.0, (k, r)
+
+
+# ---------------------------------------------------------------------------
+# round-4: capped cosine pair lane + cosine dedup clusters
+# ---------------------------------------------------------------------------
+def test_cosine_pairs_capped_census(spark, emb):
+    """The cosine pair lane shares the L2 twin's cap contract: a generous
+    cap changes nothing (plus an empty census); a tight cap reports drops."""
+    cfg = AnnConfig(k=10, n_queries=20)
+    exact = ann_ops.cosine_near_dup_pairs(emb, 0.45).toPandas()
+    pairs, census = ann_ops.cosine_near_dup_pairs_lsh(
+        emb, 0.45, cfg, max_bucket=10_000, salt_buckets=4
+    )
+    got = pairs.toPandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b))
+    assert key(got) == key(exact)
+    assert census.count() == 0
+    _, tight = ann_ops.cosine_near_dup_pairs_lsh(
+        emb, 0.45, cfg, max_bucket=5, salt_buckets=4
+    )
+    assert tight.count() > 0
+
+
+def test_cosine_dedup_clusters_matches_pair_graph(spark, emb):
+    """Cluster assignments == connected components of the brute-force
+    thresholded pair graph (min-id labels)."""
+    cfg = AnnConfig(k=10, n_queries=20)
+    pairs = ann_ops.cosine_near_dup_pairs(emb, 0.45).toPandas()
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((find(x), x) for x in parent)
+    got = ann_ops.cosine_dedup_clusters(emb, 0.45, cfg).toPandas()
+    assert sorted(zip(got.cluster_id, got.vec_id)) == want
+    assert len(want) > 0

@@ -360,3 +360,42 @@ def test_incremental_ann_ivf_stream_equals_batch(spark, tmp_path):
     )
     assert key(got) == key(batch)
     assert set(got.batch_id) == {0, 1}
+
+
+def test_incremental_l2_range_stream_equals_batch(spark, tmp_path):
+    """Streaming (R,c)-NN twin: arriving vectors probed against the static
+    E2LSH index at radius R must equal the batch l2_range_neighbors."""
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators import ann_l2
+    from db_lsh_spark.streaming.jobs import incremental_l2_range_query
+
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                    bucket_width=1.0, probe_range=2, k=5, n_queries=20)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    index = emb.where(F.col("vec_id") >= 20)
+
+    src = str(tmp_path / "rng_src")
+    os.makedirs(src)
+    qpdf = queries.toPandas()
+    for i, chunk in enumerate((qpdf.iloc[:10], qpdf.iloc[10:])):
+        chunk.to_parquet(f"{src}/chunk{i}.parquet", index=False)
+    schema = spark.createDataFrame(qpdf.iloc[:1]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "rng_out")
+    q = incremental_l2_range_query(
+        spark, stream, index, cfg, radius=1.25, out_dir=out,
+        checkpoint_dir=str(tmp_path / "rng_ck"),
+    )
+    q.awaitTermination(600)
+    got = (spark.read.option("recursiveFileLookup", "true")
+           .parquet(out).toPandas())
+    batch = ann_l2.l2_range_neighbors(queries, index, cfg, 1.25).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "neighbor_id", "dist"]].values.tolist())
+    )
+    assert len(batch) > 0
+    assert key(got) == key(batch)
