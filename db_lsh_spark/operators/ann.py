@@ -476,23 +476,26 @@ def cosine_near_dup_pairs_lsh(
 def cosine_dedup_clusters(
     emb: DataFrame, threshold: float, cfg: AnnConfig,
     max_bucket: int | None = None, salt_buckets: int | None = None,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Embedding dedup CLUSTERS under cosine similarity: connected
     components over the thresholded pair graph — the cosine twin of
     ``ann_l2.l2_dedup_clusters`` (north_rule: clusters from the
     candidate-pair graph). Output (cluster_id, vec_id), cluster_id = min
-    vec_id of the component, components of size >= 2 only."""
+    vec_id of the component, components of size >= 2 only. With
+    ``max_bucket`` set, returns (clusters, overflow_census) — capping is
+    never silent (the pair lanes' contract)."""
     from db_lsh_spark.operators.cluster import connected_components
 
     out = cosine_near_dup_pairs_lsh(emb, threshold, cfg, max_bucket,
                                     salt_buckets)
-    pairs = out[0] if isinstance(out, tuple) else out
+    pairs, census = out if isinstance(out, tuple) else (out, None)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).localCheckpoint(eager=True)
-    return connected_components(edges).select(
+    clusters = connected_components(edges).select(
         "cluster_id", F.col("file_id").alias("vec_id")
     )
+    return (clusters, census) if max_bucket is not None else clusters
 
 
 def _per_query_recall(

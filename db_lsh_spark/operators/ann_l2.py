@@ -582,7 +582,7 @@ def l2_dedup_clusters(
     cfg: AnnConfig,
     max_bucket: int | None = None,
     salt_buckets: int | None = None,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Embedding dedup CLUSTERS under Euclidean distance: connected
     components over the radius-pair graph — the vector-lane twin of
     ``documents.dedup_clusters`` (north_rule: "connected components over
@@ -591,21 +591,23 @@ def l2_dedup_clusters(
     (cluster_id, vec_id), cluster_id = min vec_id of the component,
     components of size >= 2 only (a singleton has no pair edge — callers
     wanting full assignments union the complement in, exactly as the text
-    lane's ``assignments_with_singletons``)."""
+    lane's ``assignments_with_singletons``). With ``max_bucket`` set,
+    returns (clusters, overflow_census) — capping is never silent (the
+    pair lanes' contract)."""
     from db_lsh_spark.operators.cluster import connected_components
 
     out = l2_near_dup_pairs_lsh(emb, radius, cfg, max_bucket, salt_buckets)
-    pairs = out[0] if isinstance(out, tuple) else out
+    pairs, census = out if isinstance(out, tuple) else (out, None)
     # lineage cut before the CC iteration (same discipline as the text
     # lane: the alternating-star loop re-reads its input many times, and
     # Spark 4.1's constraint propagation chokes on deep self-union plans)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).localCheckpoint(eager=True)
-    comp = connected_components(edges)
-    return comp.select(
+    clusters = connected_components(edges).select(
         "cluster_id", F.col("file_id").alias("vec_id")
     )
+    return (clusters, census) if max_bucket is not None else clusters
 
 
 def run_l2_dedup(

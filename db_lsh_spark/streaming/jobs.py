@@ -168,12 +168,7 @@ def incremental_ann_query(
     """
     from db_lsh_spark.operators import ann_l2
 
-    index_codes = ann_l2.l2_codes(index_emb, cfg).select(
-        F.col("vec_id").alias("neighbor_id"), "band", "band_code"
-    ).localCheckpoint(eager=True)
-    index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
-        eager=True
-    )
+    index_codes, index_vecs = _l2_stream_index(index_emb, cfg)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -181,14 +176,7 @@ def incremental_ann_query(
         # one row per vec_id within the batch (dedup the landing zone the
         # same way the dedup stream does)
         probe = batch_df.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
-        probes = ann_l2.l2_probe_codes(probe, cfg).select(
-            F.col("vec_id").alias("query_id"), "band", "band_code"
-        )
-        cand = (
-            F.broadcast(probes).join(index_codes, ["band", "band_code"])
-            .select("query_id", "neighbor_id")
-            .dropDuplicates(["query_id", "neighbor_id"])
-        )
+        cand = _l2_stream_candidates(probe, index_codes, cfg)
         topk = ann_l2._rerank_candidates_l2(cand, probe, index_vecs, cfg.k)
         (topk.withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}"))
@@ -198,6 +186,38 @@ def incremental_ann_query(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _l2_stream_index(index_emb: DataFrame, cfg):
+    """Build the static E2LSH stream state ONCE: the slim banded index and
+    the raw vectors, both lineage-cut — shared by every E2LSH streaming
+    twin so dedup/checkpoint semantics cannot silently diverge between
+    them (code-review r4)."""
+    from db_lsh_spark.operators import ann_l2
+
+    index_codes = ann_l2.l2_codes(index_emb, cfg).select(
+        F.col("vec_id").alias("neighbor_id"), "band", "band_code"
+    ).localCheckpoint(eager=True)
+    index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    return index_codes, index_vecs
+
+
+def _l2_stream_candidates(probe: DataFrame, index_codes: DataFrame, cfg):
+    """Per-batch candidate generation against the static banded index:
+    probe-side multi-probe codes, broadcast equi-join, pair dedup — the
+    one shared implementation behind the kNN and radius streaming twins."""
+    from db_lsh_spark.operators import ann_l2
+
+    probes = ann_l2.l2_probe_codes(probe, cfg).select(
+        F.col("vec_id").alias("query_id"), "band", "band_code"
+    )
+    return (
+        F.broadcast(probes).join(index_codes, ["band", "band_code"])
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
 
 
@@ -221,25 +241,13 @@ def incremental_l2_range_query(
     batch_id)."""
     from db_lsh_spark.operators import ann_l2
 
-    index_codes = ann_l2.l2_codes(index_emb, cfg).select(
-        F.col("vec_id").alias("neighbor_id"), "band", "band_code"
-    ).localCheckpoint(eager=True)
-    index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
-        eager=True
-    )
+    index_codes, index_vecs = _l2_stream_index(index_emb, cfg)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         probe = batch_df.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
-        probes = ann_l2.l2_probe_codes(probe, cfg).select(
-            F.col("vec_id").alias("query_id"), "band", "band_code"
-        )
-        cand = (
-            F.broadcast(probes).join(index_codes, ["band", "band_code"])
-            .select("query_id", "neighbor_id")
-            .dropDuplicates(["query_id", "neighbor_id"])
-        )
+        cand = _l2_stream_candidates(probe, index_codes, cfg)
         eq = probe.select(
             F.col("vec_id").alias("query_id"),
             ann_l2._as_double("embedding").alias("e_q"),

@@ -399,3 +399,4 @@ def test_incremental_l2_range_stream_equals_batch(spark, tmp_path):
     )
     assert len(batch) > 0
     assert key(got) == key(batch)
+    assert set(got.batch_id) == {0, 1}  # genuinely incremental (2 batches)
