@@ -141,6 +141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_quality"] = lambda s, d: text_ops.quality_score(_docs(s, d))
     q["doc_lang_id"] = lambda s, d: text_ops.lang_id(_docs(s, d))
     q["doc_fingerprint"] = lambda s, d: text_ops.fingerprint(_docs(s, d))
+    # the brief's literal rolling-hash fingerprint: min Rabin-Karp hash
+    # over 16-codepoint windows (winnowing-style); the oracle inlines the
+    # identical modular power table
+    q["doc_rolling_fingerprint"] = lambda s, d: text_ops.rolling_fingerprint(
+        _docs(s, d)
+    )
     q["doc_shingle_count"] = lambda s, d: text_ops.shingle_count(
         _docs(s, d), SHINGLE_K
     ).select("doc_id", F.col("n_shingles").cast("long").alias("n_shingles"))
@@ -478,6 +484,28 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_fingerprint"] = """
         SELECT doc_id,
                CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp60
+        FROM documents
+    """
+    from db_lsh_spark.operators.text import (
+        ROLLING_K as _RK,
+        ROLLING_MOD as _RM,
+        ROLLING_POWERS as _RP,
+    )
+
+    _pw = "[" + ",".join(map(str, _RP)) + "]"
+    sql["doc_rolling_fingerprint"] = f"""
+        SELECT doc_id,
+          CASE WHEN length(text) = 0 THEN 0
+            WHEN length(text) < {_RK} THEN
+              list_aggregate(list_transform(range(0, length(text)::BIGINT), j ->
+                (unicode(substr(text, (j+1)::INT, 1))::BIGINT *
+                 ({_pw})[({_RK} - length(text) + j + 1)::INT]) % {_RM}), 'sum') % {_RM}
+            ELSE
+              list_aggregate(list_transform(range(1, (length(text)-{_RK}+2)::BIGINT), i ->
+                list_aggregate(list_transform(range(0, {_RK}), j ->
+                  (unicode(substr(text, (i+j)::INT, 1))::BIGINT *
+                   ({_pw})[(j+1)::INT]) % {_RM}), 'sum') % {_RM}), 'min')
+          END::BIGINT AS rolling_fp
         FROM documents
     """
     sql["doc_shingle_count"] = f"""

@@ -92,3 +92,53 @@ def test_lsh_ann_subset_of_bruteforce_cosines(emb):
         a = approx[approx.query_id == qid].sort_values("rank").cosine.values
         for i in range(min(len(a), len(e))):
             assert a[i] <= e[i] + 1e-9
+
+
+def test_rolling_fingerprint_kernel_properties():
+    """Rabin-Karp kernel invariants: shift-invariance (a shared window can
+    share the min fingerprint), determinism, and the short/exact-k/empty
+    boundary behaviors."""
+    from db_lsh_spark.operators.text import (
+        ROLLING_K,
+        ROLLING_MOD,
+        ROLLING_POWERS,
+        rolling_fp_batch,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    # a document CONTAINING a as a substring shares all of a's windows →
+    # its min fingerprint can only be <= a's, and both contain a's min
+    fa = rolling_fp_batch([a])[0]
+    fb = rolling_fp_batch(["PREFIX-" + a + "-SUFFIX"])[0]
+    assert fb <= fa  # superset of windows → min can't increase
+    assert rolling_fp_batch([a]) == rolling_fp_batch([a])  # deterministic
+    assert rolling_fp_batch([""])[0] == 0
+    # exactly-k and k+1 share the length-k window hash formula
+    s16 = "exactly16chars!!"
+    assert len(s16) == ROLLING_K
+    direct = (
+        sum(
+            (ord(c) * ROLLING_POWERS[j]) % ROLLING_MOD
+            for j, c in enumerate(s16)
+        )
+        % ROLLING_MOD
+    )
+    assert rolling_fp_batch([s16])[0] == direct
+    # short doc: tail of the same power table
+    s5 = "short"
+    tail = ROLLING_POWERS[ROLLING_K - 5:]
+    want = sum((ord(c) * tail[j]) % ROLLING_MOD for j, c in enumerate(s5)) % ROLLING_MOD
+    assert rolling_fp_batch([s5])[0] == want
+
+
+def test_rolling_fingerprint_spark_matches_kernel(spark):
+    """The mapInPandas lane must equal the kernel row-for-row on the
+    fixture documents (including unicode content)."""
+    from db_lsh_spark.operators.text import rolling_fingerprint, rolling_fp_batch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = rolling_fingerprint(docs).toPandas().set_index("doc_id").rolling_fp
+    pdf = docs.select("doc_id", "text").toPandas()
+    want = rolling_fp_batch(pdf.text.tolist())
+    for did, w in zip(pdf.doc_id, want):
+        assert got[did] == w
