@@ -1,11 +1,14 @@
 """Text-analysis operators for the training-data pipeline lane.
 
-All JVM-side (``pyspark.sql.functions`` only — whole-stage codegen, no
-Python in the hot path): token counting, type-token stats, quality scoring,
+JVM-side (``pyspark.sql.functions`` — whole-stage codegen) with ONE
+deliberate exception: token counting, type-token stats, quality scoring,
 n-gram shingling, document fingerprinting, language-ID heuristic, exact and
-near-duplicate detection over the ``documents`` table. Each operator has a
-DuckDB-SQL twin in ``__spark_entry__.oracle_sql`` — identical arithmetic,
-identical aliases (the driver's correctness gate).
+near-duplicate detection over the ``documents`` table are all pure JVM
+expressions; ``rolling_fingerprint`` alone is an Arrow-batched mapInPandas
+lane (a true rolling hash is a sequential recurrence no SQL expression
+states; its NumPy kernel is the point). Each operator has a DuckDB-SQL
+twin in ``__spark_entry__.oracle_sql`` — identical arithmetic, identical
+aliases (the driver's correctness gate).
 
 Shingling here is *string* shingles over whitespace tokens (SQL-expressible
 for the oracle); the engine's dedup pipeline proper uses the hashed-shingle
@@ -107,29 +110,45 @@ ROLLING_POWERS = [
 ]
 
 
-def rolling_fp_batch(texts, k: int = ROLLING_K):
-    """NumPy kernel: min rolling (Rabin-Karp) hash over ``k``-codepoint
-    windows per text — one sliding-window dot per document, codepoints via
-    utf-32 decode (no per-char Python). Shared by the Spark UDF and the
-    unit tests; a doc shorter than k hashes its whole text with the TAIL
-    of the same power table (B^(len-1-j) = ROLLING_POWERS[K-len+j])."""
+def rolling_window_hashes(text: str, k: int = ROLLING_K):
+    """All per-window Rabin-Karp hashes of ``text`` (length n-k+1 array) —
+    the kernel's inner loop, exposed for property tests. Accumulates k
+    shifted slices (O(n) memory, O(k) vectorized passes) rather than
+    materializing the (n-k+1, k) window matrix; per-term mod keeps every
+    partial sum under 16·2^31 (int64-safe)."""
     import numpy as np
 
     M = ROLLING_MOD
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    n = len(cps)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    kk = min(k, n)
+    pw = ROLLING_POWERS[k - kk:]  # tail: B^(kk-1-j) mod M
+    nw = n - kk + 1
+    h = np.zeros(nw, dtype=np.int64)
+    for j in range(kk):
+        h += (cps[j:j + nw] * pw[j]) % M
+    return h % M
+
+
+def rolling_fp_batch(texts, k: int = ROLLING_K):
+    """NumPy kernel: min rolling (Rabin-Karp) hash over ``k``-codepoint
+    windows per text, codepoints via utf-32 decode (no per-char Python).
+    Shared by the Spark UDF and the unit tests; a doc shorter than k
+    hashes its whole text with the TAIL of the same power table
+    (B^(len-1-j) = ROLLING_POWERS[K-len+j]); empty text → 0; NULL text
+    null-propagates (returns None, matching the SQL oracle's CASE over a
+    NULL length)."""
     out = []
     for t in texts:
-        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
-            np.int64
-        )
-        n = len(cps)
-        if n == 0:
-            out.append(0)
+        if t is None or (isinstance(t, float)):  # None / pandas NaN
+            out.append(None)
             continue
-        kk = min(k, n)
-        pw = np.asarray(ROLLING_POWERS[k - kk:], dtype=np.int64)
-        win = np.lib.stride_tricks.sliding_window_view(cps, kk)
-        h = ((win * pw) % M).sum(axis=1) % M
-        out.append(int(h.min()))
+        h = rolling_window_hashes(t, k)
+        out.append(int(h.min()) if len(h) else 0)
     return out
 
 
@@ -145,7 +164,8 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     schema = StructType(
         [
             StructField("doc_id", LongType(), False),
-            StructField("rolling_fp", LongType(), False),
+            # nullable: a NULL text null-propagates (oracle parity)
+            StructField("rolling_fp", LongType(), True),
         ]
     )
 
@@ -156,7 +176,9 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "rolling_fp": rolling_fp_batch(pdf["text"].tolist()),
+                    "rolling_fp": pd.array(
+                        rolling_fp_batch(pdf["text"].tolist()), dtype="Int64"
+                    ),
                 }
             )
 

@@ -105,14 +105,22 @@ def test_rolling_fingerprint_kernel_properties():
         rolling_fp_batch,
     )
 
+    from db_lsh_spark.operators.text import rolling_window_hashes
+
     a = "the quick brown fox jumps over the lazy dog again and again"
-    # a document CONTAINING a as a substring shares all of a's windows →
-    # its min fingerprint can only be <= a's, and both contain a's min
-    fa = rolling_fp_batch([a])[0]
-    fb = rolling_fp_batch(["PREFIX-" + a + "-SUFFIX"])[0]
-    assert fb <= fa  # superset of windows → min can't increase
+    # a document CONTAINING a as a substring shares all of a's windows:
+    # every window hash of a appears among the superset doc's window
+    # hashes, so its min can only be <= a's (the winnowing property —
+    # asserted on the full window-hash SETS, not just the min)
+    b = "PREFIX-" + a + "-SUFFIX"
+    ha, hb = rolling_window_hashes(a), rolling_window_hashes(b)
+    assert set(ha.tolist()) <= set(hb.tolist())
+    fa, fb = rolling_fp_batch([a])[0], rolling_fp_batch([b])[0]
+    assert fa == int(ha.min()) and fb == int(hb.min())
+    assert fb <= fa
     assert rolling_fp_batch([a]) == rolling_fp_batch([a])  # deterministic
     assert rolling_fp_batch([""])[0] == 0
+    assert rolling_fp_batch([None]) == [None]  # NULL text null-propagates
     # exactly-k and k+1 share the length-k window hash formula
     s16 = "exactly16chars!!"
     assert len(s16) == ROLLING_K
