@@ -74,9 +74,16 @@ def _ensure_worker_pythonpath(spark: SparkSession) -> None:
         except Exception:
             pass
         if not registered:
-            import warnings
+            # logging, not warnings.warn: the default warning filter is
+            # once-per-call-site, so repeated retry failures would be
+            # silent after the first — a persistently broken ship path
+            # must stay VISIBLE on every attempt (ADVICE r04)
+            import logging
 
-            warnings.warn(f"package zip not shipped to workers: {exc!r}")
+            logging.getLogger(__name__).warning(
+                "package zip not shipped to workers (will retry on next "
+                "call): %r", exc
+            )
             return
     spark._dblsh_pyfiles_added = True
 

@@ -119,9 +119,14 @@ def rolling_window_hashes(text: str, k: int = ROLLING_K):
     import numpy as np
 
     M = ROLLING_MOD
-    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
-        np.int64
-    )
+    # surrogatepass: a Python str CAN hold unpaired surrogates (e.g. built
+    # via createDataFrame rather than parquet); strict utf-32 would raise
+    # and fail the whole mapInPandas batch. Parity-safe — DuckDB VARCHAR
+    # cannot hold such strings, so no oracle row ever exercises them
+    # (ADVICE r04).
+    cps = np.frombuffer(
+        text.encode("utf-32-le", errors="surrogatepass"), dtype=np.uint32
+    ).astype(np.int64)
     n = len(cps)
     if n == 0:
         return np.zeros(0, dtype=np.int64)

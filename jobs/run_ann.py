@@ -237,8 +237,10 @@ def _append_history(path: str, row: dict) -> None:
         if existing != list(row):
             raise ValueError(
                 f"{path}: existing header {existing} does not match the "
-                f"current metrics columns {list(row)}; point --results at "
-                "a new file"
+                f"current metrics columns {list(row)} (the metrics schema "
+                "gained index/n_lists/nprobe columns in a later version); "
+                "rename or remove the old history file, or pass a new "
+                "--results path"
             )
     with open(path, "a", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(row))

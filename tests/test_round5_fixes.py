@@ -1,0 +1,33 @@
+"""Round-5 regression tests: ADVICE r04 closures + index-artifact work."""
+
+import numpy as np
+import pytest
+
+
+def test_rolling_hash_survives_unpaired_surrogate():
+    """A Python str CAN carry an unpaired surrogate (createDataFrame input,
+    not parquet); strict utf-32 encoding raised UnicodeEncodeError and
+    killed the whole Arrow batch (ADVICE r04). surrogatepass keeps the doc
+    hashable and deterministic."""
+    from db_lsh_spark.operators.text import rolling_fp_batch, rolling_window_hashes
+
+    bad = "abc\ud800def and some more text to cross the window size"
+    h = rolling_window_hashes(bad)
+    assert len(h) == len(bad) - 16 + 1
+    out = rolling_fp_batch([bad, None, "", "short"])
+    assert out[0] == int(h.min())
+    assert out[1] is None
+    assert out[2] == 0
+    # determinism across calls
+    assert rolling_fp_batch([bad]) == [out[0]]
+
+
+def test_history_header_mismatch_message_actionable(tmp_path):
+    """Schema-drifted history CSV must fail with a migration hint
+    (ADVICE r04)."""
+    from jobs.run_ann import _append_history
+
+    p = tmp_path / "results.csv"
+    _append_history(str(p), {"old_col": 1})
+    with pytest.raises(ValueError, match="rename or remove"):
+        _append_history(str(p), {"new_col": 2})
