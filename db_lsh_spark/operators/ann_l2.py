@@ -223,6 +223,25 @@ def l2_codes(emb: DataFrame, cfg: AnnConfig) -> DataFrame:
     return _codes_map(emb, cfg, np.zeros((1, cfg.rows), dtype=np.int64))
 
 
+def build_or_load_l2_codes(
+    spark, base: DataFrame, store, cfg: AnnConfig, stage: str = "l2_codes"
+) -> DataFrame:
+    """Create-or-load the E2LSH banded code table as a persisted INDEX
+    ARTIFACT (VERDICT r04 #1): the reference builds its trees once and
+    reuses them across queries (``dblsh.cpp:101-184`` → PageFile); without
+    this, every ``run_ann`` / streaming start re-hashed the full base set.
+    The artifact is range-laid-out on (band, band_code) — min-max rowgroup
+    skipping serves the probe join (the T3 bulk-load discipline). Returns
+    (vec_id, band, band_code); the store's fingerprint must carry the
+    dataset identity (see ``jobs/run_ann.py``) so a config-or-data change
+    invalidates it like any stage."""
+    return store.run_stage(
+        spark, stage, lambda: l2_codes(base, cfg),
+        repartition_by=["band", "band_code"],
+        sort_within=["band", "band_code", "vec_id"],
+    )
+
+
 def l2_probe_codes(
     emb: DataFrame, cfg: AnnConfig, lo: int = -1, hi: int | None = None
 ) -> DataFrame:
@@ -235,18 +254,20 @@ def l2_probe_codes(
 
 def l2_lsh_candidates_pair(
     queries: DataFrame, base: DataFrame, cfg: AnnConfig,
-    exclude_self: bool = False,
+    exclude_self: bool = False, index_codes: DataFrame | None = None,
 ) -> DataFrame:
     """Bucket candidates under the E2LSH family: distinct
     (query_id, neighbor_id) whose cells agree within ``probe_range`` per
     some band. Probe expansion happens on the (tiny) query side only; the
     base side ships exactly one slim row per (vector, band).
     ``exclude_self`` only for shared-id-space callers (see
-    ``knn_bruteforce_l2_pair``)."""
+    ``knn_bruteforce_l2_pair``). Pass ``index_codes`` — a prebuilt
+    (vec_id, band, band_code) table (``build_or_load_l2_codes``) — to
+    probe a persisted index instead of re-hashing the base set."""
     qs = l2_probe_codes(queries, cfg).select(
         F.col("vec_id").alias("query_id"), "band", "band_code"
     )
-    b = l2_codes(base, cfg).select(
+    b = (l2_codes(base, cfg) if index_codes is None else index_codes).select(
         F.col("vec_id").alias("neighbor_id"), "band", "band_code"
     )
     out = F.broadcast(qs).join(b, ["band", "band_code"])
@@ -381,6 +402,7 @@ def knn_l2_lsh_adaptive(
 def knn_l2_lsh_adaptive_pair(
     queries: DataFrame, base: DataFrame, cfg: AnnConfig,
     budget: int | None = None, exclude_self: bool = False,
+    index_codes: DataFrame | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Query-adaptive E2LSH kNN — the reference's dynamic search loop
     (``Query.cpp:76-100``: probe at window c^t·w until T = βN + k
@@ -400,9 +422,18 @@ def knn_l2_lsh_adaptive_pair(
     # the full schedule of empty-ring rounds for nothing (code-review r4)
     budget = min(budget, n_base - 1 if exclude_self else n_base)
     queries = queries.localCheckpoint(eager=True)
-    base_codes = l2_codes(base, cfg).select(
-        F.col("vec_id").alias("neighbor_id"), "band", "band_code"
-    ).localCheckpoint(eager=True)
+    # the widening loop re-probes the SAME banded table each round (the
+    # paper's core claim); a persisted ``index_codes`` artifact slots in
+    # directly — it already IS materialized, so no lineage cut is needed
+    base_codes = (
+        index_codes.select(
+            F.col("vec_id").alias("neighbor_id"), "band", "band_code"
+        )
+        if index_codes is not None
+        else l2_codes(base, cfg).select(
+            F.col("vec_id").alias("neighbor_id"), "band", "band_code"
+        ).localCheckpoint(eager=True)
+    )
     all_qids = sorted(r.vec_id for r in queries.select("vec_id").collect())
 
     cand: DataFrame | None = None

@@ -190,6 +190,145 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, schema)
 
 
+def winnow_fingerprints(
+    docs: DataFrame, w: int = 8, k: int = ROLLING_K
+) -> DataFrame:
+    """(doc_id, fp): the ``w`` SMALLEST distinct Rabin-Karp window hashes
+    per document — a bottom-w sketch over the rolling-hash stream
+    (winnowing-style content-defined selection; VERDICT r04 #2). Shares
+    the exact kernel with ``rolling_fingerprint`` (``rolling_window_
+    hashes``), so the DuckDB twin computes identical values from the
+    inlined modular power table. Documents shorter than ``k`` codepoints
+    emit nothing: they have no full window, and the sub-window tail hash
+    uses a different power alignment — equating it with window hashes
+    would manufacture collisions."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("fp", LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None or isinstance(t, float) or len(t) < k:
+                    continue
+                hs = np.unique(rolling_window_hashes(t, k))[:w]
+                ids.append(np.full(len(hs), doc_id, dtype=np.int64))
+                fps.append(hs)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(ids), "fp": np.concatenate(fps)}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
+
+
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    w: int = 8,
+    min_lcs: int = 32,
+    k: int = ROLLING_K,
+    max_bucket: int | None = None,
+    lcs_cap: int | None = None,
+) -> DataFrame:
+    """Substring-level near-duplicate pairs the MinHash lane cannot see
+    (VERDICT r04 #2): two documents sharing a long VERBATIM span (a lifted
+    paragraph, a vendored header) collide on a bottom-w rolling-window
+    fingerprint even when their overall shingle Jaccard is ~0.
+
+    Lane shape (the same candidates→verify discipline as every LSH lane):
+    bottom-w window hashes per doc (``winnow_fingerprints``) → equi-join
+    on fp (candidates) → suffix-array LCS verify (``functions.suffix``,
+    north_rule's substring-matching pass) keeping pairs with a common
+    substring of length >= ``min_lcs``. Output (id_a, id_b), id_a < id_b.
+
+    Soundness bound: a shared substring of length s yields s-k+1 shared
+    window hashes; with bottom-w selection the pair is SEEN iff one of
+    those hashes lands in both docs' bottom-w — the standard sketch
+    trade-off, tuned by ``w``. ``min_lcs`` must be >= k (shorter spans
+    produce no shared full window, so candidates cannot exist).
+
+    Scale: fingerprints are slim (doc_id, fp) rows; contents are fetched
+    ONLY for candidate ids (never shuffled corpus-wide). A ubiquitous span
+    (a license header) makes one fp bucket quadratic — ``max_bucket`` caps
+    each bucket at its lowest ``max_bucket`` doc_ids (deterministic,
+    non-silent trade-off; None = exact, the oracle configuration)."""
+    if min_lcs < k:
+        raise ValueError(f"min_lcs {min_lcs} < window size {k}: spans "
+                         "shorter than one window generate no candidates")
+    fps = winnow_fingerprints(docs, w, k)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        fps = (
+            fps.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("fp").orderBy("doc_id")
+                ),
+            )
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    cand = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # verify: fetch candidate contents only, suffix-array LCS >= min_lcs
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    needed = docs.select("doc_id", "text").join(cand_ids, "doc_id", "left_semi")
+    ta = needed.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = needed.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    joined = cand.join(ta, "id_a").join(tb, "id_b")
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from db_lsh_spark.functions.suffix import longest_common_substring
+
+    schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(ia), int(ib))
+                for ia, ib, x, y in zip(
+                    pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]
+                )
+                if longest_common_substring(x or "", y or "", cap=lcs_cap)
+                >= min_lcs
+            ]
+            yield pd.DataFrame(rows, columns=["id_a", "id_b"]).astype("int64")
+
+    return joined.mapInPandas(gen, schema)
+
+
 def shingles_col(k: int, text_col: str = "text"):
     """Array of k-token string shingles (distinct), built with JVM
     higher-order functions: transform over a position sequence + slice +

@@ -148,6 +148,7 @@ def incremental_ann_query(
     cfg,
     out_dir: str,
     checkpoint_dir: str,
+    index_store=None,
 ) -> StreamingQuery:
     """Incremental L2 ANN: per micro-batch, E2LSH-hash the ARRIVING vectors
     (query side), probe the static banded index, rerank exact-L2 top-k,
@@ -168,7 +169,7 @@ def incremental_ann_query(
     """
     from db_lsh_spark.operators import ann_l2
 
-    index_codes, index_vecs = _l2_stream_index(index_emb, cfg)
+    index_codes, index_vecs = _l2_stream_index(index_emb, cfg, index_store)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -189,16 +190,25 @@ def incremental_ann_query(
     )
 
 
-def _l2_stream_index(index_emb: DataFrame, cfg):
+def _l2_stream_index(index_emb: DataFrame, cfg, index_store=None):
     """Build the static E2LSH stream state ONCE: the slim banded index and
     the raw vectors, both lineage-cut — shared by every E2LSH streaming
     twin so dedup/checkpoint semantics cannot silently diverge between
-    them (code-review r4)."""
+    them (code-review r4). With ``index_store`` (a StageStore whose
+    fingerprint binds config + dataset identity), the banded table is
+    create-or-loaded as a PERSISTED artifact (VERDICT r04 #1): a restarted
+    stream starts from the index on disk instead of re-hashing the static
+    frame — the reference's load-the-trees startup (``dblsh.cpp:101-184``)."""
     from db_lsh_spark.operators import ann_l2
 
-    index_codes = ann_l2.l2_codes(index_emb, cfg).select(
-        F.col("vec_id").alias("neighbor_id"), "band", "band_code"
-    ).localCheckpoint(eager=True)
+    if index_store is not None:
+        index_codes = ann_l2.build_or_load_l2_codes(
+            index_emb.sparkSession, index_emb, index_store, cfg
+        ).select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
+    else:
+        index_codes = ann_l2.l2_codes(index_emb, cfg).select(
+            F.col("vec_id").alias("neighbor_id"), "band", "band_code"
+        ).localCheckpoint(eager=True)
     index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
         eager=True
     )
@@ -229,6 +239,7 @@ def incremental_l2_range_query(
     radius: float,
     out_dir: str,
     checkpoint_dir: str,
+    index_store=None,
 ) -> StreamingQuery:
     """Incremental (R, c)-near-neighbor search — the streaming rendition
     of the reference's actual query PRIMITIVE (``Query.cpp:50-115``:
@@ -241,7 +252,7 @@ def incremental_l2_range_query(
     batch_id)."""
     from db_lsh_spark.operators import ann_l2
 
-    index_codes, index_vecs = _l2_stream_index(index_emb, cfg)
+    index_codes, index_vecs = _l2_stream_index(index_emb, cfg, index_store)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -286,6 +297,7 @@ def incremental_ann_ivf_query(
     nprobe: int,
     out_dir: str,
     checkpoint_dir: str,
+    index_store=None,
 ) -> StreamingQuery:
     """Incremental IVF-Flat ANN — the coarse-quantizer twin of
     ``incremental_ann_query`` (VERDICT r03 #7): the centroid matrix and the
@@ -303,9 +315,17 @@ def incremental_ann_ivf_query(
     from db_lsh_spark.operators import ann_l2, ivf
 
     C = np.ascontiguousarray(centroids, dtype=np.float64)
-    inv = ivf.assign_lists(index_emb, C).select(
-        F.col("vec_id").alias("neighbor_id"), "list_id"
-    ).localCheckpoint(eager=True)
+    if index_store is not None:
+        # persisted inverted index (VERDICT r04 #1): a restarted stream
+        # loads (vec_id, list_id) from the artifact store instead of
+        # re-assigning the whole static frame
+        inv = ivf.build_or_load_inverted_index(
+            index_emb.sparkSession, index_emb, index_store, C
+        ).select(F.col("vec_id").alias("neighbor_id"), "list_id")
+    else:
+        inv = ivf.assign_lists(index_emb, C).select(
+            F.col("vec_id").alias("neighbor_id"), "list_id"
+        ).localCheckpoint(eager=True)
     index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
         eager=True
     )

@@ -81,9 +81,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--nprobe", type=int, default=8,
                    help="ivf: lists probed per query")
     p.add_argument("--index-dir", default=None,
-                   help="ivf: persist/load the centroid artifact through a "
+                   help="persist/load the index artifacts through a "
                         "StageStore rooted here (index state, like the "
-                        "reference's page-file trees)")
+                        "reference's page-file trees): the banded code "
+                        "table for lsh, the centroid matrix + inverted "
+                        "index for ivf; a second run with the same config "
+                        "and data loads instead of rebuilding")
     p.add_argument("--results", default=None,
                    help="append the metrics row to this CSV (header iff empty)")
     args = p.parse_args(argv)
@@ -333,6 +336,29 @@ def run(spark, args) -> dict:
             write_ground_truth(args.ben, idx, dst)
             _write_sidecar(args.ben, metric, n_base, dim, k, args.seed)
 
+    # ---- index artifacts (VERDICT r04 #1): with --index-dir, EVERY index
+    # kind persists its rebuildable state through a StageStore — the banded
+    # code table for lsh, the centroid matrix + inverted index for ivf —
+    # exactly as the reference persists its trees across queries
+    # (dblsh.cpp:101-184 → PageFile). Dataset identity belongs in the
+    # artifact fingerprint: the config hash alone would let --data B load
+    # an index built on --data A of the same shape (code-review r4).
+    n_lists = min(getattr(args, "n_lists", 64), n_base)
+    # record the EFFECTIVE probe depth: ivf_candidates_pair clamps
+    # internally, and a history row claiming nprobe=8 against 4 lists
+    # would attribute full-scan cost to a depth that never ran
+    nprobe = min(getattr(args, "nprobe", 8), n_lists)
+    index_dir = getattr(args, "index_dir", None)
+    store = None
+    if index_dir:
+        from db_lsh_spark.sources.io import StageStore
+
+        ds_id = f"{os.path.abspath(args.data)}:{n_base}:{dim}"
+        kind_tag = f"ivf{n_lists}" if index_kind == "ivf" else f"lsh-{metric}"
+        store = StageStore(
+            index_dir, fingerprint=f"{cfg.fingerprint()}-{kind_tag}-{ds_id}"
+        )
+
     # ---- the LSH lane (Query.cpp:50-115): candidates materialized ONCE —
     # the rerank consumes them and COST counts the same frame
     t0 = time.monotonic()
@@ -341,34 +367,21 @@ def run(spark, args) -> dict:
     if index_kind == "ivf":
         # IVF-Flat through the reference protocol (VERDICT r03 #4): the
         # quantizer is trained on the PEELED base (the same frame the ben
-        # indices are relative to) and — with --index-dir — persisted as
-        # an index artifact, create-or-loaded like the reference's trees
-        # (dblsh.cpp:101-184)
+        # indices are relative to)
         from db_lsh_spark.operators import ivf as ivf_ops
 
-        n_lists = min(getattr(args, "n_lists", 64), n_base)
-        # record the EFFECTIVE probe depth: ivf_candidates_pair clamps
-        # internally, and a history row claiming nprobe=8 against 4 lists
-        # would attribute full-scan cost to a depth that never ran
-        nprobe = min(getattr(args, "nprobe", 8), n_lists)
-        index_dir = getattr(args, "index_dir", None)
-        if index_dir:
-            from db_lsh_spark.sources.io import StageStore
-
-            # dataset identity belongs in the artifact fingerprint: the
-            # config hash alone would let --data B load a quantizer
-            # trained on --data A of the same shape (code-review r4)
-            ds_id = f"{os.path.abspath(args.data)}:{n_base}:{dim}"
-            store = StageStore(
-                index_dir,
-                fingerprint=f"{cfg.fingerprint()}-ivf{n_lists}-{ds_id}",
-            )
+        if store is not None:
             cents = ivf_ops.build_or_load_centroids(
                 spark, base, store, n_lists, seed=args.seed
             )
+            inv = ivf_ops.build_or_load_inverted_index(
+                spark, base, store, cents
+            ).select(F.col("vec_id").alias("neighbor_id"), "list_id")
         else:
             cents = ivf_ops.train_quantizer(base, n_lists, seed=args.seed)
-        cand = ivf_ops.ivf_candidates_pair(queries, base, cents, nprobe)
+            inv = None
+        cand = ivf_ops.ivf_candidates_pair(queries, base, cents, nprobe,
+                                           inv=inv)
         cand = cand.localCheckpoint(eager=True)
         approx = l2_ops._rerank_candidates_l2(cand, queries, base, k)
         approx = approx.localCheckpoint(eager=True)
@@ -376,19 +389,35 @@ def run(spark, args) -> dict:
     elif adaptive:
         # the reference's ACTUAL query loop: widen the window by c per
         # round until T = beta*N + k candidates per query (Query.cpp:76-100)
-        approx, rounds = l2_ops.knn_l2_lsh_adaptive_pair(queries, base, cfg)
+        codes = (
+            l2_ops.build_or_load_l2_codes(spark, base, store, cfg)
+            if store is not None else None
+        )
+        approx, rounds = l2_ops.knn_l2_lsh_adaptive_pair(
+            queries, base, cfg, index_codes=codes
+        )
         approx = approx.localCheckpoint(eager=True)
         approx_d = approx
         n_cand = rounds[-1]["cum_candidates"]
         widen_rounds = len(rounds)
     elif metric == "l2":
-        cand = l2_ops.l2_lsh_candidates_pair(queries, base, cfg)
+        codes = (
+            l2_ops.build_or_load_l2_codes(spark, base, store, cfg)
+            if store is not None else None
+        )
+        cand = l2_ops.l2_lsh_candidates_pair(queries, base, cfg,
+                                             index_codes=codes)
         cand = cand.localCheckpoint(eager=True)
         approx = l2_ops._rerank_candidates_l2(cand, queries, base, k)
         approx = approx.localCheckpoint(eager=True)
         approx_d = approx  # dist column already Euclidean
     else:
-        cand = ann_ops.lsh_candidates_pair(queries, base, cfg)
+        codes = (
+            ann_ops.build_or_load_sign_codes(spark, base, store, cfg)
+            if store is not None else None
+        )
+        cand = ann_ops.lsh_candidates_pair(queries, base, cfg,
+                                           index_codes=codes)
         cand = cand.localCheckpoint(eager=True)
         approx = ann_ops._rerank_candidates(cand, queries, base, k)
         approx = approx.localCheckpoint(eager=True)
@@ -439,6 +468,14 @@ def run(spark, args) -> dict:
         "cost": round(cost, 4),
         "avg_query_ms": round(1000 * wall / n_queries, 3),
         "ben_loaded_from_cache": ben_loaded,
+        # True iff EVERY index stage was served from the --index-dir
+        # artifact store (the reference's load-the-trees path); False when
+        # any stage was (re)built or no --index-dir was given
+        "index_loaded_from_artifact": bool(
+            store is not None
+            and store.results
+            and all(r.skipped for r in store.results)
+        ),
     }
     results = getattr(args, "results", None)
     if results:

@@ -1,0 +1,156 @@
+"""Persisted ANN index artifacts (VERDICT r04 #1): the banded code tables
+and the IVF inverted index are index STATE, create-or-loaded through a
+StageStore exactly as the reference persists its trees across queries
+(``dblsh.cpp:101-184`` → PageFile). A second ``run_ann`` with the same
+config+data must SKIP the index build and return identical metrics; a
+stream started against the artifact store must serve from disk."""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.sources.binary_vectors import write_vectors
+
+
+@pytest.fixture(scope="module")
+def run_ann():
+    spec = importlib.util.spec_from_file_location(
+        "run_ann", os.path.join(os.path.dirname(__file__), "..", "jobs", "run_ann.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("idxds")
+    rng = np.random.default_rng(23)
+    M = rng.normal(size=(240, 16)).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    path = str(d / "synth.data_new")
+    write_vectors(path, M)
+    return path
+
+
+def _args(data, **kw):
+    base = dict(
+        data=data, ben=None, metric="l2", k=5, n_queries=20, planes=16,
+        bands=8, rows=2, probe_hamming=1, bucket_width=1.0, probe_range=1,
+        seed=0, results=None,
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+METRIC_KEYS = ("recall", "ratio", "cost")
+
+
+def _index_stage_dirs(index_dir):
+    return sorted(
+        d for d in os.listdir(index_dir)
+        if os.path.isdir(os.path.join(index_dir, d)) and d != "stage_metrics"
+    )
+
+
+@pytest.mark.parametrize(
+    "kw,expected_stages",
+    [
+        (dict(metric="l2"), ["l2_codes"]),
+        (dict(metric="cosine"), ["sign_codes"]),
+        (dict(metric="l2", adaptive=True, beta=0.1), ["l2_codes"]),
+        (
+            dict(metric="l2", index="ivf", n_lists=8, nprobe=8),
+            ["ivf_centroids", "ivf_inverted"],
+        ),
+    ],
+    ids=["l2", "cosine", "l2-adaptive", "ivf"],
+)
+def test_run_ann_index_resume(spark, run_ann, dataset, tmp_path, kw,
+                              expected_stages):
+    """First run builds the index artifacts; second run loads them and
+    reports IDENTICAL recall/ratio/cost (the artifact changes where index
+    state lives, never what the query computes)."""
+    index_dir = str(tmp_path / "idx")
+    first = run_ann.run(spark, _args(dataset, index_dir=index_dir, **kw))
+    assert first["index_loaded_from_artifact"] is False
+    assert _index_stage_dirs(index_dir) == sorted(expected_stages)
+    second = run_ann.run(spark, _args(dataset, index_dir=index_dir, **kw))
+    assert second["index_loaded_from_artifact"] is True
+    for key in METRIC_KEYS:
+        assert second[key] == first[key], key
+
+
+def test_index_artifact_invalidated_by_config_change(spark, run_ann, dataset,
+                                                     tmp_path):
+    """A changed config (different bucket width) must REBUILD the artifact
+    — the stale-check contract, same as any stage."""
+    index_dir = str(tmp_path / "idx")
+    run_ann.run(spark, _args(dataset, index_dir=index_dir))
+    out = run_ann.run(
+        spark, _args(dataset, bucket_width=2.0, index_dir=index_dir)
+    )
+    assert out["index_loaded_from_artifact"] is False
+
+
+def test_no_index_dir_means_no_artifact(spark, run_ann, dataset):
+    out = run_ann.run(spark, _args(dataset))
+    assert out["index_loaded_from_artifact"] is False
+
+
+def test_streaming_ann_starts_from_persisted_index(spark, tmp_path):
+    """A stream given an ``index_store`` whose artifact already exists must
+    LOAD the banded table (stage skipped) and still produce exactly the
+    batch result — the reference's restart-from-page-file path."""
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators import ann_l2
+    from db_lsh_spark.sources.io import StageStore
+    from db_lsh_spark.streaming.jobs import incremental_ann_query
+
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                    bucket_width=1.0, probe_range=1, k=5, n_queries=20)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    index = emb.where(F.col("vec_id") >= 20)
+
+    # pre-build the artifact (e.g. by a batch job) ...
+    root = str(tmp_path / "idx_store")
+    fp = f"{cfg.fingerprint()}-stream-test"
+    pre = StageStore(root, fp)
+    ann_l2.build_or_load_l2_codes(spark, index, pre, cfg)
+    assert pre.results and not pre.results[0].skipped
+
+    # ... then start the stream against a FRESH store handle on the same
+    # root+fingerprint: the stage must resume, not rebuild
+    store = StageStore(root, fp)
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    qpdf = queries.toPandas()
+    for i, chunk in enumerate((qpdf.iloc[:10], qpdf.iloc[10:])):
+        chunk.to_parquet(f"{src}/chunk{i}.parquet", index=False)
+    schema = spark.createDataFrame(qpdf.iloc[:1]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "ann_out")
+    q = incremental_ann_query(
+        spark, stream, index, cfg, out, str(tmp_path / "ann_ck"),
+        index_store=store,
+    )
+    q.awaitTermination(600)
+    assert store.results and store.results[0].skipped  # served from disk
+
+    got = (spark.read.option("recursiveFileLookup", "true")
+           .parquet(out).toPandas())
+    batch = ann_l2.knn_l2_lsh_pair(queries, index, cfg).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]].values.tolist())
+    )
+    assert key(got) == key(batch)
