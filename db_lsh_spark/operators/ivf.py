@@ -177,6 +177,197 @@ def train_centroids_minibatch(
     return C
 
 
+def _partial_assign_stats(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """One executor-side pass: per Arrow batch, assign every vector to its
+    nearest centroid and emit ONE partial row per non-empty list —
+    (list_id, cnt, psum). The driver never sees vectors; only these
+    k-bounded partials flow upward (VERDICT r04 #4)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = StructType(
+        [
+            StructField("list_id", IntegerType(), False),
+            StructField("src", LongType(), False),
+            StructField("cnt", LongType(), False),
+            StructField("psum", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        # (partition, batch) provenance tag: the reduce sorts partials by
+        # it before summing, so float accumulation order — and therefore
+        # the trained centroids — are bitwise-reproducible run to run
+        # (shuffle ARRIVAL order is not deterministic; scan layout is)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        c_sq = (C**2).sum(1)
+        for bi, pdf in enumerate(batches):
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            assign = np.argmin(c_sq[None, :] - 2.0 * (M @ C.T), axis=1)
+            lists, inv = np.unique(assign, return_inverse=True)
+            cnt = np.bincount(inv)
+            sums = np.zeros((len(lists), M.shape[1]))
+            np.add.at(sums, inv, M)
+            yield pd.DataFrame(
+                {
+                    "list_id": lists.astype(np.int32),
+                    "src": np.full(len(lists), (pid << 20) | bi, dtype=np.int64),
+                    "cnt": cnt.astype(np.int64),
+                    "psum": [row.tolist() for row in sums],
+                }
+            )
+
+    return emb.select("embedding").mapInPandas(gen, schema)
+
+
+def _reduce_assign_stats(partials: DataFrame) -> "list":
+    """(list_id, src, cnt, psum) partials → one reduced row per list,
+    summed EXECUTOR-SIDE (groupBy + applyInPandas, src-ordered for
+    deterministic float accumulation), then a k-row collect — the only
+    driver transfer, the same size as the centroid matrix."""
+    import pandas as pd
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("src")
+        S = np.stack(pdf["psum"].to_numpy()).sum(0)
+        return pd.DataFrame(
+            {
+                "list_id": pdf["list_id"].iloc[:1],
+                "cnt": [int(pdf["cnt"].sum())],
+                "psum": [S.tolist()],
+            }
+        )
+
+    return (
+        partials.groupBy("list_id")
+        .applyInPandas(reduce_group, "list_id int, cnt long, psum array<double>")
+        .collect()
+    )
+
+
+def _farthest_points(emb: DataFrame, centroids: np.ndarray, m: int) -> np.ndarray:
+    """The ``m`` vectors farthest from their assigned centroid (the
+    empty-list repair donors), found with per-batch local top-m + a global
+    TakeOrdered — the driver collects m <= k rows, never the table.
+    Deterministic: ties broken by vec_id."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("d2", DoubleType(), False),
+            StructField("embedding", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_sq = (C**2).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = c_sq[None, :] - 2.0 * (M @ C.T)
+            best = d.min(1) + (M**2).sum(1)  # true ||x-c||²
+            keep = np.argsort(-best, kind="stable")[:m]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64)[keep],
+                    "d2": best[keep],
+                    "embedding": [M[i].tolist() for i in keep],
+                }
+            )
+
+    rows = (
+        emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+        .orderBy(F.desc("d2"), "vec_id")
+        .limit(m)
+        .collect()
+    )
+    return np.array([r.embedding for r in rows], dtype=np.float64)
+
+
+def train_quantizer_distributed(
+    emb: DataFrame,
+    n_lists: int,
+    seed: int = 0,
+    iters: int = 10,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """EXECUTOR-SIDE quantizer training (VERDICT r04 #4): full-pass k-means
+    where each iteration is one ``mapInPandas`` partial-sum sweep over the
+    whole table reduced to k rows — no driver-side sample at all, so the
+    64·k-row driver-RAM bound of ``sample_vectors`` is gone. At 100 TB
+    this is the only trainer shape that works for n_lists in the
+    thousands: the driver only ever holds the centroid matrix (init rows,
+    reduced stats, repair donors are all <= k rows by construction).
+
+    Init is the hash-ordered top-``n_lists`` rows (the deterministic
+    sampling discipline of ``sample_vectors``); duplicate init rows are
+    harmless — their tied Voronoi cells leave one empty and the farthest-
+    point repair relocates it. Stops early when every centroid moves less
+    than ``tol`` and no list is empty."""
+    init = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .limit(n_lists)
+        .collect()
+    )
+    if len(init) < n_lists:
+        raise ValueError(
+            f"n_lists {n_lists} exceeds table size {len(init)}; lower n_lists"
+        )
+    C = np.array([r.embedding for r in init], dtype=np.float64)
+    for _ in range(iters):
+        stats = _reduce_assign_stats(_partial_assign_stats(emb, C))
+        newC = C.copy()
+        seen = np.zeros(len(C), dtype=bool)
+        for r in stats:
+            newC[r.list_id] = np.asarray(r.psum) / r.cnt
+            seen[r.list_id] = True
+        empty = np.flatnonzero(~seen)
+        if len(empty):
+            donors = _farthest_points(emb, newC, len(empty))
+            newC[empty[: len(donors)]] = donors
+        shift = float(np.abs(newC - C).max())
+        # rounding damps float-reduction jitter across partition layouts
+        # (parallel sums are order-sensitive in the last bits)
+        C = np.round(newC, 12)
+        if not len(empty) and shift < tol:
+            break
+    return C
+
+
+# n_lists above which train_quantizer switches from the driver-sample
+# trainers to the executor-side partial-sum trainer: at 64 samples/list the
+# driver sample would exceed ~128k rows here — the RAM bound the
+# distributed path removes
+DISTRIBUTED_TRAIN_CUTOVER = 2048
+
+
 def centroids_to_frame(spark, centroids: np.ndarray) -> DataFrame:
     """Centroid matrix → (list_id, centroid) frame — the persistable form
     of the quantizer artifact."""
@@ -210,7 +401,14 @@ def train_quantizer(
     the Lloyd/minibatch cutover live in exactly one place (code-review
     r4). ``sample_n`` defaults to 64 samples per list (min 4096); full
     Lloyd below 64 lists (small-k accuracy at trivial cost), Sculley
-    minibatch above."""
+    minibatch above, and the EXECUTOR-SIDE partial-sum trainer past
+    ``DISTRIBUTED_TRAIN_CUTOVER`` lists (VERDICT r04 #4: beyond it the
+    64·k-row driver sample is itself the RAM bound — the distributed path
+    never collects more than the centroid matrix). An explicit
+    ``sample_n`` keeps the caller on the driver-sample path (the cutover
+    guards the DEFAULT sizing, not a deliberate choice)."""
+    if sample_n is None and n_lists > DISTRIBUTED_TRAIN_CUTOVER:
+        return train_quantizer_distributed(emb, n_lists, seed=seed)
     if sample_n is None:
         sample_n = max(4096, 64 * n_lists)
     S = sample_vectors(emb, n=sample_n, seed=seed)

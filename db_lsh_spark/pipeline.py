@@ -47,6 +47,7 @@ class DedupOutput:
     pairs: DataFrame       # verified near-dup pairs
     clusters: DataFrame    # (file_id, cluster_id)
     store: StageStore | None
+    widen_stats: list[dict] | None = None  # per-round stats (target_pairs mode)
 
 
 def run_dedup(
@@ -55,10 +56,24 @@ def run_dedup(
     cfg: DedupConfig | None = None,
     checkpoint_root: str | None = None,
     with_lcs: bool = True,
+    target_pairs: int | None = None,
 ) -> DedupOutput:
     """Run the full pipeline. With ``checkpoint_root`` set, every stage is
     materialized + manifest-gated (resume-from-checkpoint); without it the
-    plan is built lazily end-to-end (good for small inputs / tests)."""
+    plan is built lazily end-to-end (good for small inputs / tests).
+
+    ``target_pairs`` switches the candidate stage to the DYNAMIC WIDENING
+    loop (VERDICT r04 #3 — the reference's T = βN+k budget, ``Query.cpp:
+    76-100``, reaching the production job): signatures keep the raw
+    minhash (stage ``signatures_mh`` — a distinct checkpoint name, so a
+    slim-schema checkpoint from a fixed-band run can never false-resume
+    into the widening path), and the ``pairs`` stage re-bands them at
+    rows b, b/2, ... until the cumulative distinct candidate count meets
+    the budget (``widening_rounds`` semantics, same kernel). Per-round
+    stats land in the summary (``DedupOutput.widen_stats``) and — when
+    checkpointed — as lineage rows under ``stage_metrics/pairs_widening``
+    (one row per round: partition_id = round index, rows_out = cumulative
+    candidate pairs)."""
     cfg = cfg or DedupConfig()
     store = StageStore(checkpoint_root, cfg.fingerprint()) if checkpoint_root else None
 
@@ -90,36 +105,80 @@ def run_dedup(
     #    on the pair ids — a small fraction of the corpus).
     exact_edges, rep_ids = exact_duplicate_edges(fi_slim)
 
-    signatures = gate(
-        "signatures",
-        lambda: semi_filter_reps(compute_signatures(fi_slim, cfg), rep_ids),
-    )
-    bands = gate(
-        "bands",
-        lambda: explode_bands(signatures),
-        repartition_by=["band", "band_hash"],
-        sort_within=["band", "band_hash", "file_id"],
-    )
-    # Adaptive skew salting: when the bands stage is MATERIALIZED, one cheap
-    # census over the checkpoint decides whether any bucket crosses
-    # cfg.salt_threshold — if so, the cap runs salted two-phase so no task
-    # sorts a mega-bucket alone. (On a live plan the census would recompute
-    # the signature UDF, so the unstored path keeps the single-phase cap;
-    # AQE skew-join still splits the join side.) The census lives INSIDE
-    # the stage builder so a fully-resumed run never pays it.
-    def build_pairs() -> DataFrame:
-        salt: int | None = None
-        if store is not None and cfg.salt_threshold:
-            from db_lsh_spark.operators.bands import bucket_stats
+    widen_stats: list[dict] | None = None
+    if target_pairs is not None:
+        # ---- dynamic-widening candidate path (T = βN+k budget) ----
+        signatures = gate(
+            "signatures_mh",
+            lambda: semi_filter_reps(
+                compute_signatures(fi_slim, cfg, include_minhash=True), rep_ids
+            ),
+        )
 
-            hot = bucket_stats(bands).where(
-                F.col("bucket_size") > cfg.salt_threshold
+        rounds_cell: list[dict] = []
+
+        def build_widened_pairs() -> DataFrame:
+            sigs = signatures if store is not None else signatures.cache()
+            pairs, rounds = _widen_pairs_loop(
+                sigs, cfg, target_pairs, cfg.max_rounds
             )
-            if not hot.isEmpty():
-                salt = cfg.salt_buckets
-        return candidate_pairs(bands, cfg, salt)[0]
+            rounds_cell.extend(rounds)
+            return pairs
 
-    pairs_cand = gate("pairs", build_pairs)
+        pairs_cand = gate("pairs", build_widened_pairs)
+        widen_stats = rounds_cell or None
+        if store is not None and rounds_cell:
+            # per-round lineage in the SAME schema as every other stage's
+            # metrics rows (partition_id = round index, rows_out =
+            # cumulative candidate pairs) so StageStore.metrics() unions
+            # them without a schema fork; round parameters ride in the
+            # summary's widen_stats
+            import os as _os
+
+            lineage = spark.createDataFrame(
+                [
+                    (int(r["round"]), int(r["cum_pairs"]), "pairs_widening",
+                     store.fingerprint)
+                    for r in rounds_cell
+                ],
+                "partition_id int, rows_out long, stage string, "
+                "fingerprint string",
+            )
+            lineage.write.mode("overwrite").parquet(
+                _os.path.join(store.root, "stage_metrics", "pairs_widening")
+            )
+    else:
+        signatures = gate(
+            "signatures",
+            lambda: semi_filter_reps(compute_signatures(fi_slim, cfg), rep_ids),
+        )
+        bands = gate(
+            "bands",
+            lambda: explode_bands(signatures),
+            repartition_by=["band", "band_hash"],
+            sort_within=["band", "band_hash", "file_id"],
+        )
+        # Adaptive skew salting: when the bands stage is MATERIALIZED, one
+        # cheap census over the checkpoint decides whether any bucket
+        # crosses cfg.salt_threshold — if so, the cap runs salted two-phase
+        # so no task sorts a mega-bucket alone. (On a live plan the census
+        # would recompute the signature UDF, so the unstored path keeps the
+        # single-phase cap; AQE skew-join still splits the join side.) The
+        # census lives INSIDE the stage builder so a fully-resumed run
+        # never pays it.
+        def build_pairs() -> DataFrame:
+            salt: int | None = None
+            if store is not None and cfg.salt_threshold:
+                from db_lsh_spark.operators.bands import bucket_stats
+
+                hot = bucket_stats(bands).where(
+                    F.col("bucket_size") > cfg.salt_threshold
+                )
+                if not hot.isEmpty():
+                    salt = cfg.salt_buckets
+            return candidate_pairs(bands, cfg, salt)[0]
+
+        pairs_cand = gate("pairs", build_pairs)
 
     def build_verified() -> DataFrame:
         cand = pairs_cand
@@ -169,6 +228,7 @@ def run_dedup(
         pairs=verified,
         clusters=clusters,
         store=store,
+        widen_stats=widen_stats,
     )
 
 
@@ -198,11 +258,27 @@ def widening_rounds(
     signatures = semi_filter_reps(
         compute_signatures(files_ids, cfg, include_minhash=True), rep_ids
     ).cache()
+    all_pairs, rounds = _widen_pairs_loop(
+        signatures, cfg, target_pairs, max_rounds or cfg.max_rounds
+    )
+    signatures.unpersist()
+    return all_pairs, rounds
 
+
+def _widen_pairs_loop(
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    target_pairs: int,
+    max_rounds: int,
+) -> tuple[DataFrame, list[dict]]:
+    """The widening loop proper, over an already-materialized minhash
+    signature table (cached or checkpoint-backed): shared by
+    ``widening_rounds`` and ``run_dedup(target_pairs=...)`` so the budget
+    semantics cannot diverge between the test harness and the production
+    job."""
     rounds: list[dict] = []
     all_pairs: DataFrame | None = None
     rows_t = cfg.rows
-    max_rounds = max_rounds or cfg.max_rounds
     for t in range(max_rounds):
         cfg_t = replace(
             cfg,
@@ -210,10 +286,7 @@ def widening_rounds(
             bands=cfg.num_perm // rows_t,
             num_perm=cfg.num_perm,
         )
-        # re-band the cached signatures at the new width
-        from db_lsh_spark.functions.hashing import band_hashes as _bh  # noqa: F401
-        from db_lsh_spark.operators.signatures import SIGNATURE_SCHEMA  # noqa: F401
-
+        # re-band the signatures at the new width
         bands_t = _reband(signatures, cfg_t)
         pairs_t, _ = candidate_pairs(bands_t, cfg_t)
         all_pairs = pairs_t if all_pairs is None else (
@@ -225,7 +298,6 @@ def widening_rounds(
         if n >= target_pairs or rows_t == 1:
             break
         rows_t = max(1, rows_t // 2)
-    signatures.unpersist()
     return all_pairs, rounds
 
 

@@ -96,10 +96,21 @@ class StageStore:
         df.write.mode("overwrite").parquet(out_dir)
         persisted = spark.read.parquet(out_dir)
 
-        # per-partition lineage (rows per output partition). Written to a
-        # per-stage subdirectory with OVERWRITE so a crash-and-rerun (or a
-        # config-invalidated re-execution) REPLACES the stage's lineage rows
-        # instead of appending duplicates — re-runs are idempotent.
+        rows = self._write_lineage(spark, stage, persisted)
+        wall_ms = (time.monotonic() - t0) * 1000
+        self._write_manifest(stage, rows, wall_ms)
+        self.results.append(StageResult(stage, rows, wall_ms, skipped=False))
+        return persisted
+
+    def _write_lineage(self, spark: SparkSession, stage: str,
+                       persisted: DataFrame) -> int:
+        """Per-partition lineage (rows per output partition), written to a
+        per-stage subdirectory with OVERWRITE so a crash-and-rerun (or a
+        config-invalidated re-execution) REPLACES the stage's lineage rows
+        instead of appending duplicates — re-runs are idempotent. Returns
+        the total row count (from the lineage aggregate — a count() re-read
+        of the full stage output was a measurable stage-boundary cost at
+        1M files)."""
         lineage = (
             persisted.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
@@ -108,25 +119,94 @@ class StageStore:
         ).localCheckpoint(eager=True)
         metrics_dir = os.path.join(self.root, "stage_metrics", stage)
         lineage.write.mode("overwrite").parquet(metrics_dir)
+        return lineage.agg(F.coalesce(F.sum("rows_out"), F.lit(0))).first()[0]
 
-        # total rows from the lineage aggregate — the count() re-read of the
-        # full stage output was a measurable stage-boundary cost at 1M files
-        rows = lineage.agg(F.coalesce(F.sum("rows_out"), F.lit(0))).first()[0]
-        wall_ms = (time.monotonic() - t0) * 1000
+    def _write_manifest(self, stage: str, rows: int, wall_ms: float,
+                        extra: dict | None = None) -> None:
+        payload = {
+            "stage": stage,
+            "fingerprint": self.fingerprint,
+            "rows": rows,
+            "wall_ms": wall_ms,
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        if extra:
+            payload.update(extra)
         with open(self._manifest_path(stage), "w") as f:
-            json.dump(
-                {
-                    "stage": stage,
-                    "fingerprint": self.fingerprint,
-                    "rows": rows,
-                    "wall_ms": wall_ms,
-                    "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                },
-                f,
-                indent=2,
+            json.dump(payload, f, indent=2)
+
+    def merged_ids(self, stage: str) -> list[str]:
+        """Merge ledger: ids already compacted into this stage (see
+        ``merge_stage``)."""
+        try:
+            with open(self._manifest_path(stage)) as f:
+                return json.load(f).get("merged_ids", [])
+        except (OSError, json.JSONDecodeError):
+            return []
+
+    def merge_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        new_df: DataFrame,
+        key_cols: list[str],
+        merge_id: str | None = None,
+        repartition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+    ) -> tuple[DataFrame, bool]:
+        """Idempotent APPEND-COMPACTION into a completed stage (VERDICT r04
+        #6: real pipelines append; the persisted index must absorb new
+        rows without a full rebuild). Semantics:
+
+        - union the stage's current data with ``new_df``, dropDuplicates
+          on ``key_cols`` — re-merging the same rows is a no-op by
+          construction;
+        - MANIFEST-GATED: with a ``merge_id`` (e.g. the landing batch
+          directory name), an id already in the manifest's ledger skips
+          the merge entirely, so a restarted compaction job replays
+          cleanly;
+        - crash-safe ordering: the merged data is fully written to a
+          staging dir first, the manifest is REMOVED before the swap
+          (a crash mid-swap leaves the stage incomplete → the next run
+          rebuilds, never serves a torn index), and rewritten last.
+
+        Returns (merged frame, skipped) — skipped=True when the ledger
+        already contained ``merge_id``."""
+        if not self.is_complete(stage):
+            raise ValueError(
+                f"merge_stage('{stage}'): stage is absent or stale — build "
+                "it first (run_stage), then compact into it"
             )
-        self.results.append(StageResult(stage, rows, wall_ms, skipped=False))
-        return persisted
+        ledger = self.merged_ids(stage)
+        if merge_id is not None and merge_id in ledger:
+            self.results.append(StageResult(f"{stage}+merge", -1, 0.0, True))
+            return self.read(spark, stage), True
+
+        t0 = time.monotonic()
+        cur = self.read(spark, stage)
+        merged = cur.unionByName(new_df.select(*cur.columns)).dropDuplicates(
+            key_cols
+        )
+        if repartition_by:
+            merged = merged.repartitionByRange(*repartition_by)
+        if sort_within:
+            merged = merged.sortWithinPartitions(*sort_within)
+        data_dir = os.path.join(self._dir(stage), "data")
+        tmp_dir = os.path.join(self._dir(stage), "data_tmp")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        # swap: manifest off → dirs swapped → manifest (with ledger) back
+        os.remove(self._manifest_path(stage))
+        shutil.rmtree(data_dir)
+        os.rename(tmp_dir, data_dir)
+        persisted = spark.read.parquet(data_dir)
+        rows = self._write_lineage(spark, stage, persisted)
+        wall_ms = (time.monotonic() - t0) * 1000
+        new_ledger = ledger + ([merge_id] if merge_id is not None else [])
+        self._write_manifest(stage, rows, wall_ms,
+                             extra={"merged_ids": new_ledger})
+        self.results.append(StageResult(f"{stage}+merge", rows, wall_ms, False))
+        return persisted, False
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         # Read ONLY the per-stage subdirectories. A blanket recursive lookup

@@ -40,6 +40,16 @@ def main(argv: list[str] | None = None) -> None:
                         "--simhash-max-hamming before the content verify "
                         "(JVM popcount; lossy in principle — opt-in)")
     p.add_argument("--simhash-max-hamming", type=int, default=16)
+    p.add_argument("--target-pairs", type=int, default=None,
+                   help="dynamic widening budget T (the reference's "
+                        "T = beta*N + k loop, Query.cpp:76-100): re-band "
+                        "at rows b, b/2, ... until the cumulative distinct "
+                        "candidate-pair count reaches T; per-round stats "
+                        "land in the summary and in stage_metrics/"
+                        "pairs_widening when --checkpoint is set")
+    p.add_argument("--beta", type=float, default=None,
+                   help="set the widening budget as T = beta * n_files "
+                        "(ignored when --target-pairs is given explicitly)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -67,9 +77,12 @@ def main(argv: list[str] | None = None) -> None:
         simhash_max_hamming=args.simhash_max_hamming,
     )
     files = spark.read.parquet(args.input)
+    target_pairs = args.target_pairs
+    if target_pairs is None and args.beta is not None:
+        target_pairs = int(args.beta * files.count())
     t0 = time.monotonic()
     out = run_dedup(spark, files, cfg, checkpoint_root=args.checkpoint,
-                    with_lcs=args.with_lcs)
+                    with_lcs=args.with_lcs, target_pairs=target_pairs)
     out.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     out.pairs.write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
     n_files = out.clusters.count()
@@ -86,6 +99,8 @@ def main(argv: list[str] | None = None) -> None:
              "resumed_from_checkpoint": r.skipped}
             for r in (out.store.results if out.store else [])
         ],
+        "target_pairs": target_pairs,
+        "widening_rounds": out.widen_stats,
     }
     print(json.dumps(summary))
     spark.stop()

@@ -1,0 +1,136 @@
+"""Index compaction (VERDICT r04 #6): merging newly-landed vectors into
+the persisted banded index — idempotent, manifest-gated, crash-ordered —
+and the done-criterion: a RESTARTED stream over the merged artifact equals
+the batch computation on the UNION corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import AnnConfig
+from db_lsh_spark.operators import ann_l2
+from db_lsh_spark.sources.io import StageStore
+from db_lsh_spark.streaming.jobs import (
+    compact_l2_index,
+    compact_l2_index_from_landing,
+    incremental_ann_query,
+)
+
+CFG = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2,
+                bucket_width=1.0, probe_range=1, k=5, n_queries=20)
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def frames(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 20)
+    static = emb.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 300))
+    new_a = emb.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 360))
+    new_b = emb.where(F.col("vec_id") >= 360)
+    return emb, queries, static, new_a, new_b
+
+
+def _codes_key(df):
+    return sorted(map(tuple, df.select("vec_id", "band", "band_code")
+                      .toPandas().values.tolist()))
+
+
+def test_merge_requires_built_stage(spark, frames, tmp_path):
+    _, _, static, new_a, _ = frames
+    store = StageStore(str(tmp_path / "idx"), "fp")
+    with pytest.raises(ValueError, match="build"):
+        compact_l2_index(spark, store, new_a, CFG)
+
+
+def test_compaction_idempotent_and_ledgered(spark, frames, tmp_path):
+    _, _, static, new_a, new_b = frames
+    store = StageStore(str(tmp_path / "idx"), CFG.fingerprint())
+    ann_l2.build_or_load_l2_codes(spark, static, store, CFG)
+
+    merged, skipped = compact_l2_index(spark, store, new_a, CFG,
+                                       merge_id="batch-0")
+    assert not skipped
+    want = _codes_key(ann_l2.l2_codes(
+        static.unionByName(new_a), CFG))
+    assert _codes_key(merged) == want
+
+    # same merge_id again: manifest ledger skips it outright
+    again, skipped2 = compact_l2_index(spark, store, new_a, CFG,
+                                       merge_id="batch-0")
+    assert skipped2 and _codes_key(again) == want
+    assert store.merged_ids("l2_codes") == ["batch-0"]
+
+    # same ROWS without a merge_id: dropDuplicates makes it a data no-op
+    again2, skipped3 = compact_l2_index(spark, store, new_a, CFG)
+    assert not skipped3 and _codes_key(again2) == want
+
+
+def test_landing_dir_walker_merges_each_batch_once(spark, frames, tmp_path):
+    _, _, static, new_a, new_b = frames
+    store = StageStore(str(tmp_path / "idx"), CFG.fingerprint())
+    ann_l2.build_or_load_l2_codes(spark, static, store, CFG)
+    landing = str(tmp_path / "landing")
+    new_a.write.parquet(f"{landing}/batch-0")
+    new_b.write.parquet(f"{landing}/batch-1")
+
+    out = compact_l2_index_from_landing(spark, store, landing, CFG)
+    assert [(o["batch"], o["skipped"]) for o in out] == [
+        ("batch-0", False), ("batch-1", False)
+    ]
+    # crash-replay: the whole walk again — everything ledgered
+    out2 = compact_l2_index_from_landing(spark, store, landing, CFG)
+    assert all(o["skipped"] for o in out2)
+    assert _codes_key(store.read(spark, "l2_codes")) == _codes_key(
+        ann_l2.l2_codes(static.unionByName(new_a).unionByName(new_b), CFG)
+    )
+
+
+def test_restarted_stream_sees_merged_index(spark, frames, tmp_path):
+    """DONE-CRITERION: stream-after-merge == batch-on-union. The stream is
+    started fresh against the store AFTER compaction (the restart path);
+    its results must equal the batch kNN over static ∪ new."""
+    _, queries, static, new_a, new_b = frames
+    root = str(tmp_path / "idx")
+    store = StageStore(root, CFG.fingerprint())
+    ann_l2.build_or_load_l2_codes(spark, static, store, CFG)
+    landing = str(tmp_path / "landing")
+    new_a.write.parquet(f"{landing}/batch-0")
+    new_b.write.parquet(f"{landing}/batch-1")
+    compact_l2_index_from_landing(spark, store, landing, CFG)
+
+    union_emb = static.unionByName(new_a).unionByName(new_b).localCheckpoint(
+        eager=True
+    )
+    # restart: fresh store handle, stream must LOAD (not rebuild) the
+    # merged artifact
+    store2 = StageStore(root, CFG.fingerprint())
+    src = str(tmp_path / "qsrc")
+    os.makedirs(src)
+    qpdf = queries.toPandas()
+    for i, chunk in enumerate((qpdf.iloc[:10], qpdf.iloc[10:])):
+        chunk.to_parquet(f"{src}/chunk{i}.parquet", index=False)
+    schema = spark.createDataFrame(qpdf.iloc[:1]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = incremental_ann_query(
+        spark, stream, union_emb, CFG, out, str(tmp_path / "ck"),
+        index_store=store2,
+    )
+    q.awaitTermination(600)
+    assert store2.results and store2.results[0].skipped  # loaded, not rebuilt
+
+    got = (spark.read.option("recursiveFileLookup", "true")
+           .parquet(out).toPandas())
+    batch = ann_l2.knn_l2_lsh_pair(queries, union_emb, CFG).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]]
+            .values.tolist())
+    )
+    assert key(got) == key(batch)

@@ -1,0 +1,145 @@
+"""Executor-side quantizer training (VERDICT r04 #4): the partial-sum
+trainer must handle production list counts (4096) with NO driver transfer
+larger than the centroid matrix, reproduce deterministically, and satisfy
+the same recall contract as the sampled trainers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import AnnConfig
+from db_lsh_spark.operators import ivf
+
+N, DIM, K_LISTS = 12288, 8, 4096
+
+
+@pytest.fixture(scope="module")
+def big_emb(spark, tmp_path_factory):
+    """12288 seeded vectors, parquet-backed (stable scan layout — the
+    determinism contract is for a fixed file set)."""
+    rng = np.random.default_rng(31)
+    M = rng.normal(size=(N, DIM))
+    d = tmp_path_factory.mktemp("bigemb")
+    pd.DataFrame(
+        {"vec_id": np.arange(N, dtype=np.int64),
+         "embedding": [row.tolist() for row in M]}
+    ).to_parquet(str(d / "emb.parquet"), index=False, row_group_size=1024)
+    return spark.read.parquet(str(d / "emb.parquet"))
+
+
+class _CollectAudit:
+    """Wrap DataFrame.collect to record result sizes — the test's proof
+    that no single driver transfer exceeds the centroid matrix."""
+
+    def __init__(self, monkeypatch):
+        # Spark 4: pyspark.sql.DataFrame is an abstract facade; collect()
+        # dispatches to the CONCRETE classic class — patch that one
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        self.sizes: list[int] = []
+        orig = DataFrame.collect
+
+        def audited(df):
+            rows = orig(df)
+            self.sizes.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(DataFrame, "collect", audited)
+
+
+def test_distributed_trainer_4096_lists_bounded_collects(
+    spark, big_emb, monkeypatch
+):
+    audit = _CollectAudit(monkeypatch)
+    # the driver-sample path must never run (that is the bound being
+    # removed) — poison it
+    monkeypatch.setattr(
+        ivf, "sample_vectors",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver sample used in distributed path")),
+    )
+    C = ivf.train_quantizer_distributed(big_emb, K_LISTS, seed=0, iters=4)
+    assert C.shape == (K_LISTS, DIM)
+    assert audit.sizes and max(audit.sizes) <= K_LISTS
+    # every list owns at least one vector over the FULL table
+    inv = ivf.assign_lists(big_emb, C)
+    assert inv.select("list_id").distinct().count() == K_LISTS
+    assert inv.count() == N
+
+
+def test_distributed_trainer_deterministic(spark, big_emb):
+    a = ivf.train_quantizer_distributed(big_emb, 256, seed=0, iters=3)
+    b = ivf.train_quantizer_distributed(big_emb, 256, seed=0, iters=3)
+    assert np.array_equal(a, b)
+
+
+def test_distributed_full_probe_equals_bruteforce(spark, big_emb):
+    """Recall contract: probing every list must equal the exact kNN —
+    the same invariant every IVF configuration satisfies."""
+    from db_lsh_spark.operators import ann_l2
+
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2, k=5,
+                    n_queries=8)
+    sub = big_emb.where(F.col("vec_id") < 600)
+    C = ivf.train_quantizer_distributed(sub, 128, seed=0, iters=3)
+    queries = sub.where(F.col("vec_id") < 8)
+    got = ivf.knn_ivf_pair(queries, sub, cfg, C, nprobe=128,
+                           exclude_self=True).toPandas()
+    want = ann_l2.knn_bruteforce_l2_pair(queries, sub, cfg,
+                                         exclude_self=True).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]]
+            .values.tolist())
+    )
+    assert key(got) == key(want)
+
+
+def test_distributed_prunes_planted_clusters(spark):
+    """Planted clusters at a distributed-scale list count: recall 1 with a
+    small candidate fraction (the minibatch test's contract, VERDICT r03
+    #1, now executor-side)."""
+    from db_lsh_spark.operators import ann_l2
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(64, DIM)) * 25.0
+    pts = np.concatenate(
+        [c + rng.normal(size=(48, DIM)) * 0.05 for c in centers]
+    )
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(pts), dtype=np.int64),
+                      "embedding": [r.tolist() for r in pts]})
+    ).localCheckpoint(eager=True)
+    C = ivf.train_quantizer_distributed(emb, 64, seed=0, iters=6)
+    cfg = AnnConfig(metric="l2", n_planes=16, bands=8, rows=2, k=5,
+                    n_queries=10)
+    queries = emb.where(F.col("vec_id") < 10)
+    cand = ivf.ivf_candidates_pair(queries, emb, C, nprobe=4,
+                                   exclude_self=True)
+    frac = cand.count() / (10 * len(pts))
+    got = ann_l2._rerank_candidates_l2(cand, queries, emb, 5).toPandas()
+    want = ann_l2.knn_bruteforce_l2_pair(queries, emb, cfg,
+                                         exclude_self=True).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id"]].values.tolist())
+    )
+    assert key(got) == key(want)  # recall 1
+    assert frac < 0.12
+
+
+def test_train_quantizer_cutover(spark, big_emb, monkeypatch):
+    """train_quantizer routes past the cutover to the distributed trainer;
+    an explicit sample_n keeps the caller on the driver-sample path."""
+    called = {}
+    monkeypatch.setattr(
+        ivf, "train_quantizer_distributed",
+        lambda emb, n, seed=0, **k: called.setdefault("n", n) or
+        np.zeros((n, DIM)),
+    )
+    ivf.train_quantizer(big_emb, ivf.DISTRIBUTED_TRAIN_CUTOVER + 1, seed=0)
+    assert called["n"] == ivf.DISTRIBUTED_TRAIN_CUTOVER + 1
+    called.clear()
+    out = ivf.train_quantizer(big_emb, 8, seed=0)  # below: driver path
+    assert "n" not in called and out.shape == (8, DIM)
