@@ -203,6 +203,29 @@ class AnnConfig:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    def index_fingerprint(self) -> str:
+        """Digest of the INDEX-SIDE fields only: the banded code table is a
+        function of (seed, dim, metric, n_planes, bands, rows,
+        bucket_width) and nothing else — probe/rerank parameters (k,
+        probe_hamming, probe_range, window_growth, beta, n_queries) are
+        query-time knobs, and keying a persisted index artifact on them
+        would rebuild an index they never touched (code-review r5: the
+        whole point of the reference's persisted trees is reuse across
+        query configs, ``dblsh.cpp:101-184``)."""
+        payload = json.dumps(
+            {
+                "seed": self.seed,
+                "dim": self.dim,
+                "metric": self.metric,
+                "n_planes": self.n_planes,
+                "bands": self.bands,
+                "rows": self.rows,
+                "bucket_width": self.bucket_width,
+            },
+            sort_keys=True,
+        ).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
 
 @dataclass(frozen=True)
 class SynthConfig:

@@ -92,8 +92,16 @@ def longest_common_substring(a: str, b: str, cap: int | None = None) -> int:
         b = b[:cap]
     if not a or not b:
         return 0
-    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64) + 1
-    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64) + 1
+    # surrogatepass for the same reason as the rolling-hash kernel
+    # (text.py): a Python str CAN hold unpaired surrogates, and strict
+    # utf-32 would fail the whole verify batch over one malformed doc
+    # (code-review r5 — the winnow lane feeds this from the same inputs)
+    ca = np.frombuffer(
+        a.encode("utf-32-le", errors="surrogatepass"), dtype=np.uint32
+    ).astype(np.int64) + 1
+    cb = np.frombuffer(
+        b.encode("utf-32-le", errors="surrogatepass"), dtype=np.uint32
+    ).astype(np.int64) + 1
     sep = np.array([0], dtype=np.int64)  # strictly smaller than any shifted code
     codes = np.concatenate([ca, sep, cb])
     sa = suffix_array(codes)

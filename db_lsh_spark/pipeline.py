@@ -75,7 +75,14 @@ def run_dedup(
     (one row per round: partition_id = round index, rows_out = cumulative
     candidate pairs)."""
     cfg = cfg or DedupConfig()
-    store = StageStore(checkpoint_root, cfg.fingerprint()) if checkpoint_root else None
+    # the widening budget is part of the PIPELINE identity even though it
+    # lives outside DedupConfig: a fixed-band checkpoint and a widened one
+    # (or two different budgets) produce different candidate sets, so they
+    # must never resume each other's stages (code-review r5)
+    fp = cfg.fingerprint() + (
+        f"-widen{target_pairs}" if target_pairs is not None else ""
+    )
+    store = StageStore(checkpoint_root, fp) if checkpoint_root else None
 
     def gate(name: str, builder, **kw) -> DataFrame:
         if store is not None:
@@ -123,6 +130,12 @@ def run_dedup(
                 sigs, cfg, target_pairs, cfg.max_rounds
             )
             rounds_cell.extend(rounds)
+            if store is None:
+                # the loop's per-round pairs are localCheckpointed, so the
+                # cached signatures are not needed after it returns — a
+                # session running many no-checkpoint dedups would otherwise
+                # accumulate pinned copies of the widest frame
+                sigs.unpersist()
             return pairs
 
         pairs_cand = gate("pairs", build_widened_pairs)

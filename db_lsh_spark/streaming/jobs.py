@@ -195,23 +195,31 @@ def _l2_stream_index(index_emb: DataFrame, cfg, index_store=None):
     the raw vectors, both lineage-cut — shared by every E2LSH streaming
     twin so dedup/checkpoint semantics cannot silently diverge between
     them (code-review r4). With ``index_store`` (a StageStore whose
-    fingerprint binds config + dataset identity), the banded table is
-    create-or-loaded as a PERSISTED artifact (VERDICT r04 #1): a restarted
-    stream starts from the index on disk instead of re-hashing the static
-    frame — the reference's load-the-trees startup (``dblsh.cpp:101-184``)."""
+    fingerprint binds config + the BASE dataset identity), BOTH halves are
+    create-or-loaded as PERSISTED artifacts (VERDICT r04 #1): the banded
+    codes (stage ``l2_codes``) and the raw vectors (stage ``l2_vecs``) —
+    the vectors must ride in the store too, because compaction
+    (``compact_l2_index``) appends vec_ids the caller's ``index_emb``
+    frame has never seen, and a rerank joining codes-without-vectors would
+    silently DROP those candidates (code-review r5). A restarted stream
+    therefore starts entirely from disk — the reference's load-the-trees
+    startup (``dblsh.cpp:101-184``)."""
     from db_lsh_spark.operators import ann_l2
 
     if index_store is not None:
-        index_codes = ann_l2.build_or_load_l2_codes(
+        codes, index_vecs = build_l2_index_store(
             index_emb.sparkSession, index_emb, index_store, cfg
-        ).select(F.col("vec_id").alias("neighbor_id"), "band", "band_code")
+        )
+        index_codes = codes.select(
+            F.col("vec_id").alias("neighbor_id"), "band", "band_code"
+        )
     else:
         index_codes = ann_l2.l2_codes(index_emb, cfg).select(
             F.col("vec_id").alias("neighbor_id"), "band", "band_code"
         ).localCheckpoint(eager=True)
-    index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
-        eager=True
-    )
+        index_vecs = index_emb.select("vec_id", "embedding").localCheckpoint(
+            eager=True
+        )
     return index_codes, index_vecs
 
 
@@ -430,6 +438,21 @@ def running_type_stats(doc_stream: DataFrame):
 # vectors' codes into the persisted banded artifact so a RESTARTED stream
 # sees them — without ever rebuilding the index from scratch.
 # ---------------------------------------------------------------------------
+def build_l2_index_store(spark: SparkSession, index_emb: DataFrame, store, cfg):
+    """Create-or-load BOTH halves of the persisted E2LSH index pair: the
+    banded codes (stage ``l2_codes``) and the raw vectors (stage
+    ``l2_vecs``). This is the unit compaction appends to — codes without
+    vectors would generate candidates the rerank silently drops
+    (code-review r5). Returns (codes frame, vectors frame)."""
+    from db_lsh_spark.operators import ann_l2
+
+    codes = ann_l2.build_or_load_l2_codes(spark, index_emb, store, cfg)
+    vecs = store.run_stage(
+        spark, "l2_vecs", lambda: index_emb.select("vec_id", "embedding")
+    )
+    return codes, vecs
+
+
 def compact_l2_index(
     spark: SparkSession,
     store,
@@ -438,18 +461,31 @@ def compact_l2_index(
     merge_id: str | None = None,
     stage: str = "l2_codes",
 ):
-    """Merge newly-arrived vectors' E2LSH banded codes into the persisted
-    index artifact (``ann_l2.build_or_load_l2_codes``'s stage). Hashing
-    runs over the NEW vectors only; the merge is ``StageStore.merge_stage``
-    — idempotent on (vec_id, band), manifest-gated by ``merge_id``,
-    crash-safe, and it restores the (band, band_code) range layout the
-    probe join skips rowgroups by. Append-only contract: vec_ids are
-    immutable (a re-landed id keeps one code per band, it is never
-    re-hashed against a changed embedding).
+    """Merge newly-arrived vectors into the persisted index — BOTH halves:
+    their raw embeddings into the ``l2_vecs`` stage and their E2LSH banded
+    codes into the ``l2_codes`` stage (``_l2_stream_index``'s pair).
+    Hashing runs over the NEW vectors only; each merge is
+    ``StageStore.merge_stage`` — idempotent, manifest-gated by
+    ``merge_id``, crash-safe — and the codes merge restores the
+    (band, band_code) range layout the probe join skips rowgroups by.
+
+    Vectors merge FIRST: a crash between the two leaves codes missing for
+    landed vectors (those candidates simply don't surface yet — re-run
+    the compaction), never codes probing vectors the rerank cannot fetch
+    (which would silently drop results; code-review r5).
+
+    Fingerprint contract: an appendable index store binds config + the
+    BASE dataset identity; appends flow through the merge ledger, they do
+    not change the fingerprint. Append-only ids: a re-landed vec_id keeps
+    its original row (it is never re-hashed against a changed embedding).
 
     Returns (merged codes frame, skipped)."""
     from db_lsh_spark.operators import ann_l2
 
+    store.merge_stage(
+        spark, "l2_vecs", new_emb.select("vec_id", "embedding"),
+        key_cols=["vec_id"], merge_id=merge_id,
+    )
     return store.merge_stage(
         spark, stage, ann_l2.l2_codes(new_emb, cfg),
         key_cols=["vec_id", "band"], merge_id=merge_id,
@@ -465,11 +501,13 @@ def compact_l2_index_from_landing(
     cfg,
     stage: str = "l2_codes",
 ) -> list[dict]:
-    """The compaction JOB: walk the ``batch-N`` subdirectories of a landing
-    directory (the overwrite-per-batch sink layout every incremental lane
-    writes) and merge each one not yet in the stage's ledger. Re-running
-    after a crash — or over a landing dir that only grew — merges exactly
-    the new batches; ledgered ones are skipped via the manifest gate."""
+    """The compaction JOB: walk the ``batch-N`` subdirectories of a VECTOR
+    landing directory — parquet batches of (vec_id, embedding) rows, e.g.
+    an ingest stream's per-batch sink (NOT the query-result sinks of the
+    incremental ANN lanes, which carry ranked neighbors, not vectors) —
+    and merge each one not yet in the stage's ledger. Re-running after a
+    crash — or over a landing dir that only grew — merges exactly the new
+    batches; ledgered ones are skipped via the manifest gate."""
     import os
 
     out = []

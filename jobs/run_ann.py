@@ -354,10 +354,16 @@ def run(spark, args) -> dict:
         from db_lsh_spark.sources.io import StageStore
 
         ds_id = f"{os.path.abspath(args.data)}:{n_base}:{dim}"
-        kind_tag = f"ivf{n_lists}" if index_kind == "ivf" else f"lsh-{metric}"
-        store = StageStore(
-            index_dir, fingerprint=f"{cfg.fingerprint()}-{kind_tag}-{ds_id}"
-        )
+        # INDEX-side fingerprint only (code-review r5): query-time knobs
+        # (k, probe radii, beta) must not invalidate a persisted index —
+        # reuse across query configs is the artifact's whole point. The
+        # ivf artifact depends on (seed, dim, n_lists) alone: the
+        # quantizer never reads the LSH projection fields.
+        if index_kind == "ivf":
+            kind_tag = f"ivf{n_lists}-seed{cfg.seed}-dim{dim}"
+        else:
+            kind_tag = f"lsh-{cfg.index_fingerprint()}"
+        store = StageStore(index_dir, fingerprint=f"{kind_tag}-{ds_id}")
 
     # ---- the LSH lane (Query.cpp:50-115): candidates materialized ONCE —
     # the rerank consumes them and COST counts the same frame

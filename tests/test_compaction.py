@@ -14,6 +14,7 @@ from db_lsh_spark.config import AnnConfig
 from db_lsh_spark.operators import ann_l2
 from db_lsh_spark.sources.io import StageStore
 from db_lsh_spark.streaming.jobs import (
+    build_l2_index_store,
     compact_l2_index,
     compact_l2_index_from_landing,
     incremental_ann_query,
@@ -49,7 +50,7 @@ def test_merge_requires_built_stage(spark, frames, tmp_path):
 def test_compaction_idempotent_and_ledgered(spark, frames, tmp_path):
     _, _, static, new_a, new_b = frames
     store = StageStore(str(tmp_path / "idx"), CFG.fingerprint())
-    ann_l2.build_or_load_l2_codes(spark, static, store, CFG)
+    build_l2_index_store(spark, static, store, CFG)
 
     merged, skipped = compact_l2_index(spark, store, new_a, CFG,
                                        merge_id="batch-0")
@@ -72,7 +73,7 @@ def test_compaction_idempotent_and_ledgered(spark, frames, tmp_path):
 def test_landing_dir_walker_merges_each_batch_once(spark, frames, tmp_path):
     _, _, static, new_a, new_b = frames
     store = StageStore(str(tmp_path / "idx"), CFG.fingerprint())
-    ann_l2.build_or_load_l2_codes(spark, static, store, CFG)
+    build_l2_index_store(spark, static, store, CFG)
     landing = str(tmp_path / "landing")
     new_a.write.parquet(f"{landing}/batch-0")
     new_b.write.parquet(f"{landing}/batch-1")
@@ -91,12 +92,13 @@ def test_landing_dir_walker_merges_each_batch_once(spark, frames, tmp_path):
 
 def test_restarted_stream_sees_merged_index(spark, frames, tmp_path):
     """DONE-CRITERION: stream-after-merge == batch-on-union. The stream is
-    started fresh against the store AFTER compaction (the restart path);
+    restarted with ONLY the original static frame (the caller does not
+    know about landed batches — both index halves come from the store);
     its results must equal the batch kNN over static ∪ new."""
     _, queries, static, new_a, new_b = frames
     root = str(tmp_path / "idx")
     store = StageStore(root, CFG.fingerprint())
-    ann_l2.build_or_load_l2_codes(spark, static, store, CFG)
+    build_l2_index_store(spark, static, store, CFG)
     landing = str(tmp_path / "landing")
     new_a.write.parquet(f"{landing}/batch-0")
     new_b.write.parquet(f"{landing}/batch-1")
@@ -120,11 +122,11 @@ def test_restarted_stream_sees_merged_index(spark, frames, tmp_path):
     )
     out = str(tmp_path / "out")
     q = incremental_ann_query(
-        spark, stream, union_emb, CFG, out, str(tmp_path / "ck"),
+        spark, stream, static, CFG, out, str(tmp_path / "ck"),
         index_store=store2,
     )
     q.awaitTermination(600)
-    assert store2.results and store2.results[0].skipped  # loaded, not rebuilt
+    assert store2.results and all(r.skipped for r in store2.results)
 
     got = (spark.read.option("recursiveFileLookup", "true")
            .parquet(out).toPandas())

@@ -31,3 +31,89 @@ def test_history_header_mismatch_message_actionable(tmp_path):
     _append_history(str(p), {"old_col": 1})
     with pytest.raises(ValueError, match="rename or remove"):
         _append_history(str(p), {"new_col": 2})
+
+
+def test_lcs_survives_unpaired_surrogate():
+    """code-review r5: the winnow verify feeds longest_common_substring the
+    same createDataFrame-sourced strings the rolling hash was hardened
+    for — strict utf-32 crashed the batch on one malformed doc."""
+    from db_lsh_spark.functions.suffix import longest_common_substring
+
+    bad = "prefix \ud800 " + "shared-common-span-of-plenty-length " * 2
+    good = "entirely different head " + "shared-common-span-of-plenty-length " * 2
+    assert longest_common_substring(bad, good) >= 32
+    assert longest_common_substring(bad, "nothing in common here") < 16
+
+
+def test_winnow_pair_with_surrogate_doc(spark):
+    """End-to-end: a surrogate-bearing doc flows through fingerprints AND
+    the LCS verify without failing the job."""
+    from db_lsh_spark.operators.text import winnow_near_dup_pairs
+
+    span = "a long verbatim shared paragraph easily exceeding the window"
+    docs = spark.createDataFrame(
+        [
+            (0, "odd \ud800 start then " + span),
+            (1, "completely other text with " + span),
+        ],
+        "doc_id long, text string",
+    )
+    got = winnow_near_dup_pairs(docs).toPandas()
+    assert sorted(map(tuple, got[["id_a", "id_b"]].values.tolist())) == [(0, 1)]
+
+
+def test_query_knob_change_keeps_index_artifact(spark, tmp_path):
+    """code-review r5: k / probe knobs are QUERY-time — changing them must
+    NOT invalidate the persisted banded code table."""
+    import argparse
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    from db_lsh_spark.sources.binary_vectors import write_vectors
+
+    spec = importlib.util.spec_from_file_location(
+        "run_ann",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "run_ann.py"),
+    )
+    run_ann = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_ann)
+
+    rng = np.random.default_rng(5)
+    M = rng.normal(size=(160, 12)).astype(np.float32)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    data = str(tmp_path / "d.data_new")
+    write_vectors(data, M)
+
+    def _args(**kw):
+        base = dict(data=data, ben=None, metric="l2", k=5, n_queries=16,
+                    planes=16, bands=8, rows=2, probe_hamming=1,
+                    bucket_width=1.0, probe_range=1, seed=0, results=None,
+                    index_dir=str(tmp_path / "idx"))
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    first = run_ann.run(spark, _args())
+    assert first["index_loaded_from_artifact"] is False
+    # different k AND probe_range: same index artifact must serve
+    second = run_ann.run(spark, _args(k=3, probe_range=2))
+    assert second["index_loaded_from_artifact"] is True
+
+
+def test_widen_budget_change_invalidates_checkpoint(spark, tmp_path):
+    """code-review r5: fixed-band and widened runs (or two budgets) must
+    never resume each other's candidate stages."""
+    from db_lsh_spark.config import DedupConfig, SynthConfig
+    from db_lsh_spark.pipeline import run_dedup
+    from db_lsh_spark.sources.synth import generate
+
+    res = generate(SynthConfig(n_files=120), DedupConfig())
+    files = spark.createDataFrame(res.files)
+    ck = str(tmp_path / "ck")
+    run_dedup(spark, files, DedupConfig(), checkpoint_root=ck, with_lcs=False)
+    out = run_dedup(spark, files, DedupConfig(), checkpoint_root=ck,
+                    with_lcs=False, target_pairs=5)
+    # nothing resumed: the widened run rebuilt its own stages
+    assert not any(r.skipped for r in out.store.results)
+    assert out.widen_stats is not None
