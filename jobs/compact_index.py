@@ -1,0 +1,85 @@
+"""spark-submit entry for index compaction (VERDICT r04 #6) — merge newly
+landed vector batches into a persisted ANN index store:
+
+    spark-submit --py-files db_lsh_spark.zip jobs/compact_index.py \
+        --index-dir /data/ann_index \
+        --landing /data/vec_landing \
+        [--fingerprint <store fp>] \
+        [--metric l2] [--planes 24] [--bands 8] [--rows 3] \
+        [--bucket-width 1.0] [--seed 0]
+
+``--landing`` holds ``batch-N`` parquet subdirectories of
+(vec_id, embedding) rows (an ingest stream's per-batch sink). Each batch
+not yet in the store's merge ledger is hashed and merged into the
+``l2_codes`` + ``l2_vecs`` stages; ledgered batches are skipped, so the
+job is a safe cron/retry target. The store fingerprint defaults to the
+config's INDEX fingerprint (query-time knobs excluded) — pass
+``--fingerprint`` to target a store created with a custom one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(spark, args) -> dict:
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.sources.io import StageStore
+    from db_lsh_spark.streaming.jobs import compact_l2_index_from_landing
+
+    cfg = AnnConfig(
+        seed=args.seed, dim=args.dim, metric=args.metric,
+        n_planes=args.planes, bands=args.bands, rows=args.rows,
+        bucket_width=args.bucket_width,
+    )
+    fp = args.fingerprint or f"lsh-{cfg.index_fingerprint()}"
+    store = StageStore(args.index_dir, fp)
+    merged = compact_l2_index_from_landing(spark, store, args.landing, cfg)
+    return {
+        "index_dir": args.index_dir,
+        "fingerprint": fp,
+        "batches": merged,
+        "merged_now": sum(1 for m in merged if not m["skipped"]),
+        "already_ledgered": sum(1 for m in merged if m["skipped"]),
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--landing", required=True,
+                   help="dir of batch-N parquet subdirs of (vec_id, embedding)")
+    p.add_argument("--fingerprint", default=None)
+    p.add_argument("--metric", choices=("l2",), default="l2")
+    p.add_argument("--dim", type=int, required=True,
+                   help="embedding dim — must match the store's index "
+                        "config (the E2LSH projection matrix is (planes, "
+                        "dim); a mismatch fails the fingerprint gate "
+                        "loudly rather than hashing garbage)")
+    p.add_argument("--planes", type=int, default=24)
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--rows", type=int, default=3)
+    p.add_argument("--bucket-width", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("db-lsh-spark-compact")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    print(json.dumps(run(spark, args)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -136,3 +136,101 @@ def test_restarted_stream_sees_merged_index(spark, frames, tmp_path):
             .values.tolist())
     )
     assert key(got) == key(batch)
+
+
+def test_ivf_compaction_restarted_stream(spark, frames, tmp_path):
+    """IVF twin: compact new vectors under the FROZEN centroid artifact;
+    a restarted IVF stream given only the static frame must equal the
+    batch knn_ivf_pair over the union corpus."""
+    from db_lsh_spark.operators import ivf
+    from db_lsh_spark.streaming.jobs import (
+        build_ivf_index_store,
+        compact_ivf_index,
+        incremental_ann_ivf_query,
+    )
+
+    _, queries, static, new_a, new_b = frames
+    root = str(tmp_path / "ividx")
+    store = StageStore(root, "ivf8-seed0")
+    cents = ivf.build_or_load_centroids(spark, static, store, n_lists=8,
+                                        seed=0)
+    build_ivf_index_store(spark, static, store, cents)
+    compact_ivf_index(spark, store, new_a, cents, merge_id="batch-0")
+    compact_ivf_index(spark, store, new_b, cents, merge_id="batch-1")
+    # ledger replay is a no-op
+    _, skipped = compact_ivf_index(spark, store, new_a, cents,
+                                   merge_id="batch-0")
+    assert skipped
+
+    union_emb = static.unionByName(new_a).unionByName(new_b).localCheckpoint(
+        eager=True
+    )
+    store2 = StageStore(root, "ivf8-seed0")
+    src = str(tmp_path / "ivqsrc")
+    os.makedirs(src)
+    qpdf = queries.toPandas()
+    for i, chunk in enumerate((qpdf.iloc[:10], qpdf.iloc[10:])):
+        chunk.to_parquet(f"{src}/chunk{i}.parquet", index=False)
+    schema = spark.createDataFrame(qpdf.iloc[:1]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "ivout")
+    q = incremental_ann_ivf_query(
+        spark, stream, static, CFG, cents, nprobe=8, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ivck"), index_store=store2,
+    )
+    q.awaitTermination(600)
+    assert store2.results and all(r.skipped for r in store2.results)
+
+    got = (spark.read.option("recursiveFileLookup", "true")
+           .parquet(out).toPandas())
+    batch = ivf.knn_ivf_pair(queries, union_emb, CFG, cents,
+                             nprobe=8).toPandas()
+    key = lambda df: sorted(
+        map(tuple, df[["query_id", "rank", "neighbor_id", "dist"]]
+            .values.tolist())
+    )
+    assert key(got) == key(batch)
+
+
+def test_compact_index_job_cli(spark, frames, tmp_path):
+    """The spark-submit compaction entry (jobs/compact_index.py), driven
+    in-process: builds nothing itself — it merges landed batches into an
+    EXISTING store and reports ledger state."""
+    import argparse
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "compact_index",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "compact_index.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    _, _, static, new_a, new_b = frames
+    dim = len(static.first().embedding)
+    cfg2 = AnnConfig(metric="l2", dim=dim, n_planes=16, bands=8, rows=2,
+                     bucket_width=1.0)
+    store = StageStore(str(tmp_path / "idx"),
+                       f"lsh-{cfg2.index_fingerprint()}")
+    build_l2_index_store(spark, static, store, cfg2)
+    landing = str(tmp_path / "landing")
+    new_a.write.parquet(f"{landing}/batch-0")
+
+    args = argparse.Namespace(
+        index_dir=str(tmp_path / "idx"), landing=landing, fingerprint=None,
+        metric="l2", dim=dim, planes=16, bands=8, rows=2, bucket_width=1.0,
+        seed=0,
+    )
+    out = job.run(spark, args)
+    assert out["merged_now"] == 1 and out["already_ledgered"] == 0
+    # second invocation: ledger skips
+    new_b.write.parquet(f"{landing}/batch-1")
+    out2 = job.run(spark, args)
+    assert out2["merged_now"] == 1 and out2["already_ledgered"] == 1
+    assert _codes_key(store.read(spark, "l2_codes")) == _codes_key(
+        ann_l2.l2_codes(static.unionByName(new_a).unionByName(new_b), cfg2)
+    )
