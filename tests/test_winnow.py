@@ -116,3 +116,18 @@ def test_max_bucket_cap_is_deterministic_subset(spark):
 def test_min_lcs_below_window_rejected(spark, planted):
     with pytest.raises(ValueError, match="min_lcs"):
         winnow_near_dup_pairs(planted, min_lcs=8)
+
+
+def test_verify_modes_equivalent(spark):
+    """window_join and suffix-array LCS verifies are the same predicate
+    ("LCS >= L" ⟺ "shares an L-window") — must agree exactly."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values.tolist()))
+    wj = winnow_near_dup_pairs(docs, verify="window_join").toPandas()
+    lcs = winnow_near_dup_pairs(docs, verify="lcs").toPandas()
+    assert key(wj) == key(lcs) and len(wj) > 0
+
+
+def test_unknown_verify_mode_rejected(spark, planted):
+    with pytest.raises(ValueError, match="verify"):
+        winnow_near_dup_pairs(planted, verify="nope")
