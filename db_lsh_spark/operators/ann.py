@@ -246,7 +246,26 @@ def build_or_load_sign_codes(
     ARTIFACT (VERDICT r04 #1 — the reference's persisted-tree discipline,
     ``dblsh.cpp:101-184``), range-laid-out on (band, band_code) for
     rowgroup skipping under the probe join. Returns (vec_id, band,
-    band_code); store fingerprint must include dataset identity."""
+    band_code); store fingerprint must include dataset identity. The
+    index config fingerprint is recorded in the store metadata (same
+    compaction guard as the L2 twin)."""
+    prev = store.meta().get("index_fingerprint")
+    if (
+        prev is not None
+        and prev != cfg.index_fingerprint()
+        and store.is_complete(stage)
+    ):
+        # the stage would RESUME under this store fingerprint while the
+        # caller's config hashes differently — reusing a fingerprint
+        # across configs is the one combination that could mix codes. A
+        # stale stage (config change → new store fingerprint) rebuilds
+        # and legitimately overwrites the record instead.
+        raise ValueError(
+            f"store at {store.root} records index config {prev}, but this "
+            f"config hashes as {cfg.index_fingerprint()} — a mismatched "
+            "builder would mix incompatible codes; use a different store"
+        )
+    store.record_meta(index_fingerprint=cfg.index_fingerprint())
     return store.run_stage(
         spark, stage, lambda: sign_codes(base, cfg),
         repartition_by=["band", "band_code"],

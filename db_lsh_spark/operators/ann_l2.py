@@ -234,7 +234,27 @@ def build_or_load_l2_codes(
     skipping serves the probe join (the T3 bulk-load discipline). Returns
     (vec_id, band, band_code); the store's fingerprint must carry the
     dataset identity (see ``jobs/run_ann.py``) so a config-or-data change
-    invalidates it like any stage."""
+    invalidates it like any stage. The INDEX config fingerprint is also
+    recorded in the store metadata — compaction verifies it before
+    merging, so new vectors can never be hashed into the table under
+    mismatched LSH knobs (code-review r5)."""
+    prev = store.meta().get("index_fingerprint")
+    if (
+        prev is not None
+        and prev != cfg.index_fingerprint()
+        and store.is_complete(stage)
+    ):
+        # the stage would RESUME under this store fingerprint while the
+        # caller's config hashes differently — reusing a fingerprint
+        # across configs is the one combination that could mix codes. A
+        # stale stage (config change → new store fingerprint) rebuilds
+        # and legitimately overwrites the record instead.
+        raise ValueError(
+            f"store at {store.root} records index config {prev}, but this "
+            f"config hashes as {cfg.index_fingerprint()} — a mismatched "
+            "builder would mix incompatible codes; use a different store"
+        )
+    store.record_meta(index_fingerprint=cfg.index_fingerprint())
     return store.run_stage(
         spark, stage, lambda: l2_codes(base, cfg),
         repartition_by=["band", "band_code"],

@@ -233,22 +233,40 @@ def winnow_fingerprints(
     return docs.select("doc_id", "text").mapInPandas(gen, schema)
 
 
+WINDOW_CHUNK = 8192  # window starts materialized per array cell (see below)
+
+
 def window_substrings(docs: DataFrame, length: int) -> DataFrame:
-    """(doc_id, w): every distinct ``length``-codepoint substring window of
-    each document — pure JVM (sequence + transform + substr), the exact
-    Spark rendition of the DuckDB oracle's ``sub`` CTE. Docs shorter than
-    ``length`` emit nothing."""
+    """(doc_id, w): every ``length``-codepoint substring window of each
+    document — pure JVM (sequence + transform + substr), the exact Spark
+    rendition of the DuckDB oracle's ``sub`` CTE. Docs shorter than
+    ``length`` emit nothing.
+
+    Memory shape (code-review r5): a single flat transform would
+    materialize all n−L+1 windows of a document as ONE array cell (~L× the
+    text size — gigabytes for a 50 MB vendored blob). Instead the window
+    STARTS are exploded in ``WINDOW_CHUNK``-sized chunks first, bounding
+    every in-flight array cell at WINDOW_CHUNK·L chars (~256 KB) while
+    producing the identical window multiset (chunk ranges partition the
+    start positions). Windows are deduped per chunk; cross-chunk repeats
+    survive — callers joining on ``w`` must pair-dedup downstream (both
+    callers here do)."""
     t = F.col("text")
+    n_starts = F.length(t) - (length - 1)
+    chunk_starts = F.sequence(F.lit(1), n_starts, F.lit(WINDOW_CHUNK))
+    docs = docs.where(F.length("text") >= length).select(
+        "doc_id", "text", F.explode(chunk_starts).alias("cs")
+    )
     win = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.length(t) - (length - 1)),
+            F.sequence(
+                F.col("cs"),
+                F.least(F.col("cs") + (WINDOW_CHUNK - 1), n_starts),
+            ),
             lambda i: t.substr(i, F.lit(length)),
         )
     )
-    return (
-        docs.where(F.length("text") >= length)
-        .select("doc_id", F.explode(win).alias("w"))
-    )
+    return docs.select("doc_id", F.explode(win).alias("w"))
 
 
 def winnow_near_dup_pairs(
@@ -334,6 +352,14 @@ def winnow_near_dup_pairs(
     needed = docs.select("doc_id", "text").join(cand_ids, "doc_id", "left_semi")
 
     if verify == "window_join":
+        if lcs_cap is not None:
+            # same semantics as the LCS path's cap (suffix.py truncates
+            # both texts): only spans within the first lcs_cap codepoints
+            # count — the cap is a COST BOUND the caller opted into, not
+            # a no-op here (code-review r5)
+            needed = needed.select(
+                "doc_id", F.substring("text", 1, lcs_cap).alias("text")
+            )
         sub = window_substrings(needed, min_lcs)
         sa = sub.select(F.col("doc_id").alias("id_a"), "w")
         sb = sub.select(F.col("doc_id").alias("id_b"), "w")

@@ -63,8 +63,47 @@ class StageStore:
         except (OSError, json.JSONDecodeError):
             return False
 
+    def _manifest(self, stage: str) -> dict:
+        try:
+            with open(self._manifest_path(stage)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _data_dir(self, stage: str) -> str:
+        """Current data GENERATION of the stage — the manifest is a pointer
+        (``data_dir``, default ``data``), so compaction can swap generations
+        atomically without deleting files a live reader holds open (the
+        poor-man's Iceberg snapshot; see ``merge_stage``)."""
+        return os.path.join(
+            self._dir(stage), self._manifest(stage).get("data_dir", "data")
+        )
+
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._dir(stage), "data"))
+        return spark.read.parquet(self._data_dir(stage))
+
+    # -- store-level metadata (index config record, etc.) --------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "_STORE_META.json")
+
+    def meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def record_meta(self, **kv) -> None:
+        """Merge keys into the store-level metadata record (atomic replace).
+        Used by index builders to pin the CONTENT config (e.g. the LSH
+        index fingerprint) so a later compaction with mismatched knobs
+        fails loudly instead of merging incompatible codes."""
+        m = self.meta()
+        m.update(kv)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=2)
+        os.replace(tmp, self._meta_path())
 
     # -- the stage gate -----------------------------------------------------
     def run_stage(
@@ -93,6 +132,10 @@ class StageStore:
             df = df.sortWithinPartitions(*sort_within)
         out_dir = os.path.join(self._dir(stage), "data")
         shutil.rmtree(out_dir, ignore_errors=True)
+        # a config-invalidated rebuild also clears stale merge GENERATIONS
+        # (data_v*) left by compactions of the previous fingerprint
+        for d in self._generation_dirs(stage):
+            shutil.rmtree(d, ignore_errors=True)
         df.write.mode("overwrite").parquet(out_dir)
         persisted = spark.read.parquet(out_dir)
 
@@ -132,8 +175,20 @@ class StageStore:
         }
         if extra:
             payload.update(extra)
-        with open(self._manifest_path(stage), "w") as f:
+        # atomic replace: a crash mid-write can never leave a torn manifest
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(payload, f, indent=2)
+        os.replace(tmp, self._manifest_path(stage))
+
+    def _generation_dirs(self, stage: str) -> list[str]:
+        base = self._dir(stage)
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            os.path.join(base, d) for d in os.listdir(base)
+            if d.startswith("data_v") and os.path.isdir(os.path.join(base, d))
+        )
 
     def merged_ids(self, stage: str) -> list[str]:
         """Merge ledger: ids already compacted into this stage (see
@@ -165,10 +220,15 @@ class StageStore:
           directory name), an id already in the manifest's ledger skips
           the merge entirely, so a restarted compaction job replays
           cleanly;
-        - crash-safe ordering: the merged data is fully written to a
-          staging dir first, the manifest is REMOVED before the swap
-          (a crash mid-swap leaves the stage incomplete → the next run
-          rebuilds, never serves a torn index), and rewritten last.
+        - COPY-ON-WRITE generations (the poor-man's Iceberg snapshot):
+          the merged data is written to a NEW ``data_vN`` directory and
+          the manifest's ``data_dir`` pointer is swapped atomically — a
+          live reader (a running stream that loaded the index at start)
+          keeps reading its own generation's files untouched; generations
+          OLDER than the previous one are garbage-collected, so a reader
+          is safe across one concurrent compaction (restart streams after
+          sustained compaction bursts). A crash before the manifest swap
+          loses nothing (the merge simply isn't ledgered and re-runs).
 
         Returns (merged frame, skipped) — skipped=True when the ledger
         already contained ``merge_id``."""
@@ -183,7 +243,8 @@ class StageStore:
             return self.read(spark, stage), True
 
         t0 = time.monotonic()
-        cur = self.read(spark, stage)
+        cur_dir = self._data_dir(stage)
+        cur = spark.read.parquet(cur_dir)
         merged = cur.unionByName(new_df.select(*cur.columns)).dropDuplicates(
             key_cols
         )
@@ -191,20 +252,29 @@ class StageStore:
             merged = merged.repartitionByRange(*repartition_by)
         if sort_within:
             merged = merged.sortWithinPartitions(*sort_within)
-        data_dir = os.path.join(self._dir(stage), "data")
-        tmp_dir = os.path.join(self._dir(stage), "data_tmp")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(tmp_dir)
-        # swap: manifest off → dirs swapped → manifest (with ledger) back
-        os.remove(self._manifest_path(stage))
-        shutil.rmtree(data_dir)
-        os.rename(tmp_dir, data_dir)
-        persisted = spark.read.parquet(data_dir)
+        gens = self._generation_dirs(stage)
+        next_v = 1 + max(
+            (int(os.path.basename(d)[len("data_v"):]) for d in gens),
+            default=0,
+        )
+        new_dir = os.path.join(self._dir(stage), f"data_v{next_v}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        persisted = spark.read.parquet(new_dir)
         rows = self._write_lineage(spark, stage, persisted)
         wall_ms = (time.monotonic() - t0) * 1000
         new_ledger = ledger + ([merge_id] if merge_id is not None else [])
-        self._write_manifest(stage, rows, wall_ms,
-                             extra={"merged_ids": new_ledger})
+        # atomic pointer swap, THEN garbage-collect generations older than
+        # the one we just replaced (kept for in-flight readers)
+        self._write_manifest(
+            stage, rows, wall_ms,
+            extra={"merged_ids": new_ledger,
+                   "data_dir": os.path.basename(new_dir)},
+        )
+        for d in self._generation_dirs(stage) + [
+            os.path.join(self._dir(stage), "data")
+        ]:
+            if d not in (new_dir, cur_dir):
+                shutil.rmtree(d, ignore_errors=True)
         self.results.append(StageResult(f"{stage}+merge", rows, wall_ms, False))
         return persisted, False
 

@@ -481,9 +481,22 @@ def compact_l2_index(
     not change the fingerprint. Append-only ids: a re-landed vec_id keeps
     its original row (it is never re-hashed against a changed embedding).
 
+    Config gate (code-review r5): the builder records the INDEX config
+    fingerprint in the store metadata; compaction refuses to hash new
+    vectors under a different config — an explicit --fingerprint (or a
+    hand-built StageStore) can therefore never merge incompatible codes.
+
     Returns (merged codes frame, skipped)."""
     from db_lsh_spark.operators import ann_l2
 
+    recorded = store.meta().get("index_fingerprint")
+    if recorded != cfg.index_fingerprint():
+        raise ValueError(
+            f"store at {store.root} records index config {recorded!r} but "
+            f"this compaction's config hashes as {cfg.index_fingerprint()!r}"
+            " — hashing new vectors under mismatched LSH knobs would "
+            "silently corrupt the index; match the builder's config"
+        )
     store.merge_stage(
         spark, "l2_vecs", new_emb.select("vec_id", "embedding"),
         key_cols=["vec_id"], merge_id=merge_id,
@@ -509,18 +522,30 @@ def compact_l2_index_from_landing(
     incremental ANN lanes, which carry ranked neighbors, not vectors) —
     and merge each one not yet in the stage's ledger. Re-running after a
     crash — or over a landing dir that only grew — merges exactly the new
-    batches; ledgered ones are skipped via the manifest gate."""
+    batches; ledgered ones are skipped via the manifest gate.
+
+    Commit gate (code-review r5): a batch directory WITHOUT a ``_SUCCESS``
+    marker is an in-flight sink write — merging it would capture a partial
+    batch and permanently ledger it. Such directories are reported as
+    ``status="pending"`` and retried on the next run (which is why the job
+    is cron-safe against a live ingest stream).
+
+    Per-batch result: {"batch", "status"} with status in
+    merged | ledgered | pending."""
     import os
 
     out = []
     for d in sorted(os.listdir(landing_dir)):
         if not d.startswith("batch-"):
             continue
+        if not os.path.exists(os.path.join(landing_dir, d, "_SUCCESS")):
+            out.append({"batch": d, "status": "pending"})
+            continue
         new_emb = spark.read.parquet(os.path.join(landing_dir, d))
         _, skipped = compact_l2_index(
             spark, store, new_emb, cfg, merge_id=d, stage=stage
         )
-        out.append({"batch": d, "skipped": skipped})
+        out.append({"batch": d, "status": "ledgered" if skipped else "merged"})
     return out
 
 
@@ -544,22 +569,33 @@ def compact_ivf_index(
     spark: SparkSession,
     store,
     new_emb: DataFrame,
-    centroids,
     merge_id: str | None = None,
 ):
     """IVF twin of ``compact_l2_index``: assign the NEW vectors to their
-    lists under the FROZEN centroid artifact (the standard IVF append
-    discipline — retraining the quantizer is a rebuild, expressed here as
-    a new store fingerprint) and merge (vec_id, list_id) rows into the
-    persisted inverted index plus the vectors into ``ivf_vecs``. Vectors
-    merge first for the same crash-ordering reason as the L2 lane.
+    lists under the FROZEN centroid artifact — loaded from the store's own
+    ``ivf_centroids`` stage, never caller-supplied (code-review r5: a
+    retrained matrix passed in would assign new vectors inconsistently
+    with the stored inverted index and the query-time probes; retraining
+    the quantizer is a REBUILD, expressed as a new store fingerprint) —
+    and merge (vec_id, list_id) rows into the persisted inverted index
+    plus the vectors into ``ivf_vecs``. Vectors merge first for the same
+    crash-ordering reason as the L2 lane.
 
     Returns (merged inverted frame, skipped)."""
     import numpy as np
 
     from db_lsh_spark.operators import ivf
 
-    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    if not store.is_complete("ivf_centroids"):
+        raise ValueError(
+            f"store at {store.root} has no ivf_centroids artifact — build "
+            "the index first (build_or_load_centroids + "
+            "build_ivf_index_store), then compact into it"
+        )
+    C = np.ascontiguousarray(
+        ivf.frame_to_centroids(store.read(spark, "ivf_centroids")),
+        dtype=np.float64,
+    )
     store.merge_stage(
         spark, "ivf_vecs", new_emb.select("vec_id", "embedding"),
         key_cols=["vec_id"], merge_id=merge_id,

@@ -37,15 +37,23 @@ def run(spark, args) -> dict:
         n_planes=args.planes, bands=args.bands, rows=args.rows,
         bucket_width=args.bucket_width,
     )
-    fp = args.fingerprint or f"lsh-{cfg.index_fingerprint()}"
+    if args.fingerprint:
+        fp = args.fingerprint
+    else:
+        fp = f"lsh-{cfg.index_fingerprint()}"
+        if args.dataset_id:
+            # stores built by jobs/run_ann.py append the dataset identity
+            # (abspath:n_base:dim) — pass the same string to open them
+            fp = f"{fp}-{args.dataset_id}"
     store = StageStore(args.index_dir, fp)
     merged = compact_l2_index_from_landing(spark, store, args.landing, cfg)
     return {
         "index_dir": args.index_dir,
         "fingerprint": fp,
         "batches": merged,
-        "merged_now": sum(1 for m in merged if not m["skipped"]),
-        "already_ledgered": sum(1 for m in merged if m["skipped"]),
+        "merged_now": sum(1 for m in merged if m["status"] == "merged"),
+        "already_ledgered": sum(1 for m in merged if m["status"] == "ledgered"),
+        "pending": sum(1 for m in merged if m["status"] == "pending"),
     }
 
 
@@ -54,13 +62,22 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--index-dir", required=True)
     p.add_argument("--landing", required=True,
                    help="dir of batch-N parquet subdirs of (vec_id, embedding)")
-    p.add_argument("--fingerprint", default=None)
+    p.add_argument("--fingerprint", default=None,
+                   help="full store fingerprint override (expert path); "
+                        "safe either way — compaction verifies the store's "
+                        "recorded index config against the CLI knobs and "
+                        "refuses a mismatch")
+    p.add_argument("--dataset-id", default=None,
+                   help="dataset-identity suffix appended to the default "
+                        "fingerprint — pass the builder's (run_ann uses "
+                        "'<abspath>:<n_base>:<dim>') to open its store")
     p.add_argument("--metric", choices=("l2",), default="l2")
     p.add_argument("--dim", type=int, required=True,
                    help="embedding dim — must match the store's index "
                         "config (the E2LSH projection matrix is (planes, "
-                        "dim); a mismatch fails the fingerprint gate "
-                        "loudly rather than hashing garbage)")
+                        "dim); a mismatch fails the store's recorded "
+                        "index-config gate loudly rather than hashing "
+                        "garbage)")
     p.add_argument("--planes", type=int, default=24)
     p.add_argument("--bands", type=int, default=8)
     p.add_argument("--rows", type=int, default=3)

@@ -79,12 +79,12 @@ def test_landing_dir_walker_merges_each_batch_once(spark, frames, tmp_path):
     new_b.write.parquet(f"{landing}/batch-1")
 
     out = compact_l2_index_from_landing(spark, store, landing, CFG)
-    assert [(o["batch"], o["skipped"]) for o in out] == [
-        ("batch-0", False), ("batch-1", False)
+    assert [(o["batch"], o["status"]) for o in out] == [
+        ("batch-0", "merged"), ("batch-1", "merged")
     ]
     # crash-replay: the whole walk again — everything ledgered
     out2 = compact_l2_index_from_landing(spark, store, landing, CFG)
-    assert all(o["skipped"] for o in out2)
+    assert all(o["status"] == "ledgered" for o in out2)
     assert _codes_key(store.read(spark, "l2_codes")) == _codes_key(
         ann_l2.l2_codes(static.unionByName(new_a).unionByName(new_b), CFG)
     )
@@ -155,11 +155,10 @@ def test_ivf_compaction_restarted_stream(spark, frames, tmp_path):
     cents = ivf.build_or_load_centroids(spark, static, store, n_lists=8,
                                         seed=0)
     build_ivf_index_store(spark, static, store, cents)
-    compact_ivf_index(spark, store, new_a, cents, merge_id="batch-0")
-    compact_ivf_index(spark, store, new_b, cents, merge_id="batch-1")
+    compact_ivf_index(spark, store, new_a, merge_id="batch-0")
+    compact_ivf_index(spark, store, new_b, merge_id="batch-1")
     # ledger replay is a no-op
-    _, skipped = compact_ivf_index(spark, store, new_a, cents,
-                                   merge_id="batch-0")
+    _, skipped = compact_ivf_index(spark, store, new_a, merge_id="batch-0")
     assert skipped
 
     union_emb = static.unionByName(new_a).unionByName(new_b).localCheckpoint(
@@ -222,8 +221,8 @@ def test_compact_index_job_cli(spark, frames, tmp_path):
 
     args = argparse.Namespace(
         index_dir=str(tmp_path / "idx"), landing=landing, fingerprint=None,
-        metric="l2", dim=dim, planes=16, bands=8, rows=2, bucket_width=1.0,
-        seed=0,
+        dataset_id=None, metric="l2", dim=dim, planes=16, bands=8, rows=2,
+        bucket_width=1.0, seed=0,
     )
     out = job.run(spark, args)
     assert out["merged_now"] == 1 and out["already_ledgered"] == 0
@@ -234,3 +233,85 @@ def test_compact_index_job_cli(spark, frames, tmp_path):
     assert _codes_key(store.read(spark, "l2_codes")) == _codes_key(
         ann_l2.l2_codes(static.unionByName(new_a).unionByName(new_b), cfg2)
     )
+
+
+def test_incomplete_batch_reported_pending(spark, frames, tmp_path):
+    """A landing batch dir without _SUCCESS is an in-flight sink write —
+    it must be reported pending, NOT merged and NOT ledgered
+    (code-review r5: merging a partial batch would silently lose the rest
+    of its vectors forever)."""
+    import shutil
+
+    _, _, static, new_a, new_b = frames
+    store = StageStore(str(tmp_path / "idx"), CFG.fingerprint())
+    build_l2_index_store(spark, static, store, CFG)
+    landing = str(tmp_path / "landing")
+    new_a.write.parquet(f"{landing}/batch-0")
+    new_b.write.parquet(f"{landing}/batch-1")
+    os.remove(f"{landing}/batch-1/_SUCCESS")  # simulate in-flight write
+
+    out = compact_l2_index_from_landing(spark, store, landing, CFG)
+    assert [(o["batch"], o["status"]) for o in out] == [
+        ("batch-0", "merged"), ("batch-1", "pending")
+    ]
+    assert store.merged_ids("l2_codes") == ["batch-0"]
+    # the sink commit completes → next run merges it
+    open(f"{landing}/batch-1/_SUCCESS", "w").close()
+    out2 = compact_l2_index_from_landing(spark, store, landing, CFG)
+    assert [(o["batch"], o["status"]) for o in out2] == [
+        ("batch-0", "ledgered"), ("batch-1", "merged")
+    ]
+
+
+def test_compaction_config_mismatch_refused(spark, frames, tmp_path):
+    """Hashing new vectors under different LSH knobs than the builder's
+    must fail loudly (code-review r5) — whatever fingerprint the caller
+    used to open the store."""
+    _, _, static, new_a, _ = frames
+    store = StageStore(str(tmp_path / "idx"), "custom-fp")
+    build_l2_index_store(spark, static, store, CFG)
+    from dataclasses import replace
+
+    wrong = replace(CFG, bucket_width=2.0)
+    with pytest.raises(ValueError, match="mismatched LSH knobs"):
+        compact_l2_index(spark, store, new_a, wrong, merge_id="b0")
+    # the builder itself also refuses a mismatched re-entry
+    with pytest.raises(ValueError, match="use a different store"):
+        build_l2_index_store(spark, static, store, wrong)
+
+
+def test_merge_preserves_live_reader_generation(spark, frames, tmp_path):
+    """Copy-on-write generations: a DataFrame loaded BEFORE a compaction
+    (a running stream's index) must stay readable after ONE concurrent
+    merge — the previous generation's files are kept, not rmtree'd
+    (code-review r5)."""
+    _, _, static, new_a, new_b = frames
+    store = StageStore(str(tmp_path / "idx"), CFG.fingerprint())
+    build_l2_index_store(spark, static, store, CFG)
+    live = store.read(spark, "l2_codes")  # snapshot of generation 0
+    n_before = live.count()
+
+    compact_l2_index(spark, store, new_a, CFG, merge_id="b0")
+    # the live reader still works, still sees its own generation
+    assert live.count() == n_before
+    # and the store serves the merged generation to NEW readers
+    assert store.read(spark, "l2_codes").count() > n_before
+
+
+def test_window_join_honors_lcs_cap(spark):
+    """lcs_cap must bound BOTH verify modes identically (code-review r5:
+    it silently became a no-op in the default mode)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "x" * 500 + " the shared span sits far past the cap here!"),
+            (1, "y" * 500 + " the shared span sits far past the cap here!"),
+        ],
+        "doc_id long, text string",
+    )
+    from db_lsh_spark.operators.text import winnow_near_dup_pairs
+
+    full_wj = winnow_near_dup_pairs(docs).toPandas()
+    assert len(full_wj) == 1  # span visible without a cap
+    for mode in ("window_join", "lcs"):
+        capped = winnow_near_dup_pairs(docs, lcs_cap=100, verify=mode)
+        assert capped.count() == 0, mode  # span beyond the cap: excluded
