@@ -30,6 +30,8 @@ SHINGLE_K = 5
 NEAR_DUP_THRESHOLD = 0.9
 WINNOW_W = 8        # bottom-w rolling-window fingerprints per doc
 WINNOW_MIN_LCS = 32  # verified shared-substring length (codepoints)
+SIMHASH_MAX_HAMMING = 3  # near-dup Hamming radius over 64-bit SimHash
+SIMHASH_BANDS = 4        # 4 x 16-bit bands: recall 1 for Hamming <= 3 (pigeonhole)
 ANN_CFG = AnnConfig(k=10, n_queries=20)
 # the reference's own metric (util.h:205-212): E2LSH p-stable buckets at
 # window w=1.0 (projections of unit vectors are N(0,1)), probe radius 1 —
@@ -186,6 +188,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_winnow_near_dup_pairs"] = lambda s, d: text_ops.winnow_near_dup_pairs(
         _docs(s, d), w=WINNOW_W, min_lcs=WINNOW_MIN_LCS
     )
+
+    # SimHash as a FIRST-CLASS dedup lane (not just the verify prefilter):
+    # value-level kernel parity (the oracle recomputes FNV-1a + per-bit
+    # majority vote entirely in SQL) and a banded near-dup self-join whose
+    # recall is 1 by PIGEONHOLE (4 bands of 16 bits catch every pair within
+    # Hamming 3), so the brute-force Hamming join is an exact oracle
+    def _simhash_vals(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import simhash_values
+
+        return simhash_values(_docs(s, d))
+
+    q["doc_simhash"] = _simhash_vals
+
+    def _simhash_pairs(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import simhash_near_dup_pairs
+
+        return simhash_near_dup_pairs(
+            _docs(s, d), max_hamming=SIMHASH_MAX_HAMMING, n_bands=SIMHASH_BANDS
+        )
+
+    q["doc_simhash_near_dup_pairs"] = _simhash_pairs
 
     # multimodal lane's oracled face: text → binary payload → byte stats
     # (octet length + sha256 over BYTES, both JVM-side)
@@ -559,6 +582,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT c.id_a, c.id_b
         FROM cand c JOIN sub sa ON sa.doc_id = c.id_a
                     JOIN sub sb ON sb.doc_id = c.id_b AND sb.w = sa.w
+        ORDER BY id_a, id_b
+    """
+    # SimHash twin: the ENTIRE kernel re-derived in SQL — FNV-1a 64-bit over
+    # each distinct token's utf-8 bytes (hex-explode + list_reduce in
+    # HUGEINT, with the byte-xor done on the low 8 bits so no 128-bit xor is
+    # needed), then the count-weighted per-bit majority vote and two's-
+    # complement reassembly to match Spark's signed int64 view. Matches
+    # functions/hashing.py:simhash64 bit-for-bit (asserted at all 3 sf).
+    # DuckDB's \s = [\t\n\f\r ] (RE2) vs Python str.split()'s unicode
+    # whitespace — equivalent on these fixtures (no \x0b/\xa0 etc., checked).
+    _pw2 = "[" + ",".join(str(1 << b) for b in range(64)) + "]::HUGEINT[]"
+    _simhash_cte = f"""
+        WITH toks2 AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                        x -> x != '')) AS tok
+          FROM documents WHERE text IS NOT NULL
+        ),
+        tc AS (SELECT doc_id, tok, count(*)::HUGEINT AS cnt
+               FROM toks2 GROUP BY doc_id, tok),
+        hashed AS (
+          SELECT tok,
+            list_reduce(
+              list_prepend(14695981039346656037::HUGEINT,
+                list_transform(range(1, octet_length(encode(tok))::BIGINT + 1),
+                  i -> CAST(concat('0x', substr(hex(encode(tok)),
+                       (2*i-1)::INT, 2)) AS BIGINT)::HUGEINT)),
+              (acc, b) -> ((acc - (acc % 256)
+                            + xor((acc % 256)::BIGINT, b::BIGINT)::HUGEINT)
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT
+            ) AS h
+          FROM (SELECT DISTINCT tok FROM tc)
+        ),
+        votes AS (
+          SELECT tc.doc_id, bb.b AS bit,
+                 sum(CASE WHEN (h.h // ({_pw2})[(bb.b+1)::INT]) % 2 = 1
+                          THEN tc.cnt ELSE -tc.cnt END) AS v
+          FROM tc JOIN hashed h USING (tok)
+          CROSS JOIN (SELECT unnest(range(0,64)) AS b) bb
+          GROUP BY tc.doc_id, bb.b
+        ),
+        rawsig AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN ({_pw2})[(bit+1)::INT]
+                          ELSE 0::HUGEINT END) AS s
+          FROM votes GROUP BY doc_id
+        ),
+        sig AS (
+          SELECT d.doc_id,
+                 COALESCE(CASE WHEN s >= 9223372036854775808::HUGEINT
+                               THEN s - 18446744073709551616::HUGEINT
+                               ELSE s END, 0)::BIGINT AS simhash
+          FROM documents d LEFT JOIN rawsig USING (doc_id)
+        )
+    """
+    sql["doc_simhash"] = _simhash_cte + """
+        SELECT doc_id, simhash FROM sig ORDER BY doc_id
+    """
+    # brute force IS exact here (and the Spark lane provably equals it by
+    # pigeonhole); 5000 docs max at the checked scales
+    sql["doc_simhash_near_dup_pairs"] = _simhash_cte + f"""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
         ORDER BY id_a, id_b
     """
     sql["doc_shingle_count"] = f"""

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from db_lsh_spark.config import DedupConfig
 from db_lsh_spark.operators.bands import explode_bands
-from db_lsh_spark.operators.candidates import candidate_pairs
+from db_lsh_spark.operators.candidates import candidate_pairs, simhash_band_pairs
 from db_lsh_spark.operators.cluster import (
     assignments_with_singletons,
     connected_components,
@@ -105,3 +105,62 @@ def dedup_clusters(
     return assign.select(
         F.col("cluster_id"), F.col("file_id").alias("doc_id")
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup lane over documents → (id_a, id_b, hamming).
+
+    Banded SimHash self-join (``candidates.simhash_band_pairs``) with
+    recall 1 by pigeonhole — the output provably equals the brute-force
+    "all pairs with Hamming(simhash) <= max_hamming" join, which is the
+    DuckDB oracle. Complements the MinHash lane: SimHash weights tokens by
+    frequency, so it surfaces bag-of-words-similar pairs the shingle-set
+    Jaccard lane scores lower (and vice versa).
+
+    Same sha256 rep short-circuit as ``lsh_near_dup_pairs``: identical
+    texts have identical fingerprints, so the band join runs on group
+    representatives only and verified rep pairs are expanded back through
+    group membership (cross pairs inherit the rep Hamming distance; intra
+    pairs are Hamming 0) — output-linear in the true pair count.
+    """
+    files = with_ids_and_sha(_as_files(docs))
+    members = sha_group_members(files)
+    rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
+    cfg = DedupConfig()
+    sims = semi_filter_reps(compute_signatures(files, cfg), rep_ids).select(
+        "file_id", "simhash"
+    )
+    verified = simhash_band_pairs(sims, max_hamming, n_bands)
+
+    m_a = members.select(F.col("rep_id").alias("id_a"), F.col("file_id").alias("fa"))
+    m_b = members.select(F.col("rep_id").alias("id_b"), F.col("file_id").alias("fb"))
+    cross = (
+        verified.join(m_a, "id_a")
+        .join(m_b, "id_b")
+        .select(
+            F.least("fa", "fb").alias("id_a"),
+            F.greatest("fa", "fb").alias("id_b"),
+            "hamming",
+        )
+    )
+    g1 = members.select("rep_id", F.col("file_id").alias("id_a"))
+    g2 = members.select("rep_id", F.col("file_id").alias("id_b"))
+    intra = (
+        g1.join(g2, "rep_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    return cross.unionByName(intra)
+
+
+def simhash_values(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the raw 64-bit fingerprints, for direct
+    value-level kernel parity against the SQL twin (the oracle recomputes
+    FNV-1a token hashing + per-bit majority vote entirely in SQL)."""
+    files = _as_files(docs)
+    sims = compute_signatures(files, DedupConfig()).select(
+        F.col("file_id").alias("doc_id"), "simhash"
+    )
+    return sims

@@ -1,0 +1,109 @@
+"""First-class SimHash near-dup lane (``candidates.simhash_band_pairs`` +
+the document adapters): pigeonhole recall proof checked empirically against
+NumPy brute force, config validation, and the sha-group expansion contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.documents import simhash_near_dup_pairs, simhash_values
+from db_lsh_spark.operators.candidates import simhash_band_pairs
+
+
+def _brute_pairs(sigs: np.ndarray, max_hamming: int) -> set[tuple[int, int, int]]:
+    u = sigs.view(np.uint64)
+    out = set()
+    for i in range(len(u)):
+        x = u[i] ^ u[i + 1:]
+        h = np.array([bin(int(v)).count("1") for v in x])
+        for j in np.nonzero(h <= max_hamming)[0]:
+            out.add((i, i + 1 + int(j), int(h[j])))
+    return out
+
+
+def _sims_df(spark, sigs: np.ndarray):
+    return spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sigs)], "file_id long, simhash long"
+    )
+
+
+def test_band_pairs_equal_bruteforce_with_planted_flips(spark):
+    """Random 64-bit fingerprints plus planted <=3-bit perturbations: the
+    banded join must return EXACTLY the brute-force Hamming<=3 set (recall
+    1 is a theorem here — 4 x 16-bit bands, any 3 flips leave a band
+    intact — so equality, not containment)."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, size=120, dtype=np.int64)
+    planted = []
+    for i in range(0, 40, 2):
+        flips = rng.choice(64, size=rng.integers(1, 4), replace=False)
+        v = np.uint64(base[i])  # base draws are non-negative int64
+        for b in flips:
+            v = v ^ np.uint64(1 << int(b))
+        planted.append(np.int64(v))
+    sigs = np.concatenate([base, np.array(planted, dtype=np.int64)])
+    exp = _brute_pairs(sigs, 3)
+    assert len(exp) >= 20, "fixture must be non-vacuous"
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_band_pairs(_sims_df(spark, sigs), 3, 4).collect()
+    }
+    assert got == exp
+
+
+def test_band_pairs_validation():
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_band_pairs(None, 3, 5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_band_pairs(None, 8, 8)
+
+
+def test_doc_lane_expands_sha_groups(spark):
+    """Docs with byte-identical clones: the rep short-circuit must expand
+    verified rep pairs through group membership — intra pairs at Hamming 0,
+    cross pairs inheriting the rep distance — matching brute force over
+    ALL docs."""
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),  # near 0
+        (2, "totally different content words here nothing shared xyz"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # clone of 0
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),  # clone of 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = (
+        simhash_values(df).orderBy("doc_id").select("simhash").toPandas()
+    ).simhash.to_numpy()
+    exp = _brute_pairs(sigs, 3)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(df, 3, 4).collect()
+    }
+    assert got == exp
+    # the clone pairs specifically: (0,3),(0,4),(3,4) at hamming 0
+    assert {(0, 3, 0), (0, 4, 0), (3, 4, 0)} <= got
+
+
+def test_values_match_kernel(spark):
+    """simhash_values == the shared NumPy kernel, doc for doc."""
+    from db_lsh_spark.functions.hashing import simhash64, tokenize
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        simhash_values(docs.select("doc_id", "text"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    texts = (
+        docs.select("doc_id", "text").orderBy("doc_id").toPandas().text
+    )
+    cache: dict = {}
+    exp = np.array(
+        [simhash64(tokenize(t if t is not None else ""), cache) for t in texts],
+        dtype=np.int64,
+    )
+    assert (got.simhash.to_numpy() == exp).all()
