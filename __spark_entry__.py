@@ -269,6 +269,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dedup_clusters"] = _dedup_clusters
 
+    # ---- repo-level duplication analysis (operators/repo_analysis.py) ----
+    # documents.source plays the repo role: the consumer-facing census of
+    # which dup clusters span sources and how much of each source is copied
+    # content (the north-star's mega-repo / vendored-skew surfacing, run
+    # over the driver's documents table)
+    def _source_frames(s: SparkSession, d: str):
+        from db_lsh_spark.documents import dedup_clusters
+
+        docs = _docs(s, d)
+        assign = dedup_clusters(s, docs, DOC_DEDUP_CFG).select(
+            F.col("doc_id").alias("file_id"), "cluster_id"
+        )
+        files = docs.select(
+            F.col("doc_id").alias("file_id"),
+            F.col("source").alias("repo"),
+            F.lit("").alias("path"),
+        )
+        return assign, files
+
+    def _source_cluster_spread(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.repo_analysis import cluster_repo_spread
+
+        assign, files = _source_frames(s, d)
+        return cluster_repo_spread(assign, files).select(
+            "cluster_id", "n_files", F.col("n_repos").alias("n_sources")
+        )
+
+    q["doc_source_cluster_spread"] = _source_cluster_spread
+
+    def _source_dup_profile(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.repo_analysis import repo_dup_profile
+
+        assign, files = _source_frames(s, d)
+        return repo_dup_profile(assign, files).select(
+            F.col("repo").alias("source"),
+            "n_files",
+            "n_dup_files",
+            F.col("n_cross_repo_dup_files").alias("n_cross_source_dup_files"),
+            "dup_ratio",
+        )
+
+    q["doc_source_dup_profile"] = _source_dup_profile
+
     # ---- vector lane (embeddings) ----
     q["emb_norms"] = lambda s, d: ann_ops.norms(_emb(s, d))
     q["emb_knn_bruteforce"] = lambda s, d: ann_ops.knn_bruteforce(
@@ -719,7 +762,7 @@ def oracle_sql() -> dict[str, str]:
     # test threshold the components are stars around a base doc, but the
     # general recursive closure is expressed here (DuckDB recursive CTE
     # computing min-reachable-id as the cluster label).
-    sql["doc_dedup_clusters"] = f"""
+    _closure_ctes = f"""
         WITH RECURSIVE sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
@@ -751,9 +794,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, src FROM edges
             UNION
             SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
-        )
+        )"""
+    sql["doc_dedup_clusters"] = f"""
+        {_closure_ctes}
         SELECT min(label) AS cluster_id, node AS doc_id
         FROM reach GROUP BY node
+    """
+    # total assignment (singletons keep their own id) + per-cluster /
+    # per-source censuses — the oracle twins of operators/repo_analysis.py
+    # run over documents with `source` in the repo role
+    _labels_cte = f"""
+        {_closure_ctes},
+        labels AS (
+            SELECT d.doc_id, COALESCE(r.cluster_id, d.doc_id) AS cluster_id,
+                   d.source
+            FROM documents d
+            LEFT JOIN (SELECT node, min(label) AS cluster_id
+                       FROM reach GROUP BY node) r ON d.doc_id = r.node
+        ),
+        spread AS (
+            SELECT cluster_id, count(*) AS cn, count(DISTINCT source) AS cs
+            FROM labels GROUP BY cluster_id
+        )"""
+    sql["doc_source_cluster_spread"] = f"""
+        {_labels_cte}
+        SELECT cluster_id, cn::BIGINT AS n_files, cs::BIGINT AS n_sources
+        FROM spread
+    """
+    sql["doc_source_dup_profile"] = f"""
+        {_labels_cte}
+        SELECT l.source, count(*)::BIGINT AS n_files,
+               sum(CASE WHEN s.cn > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_files,
+               sum(CASE WHEN s.cs > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_cross_source_dup_files,
+               round(sum(CASE WHEN s.cn > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS dup_ratio
+        FROM labels l JOIN spread s USING (cluster_id)
+        GROUP BY l.source
     """
     sql["emb_norms"] = """
         SELECT vec_id,

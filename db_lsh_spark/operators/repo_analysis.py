@@ -1,0 +1,139 @@
+"""Repo-level duplication analysis over the dedup output — the consumer
+face of the north-star's "repo-level skew (mega-repos, vendored libraries)"
+requirement.
+
+The pipeline handles skew *internally* (salted caps, AQE skew-join); these
+operators SURFACE it to the user: which clusters span repos, which repos
+are mostly copies, and which directories look vendored (a directory whose
+files duplicate content that also lives in other repositories — the
+`vendor/`, `third_party/`, `node_modules/` pattern that dominates real
+source-code corpora).
+
+Scale shape (10^12 files): every join here runs on slim projections —
+``(file_id, repo, dir)`` × ``(file_id, cluster_id)`` — never contents.
+Cluster spread is one groupBy on ``cluster_id`` (the CC output key, so the
+assignment frame is typically already hash-distributed by it), and the
+per-file cross-repo flag is a second equi-join on the same key. Directory
+rollups group on ``(repo, dir)``, whose cardinality is orders of magnitude
+below the file count. No driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _slim_files(files: DataFrame) -> DataFrame:
+    return files.select("file_id", "repo", "path")
+
+
+def cluster_repo_spread(assign: DataFrame, files: DataFrame) -> DataFrame:
+    """Per-cluster census: how many files and how many DISTINCT repos each
+    dup cluster touches → (cluster_id, n_files, n_repos).
+
+    Singleton clusters are included (n_files = 1) so downstream joins can
+    treat the result as a total function of cluster_id.
+    """
+    j = assign.join(_slim_files(files).select("file_id", "repo"), "file_id")
+    return j.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.countDistinct("repo").cast("long").alias("n_repos"),
+    )
+
+
+def repo_dup_profile(assign: DataFrame, files: DataFrame) -> DataFrame:
+    """Per-repo duplication profile → (repo, n_files, n_dup_files,
+    n_cross_repo_dup_files, dup_ratio).
+
+    - ``n_dup_files``: files in a cluster of size > 1 (duplicated anywhere);
+    - ``n_cross_repo_dup_files``: files whose cluster spans >= 2 repos —
+      content this repo shares with at least one OTHER repo (vendored
+      copies, forks, mirrored mega-repos);
+    - ``dup_ratio`` = n_dup_files / n_files, rounded to 6 (oracle-stable).
+
+    The mega-repo skew census: sorting by n_files descending shows exactly
+    which repos dominate the corpus and how much of them is copied content.
+    """
+    spread = cluster_repo_spread(assign, files)
+    j = (
+        assign.join(_slim_files(files).select("file_id", "repo"), "file_id")
+        .join(spread, "cluster_id")
+    )
+    return j.groupBy("repo").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.when(F.col("n_files") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_files"),
+        F.sum(F.when(F.col("n_repos") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_repo_dup_files"),
+        F.round(
+            F.sum(F.when(F.col("n_files") > 1, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("dup_ratio"),
+    )
+
+
+def vendored_dir_candidates(
+    assign: DataFrame,
+    files: DataFrame,
+    min_files: int = 3,
+    min_shared_frac: float = 0.6,
+    depth: int = 2,
+) -> DataFrame:
+    """Directories that look like vendored libraries → (repo, dir, n_files,
+    n_shared, shared_frac, n_peer_repos).
+
+    A file is "shared" when its dup cluster spans >= 2 repos; a directory
+    (the first ``depth`` path segments within its repo) is a vendored
+    candidate when it has >= ``min_files`` files of which >=
+    ``min_shared_frac`` are shared. ``n_peer_repos`` = distinct OTHER repos
+    reachable through those shared clusters — the likely upstream(s).
+
+    The peer count deliberately counts repos, not files: a library vendored
+    into 10^4 repos yields 10^4 candidate rows each with the same peers,
+    never a quadratic repo×repo blowup (the per-cluster repo list is
+    aggregated once, capped at ``n_repos`` distinct values per cluster).
+    """
+    spread = cluster_repo_spread(assign, files)
+    with_dir = (
+        assign.join(_slim_files(files), "file_id")
+        .withColumn("dir", F.substring_index("path", "/", depth))
+    )
+    flagged = with_dir.join(spread.select("cluster_id", "n_repos"), "cluster_id")
+
+    # distinct peer repos per (repo, dir): via the cluster -> repo edge list
+    cluster_repos = (
+        assign.join(_slim_files(files).select("file_id", "repo"), "file_id")
+        .select("cluster_id", F.col("repo").alias("peer_repo"))
+        .distinct()
+    )
+    peers = (
+        flagged.where(F.col("n_repos") > 1)
+        .select("repo", "dir", "cluster_id")
+        .distinct()
+        .join(cluster_repos, "cluster_id")
+        .where(F.col("peer_repo") != F.col("repo"))
+        .groupBy("repo", "dir")
+        .agg(F.countDistinct("peer_repo").cast("long").alias("n_peer_repos"))
+    )
+
+    stats = flagged.groupBy("repo", "dir").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.when(F.col("n_repos") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared"),
+    )
+    return (
+        stats.where(F.col("n_files") >= min_files)
+        .withColumn(
+            "shared_frac", F.round(F.col("n_shared") / F.col("n_files"), 6)
+        )
+        .where(F.col("shared_frac") >= min_shared_frac)
+        .join(peers, ["repo", "dir"], "left")
+        .na.fill({"n_peer_repos": 0})
+        .select(
+            "repo", "dir", "n_files", "n_shared", "shared_frac", "n_peer_repos"
+        )
+    )

@@ -50,6 +50,19 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--beta", type=float, default=None,
                    help="set the widening budget as T = beta * n_files "
                         "(ignored when --target-pairs is given explicitly)")
+    p.add_argument("--repo-report", action="store_true",
+                   help="also write per-repo duplication profiles and "
+                        "vendored-directory candidates (requires repo/path "
+                        "columns on the input) to <output>/repo_profile and "
+                        "<output>/vendored_dirs")
+    p.add_argument("--vendored-min-files", type=int, default=3,
+                   help="min files in a directory before it can be flagged "
+                        "as a vendored candidate")
+    p.add_argument("--vendored-min-shared-frac", type=float, default=0.6,
+                   help="min fraction of a directory's files whose dup "
+                        "cluster spans other repos")
+    p.add_argument("--vendored-depth", type=int, default=2,
+                   help="path segments that define a directory")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -85,6 +98,32 @@ def main(argv: list[str] | None = None) -> None:
                     with_lcs=args.with_lcs, target_pairs=target_pairs)
     out.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     out.pairs.write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
+    repo_report: dict | None = None
+    if args.repo_report:
+        from db_lsh_spark.operators.repo_analysis import (
+            repo_dup_profile,
+            vendored_dir_candidates,
+        )
+
+        # read the just-written clusters back rather than re-deriving the
+        # plan: the report joins the assignment twice and a parquet scan is
+        # cheaper (and resume-safe) vs recomputing the CC lineage
+        assign = spark.read.parquet(f"{args.output}/clusters").select(
+            "file_id", "cluster_id"
+        )
+        profile = repo_dup_profile(assign, files)
+        vendored = vendored_dir_candidates(
+            assign, files,
+            min_files=args.vendored_min_files,
+            min_shared_frac=args.vendored_min_shared_frac,
+            depth=args.vendored_depth,
+        )
+        profile.write.mode("overwrite").parquet(f"{args.output}/repo_profile")
+        vendored.write.mode("overwrite").parquet(f"{args.output}/vendored_dirs")
+        repo_report = {
+            "repos": profile.count(),
+            "vendored_dir_candidates": vendored.count(),
+        }
     n_files = out.clusters.count()
     n_dup = out.clusters.where("file_id != cluster_id").count()
     wall = time.monotonic() - t0
@@ -101,6 +140,7 @@ def main(argv: list[str] | None = None) -> None:
         ],
         "target_pairs": target_pairs,
         "widening_rounds": out.widen_stats,
+        "repo_report": repo_report,
     }
     print(json.dumps(summary))
     spark.stop()

@@ -1,0 +1,124 @@
+"""Repo-level duplication analysis (operators/repo_analysis.py) against a
+DuckDB oracle over the same frames, plus the planted-vendored ground truth
+the synth fixture carries."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from db_lsh_spark.operators.repo_analysis import (
+    cluster_repo_spread,
+    repo_dup_profile,
+    vendored_dir_candidates,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark, fixture_small):
+    files_pd = fixture_small.files[["file_id", "repo", "path"]]
+    clusters_pd = fixture_small.golden_clusters
+    files = spark.createDataFrame(files_pd)
+    assign = spark.createDataFrame(clusters_pd)
+    con = duckdb.connect()
+    con.register("files", files_pd)
+    con.register("assign", clusters_pd)
+    return files, assign, con
+
+
+def _cmp(sdf, oracle_df, keys):
+    got = sdf.toPandas().sort_values(keys).reset_index(drop=True)
+    exp = oracle_df.sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+
+
+def test_cluster_repo_spread(frames):
+    files, assign, con = frames
+    exp = con.execute("""
+        SELECT a.cluster_id, count(*)::BIGINT AS n_files,
+               count(DISTINCT f.repo)::BIGINT AS n_repos
+        FROM assign a JOIN files f USING (file_id)
+        GROUP BY a.cluster_id
+    """).df()
+    _cmp(cluster_repo_spread(assign, files), exp, ["cluster_id"])
+
+
+def test_repo_dup_profile(frames):
+    files, assign, con = frames
+    exp = con.execute("""
+        WITH spread AS (
+          SELECT a.cluster_id, count(*) AS cn, count(DISTINCT f.repo) AS cr
+          FROM assign a JOIN files f USING (file_id) GROUP BY a.cluster_id
+        )
+        SELECT f.repo, count(*)::BIGINT AS n_files,
+               sum(CASE WHEN s.cn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_files,
+               sum(CASE WHEN s.cr > 1 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_cross_repo_dup_files,
+               round(sum(CASE WHEN s.cn > 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS dup_ratio
+        FROM assign a JOIN files f USING (file_id)
+                      JOIN spread s USING (cluster_id)
+        GROUP BY f.repo
+    """).df()
+    _cmp(repo_dup_profile(assign, files), exp, ["repo"])
+
+
+def test_vendored_dir_candidates(frames):
+    files, assign, con = frames
+    exp = con.execute("""
+        WITH spread AS (
+          SELECT a.cluster_id, count(DISTINCT f.repo) AS cr
+          FROM assign a JOIN files f USING (file_id) GROUP BY a.cluster_id
+        ),
+        -- substring_index(path,'/',2): first two segments
+        wd2 AS (
+          SELECT cluster_id, repo, file_id,
+                 array_to_string((string_split(dir0,'/'))[1:2], '/') AS dir
+          FROM (SELECT cluster_id, repo, file_id,
+                       f2.path AS dir0
+                FROM assign a2 JOIN files f2 USING (file_id))
+        ),
+        flg AS (SELECT wd2.*, s.cr FROM wd2 JOIN spread s USING (cluster_id)),
+        stats AS (
+          SELECT repo, dir, count(*)::BIGINT AS n_files,
+                 sum(CASE WHEN cr > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+          FROM flg GROUP BY repo, dir
+        ),
+        cluster_repos AS (
+          SELECT DISTINCT a.cluster_id, f.repo AS peer_repo
+          FROM assign a JOIN files f USING (file_id)
+        ),
+        peers AS (
+          SELECT g.repo, g.dir,
+                 count(DISTINCT cr2.peer_repo)::BIGINT AS n_peer_repos
+          FROM (SELECT DISTINCT repo, dir, cluster_id FROM flg WHERE cr > 1) g
+          JOIN cluster_repos cr2 USING (cluster_id)
+          WHERE cr2.peer_repo != g.repo
+          GROUP BY g.repo, g.dir
+        )
+        SELECT s.repo, s.dir, s.n_files, s.n_shared,
+               round(s.n_shared::DOUBLE / s.n_files, 6) AS shared_frac,
+               COALESCE(p.n_peer_repos, 0) AS n_peer_repos
+        FROM stats s LEFT JOIN peers p USING (repo, dir)
+        WHERE s.n_files >= 3 AND round(s.n_shared::DOUBLE / s.n_files, 6) >= 0.6
+    """).df()
+    got = vendored_dir_candidates(assign, files, min_files=3,
+                                  min_shared_frac=0.6, depth=2)
+    _cmp(got, exp, ["repo", "dir"])
+
+
+def test_planted_vendored_dirs_detected(frames):
+    """The synth fixture plants copies under vendor/…: at depth 1 the
+    vendor directory of at least one repo must surface as a candidate, and
+    every surfaced vendor/ row must be fully shared (the planted copies
+    duplicate cross-repo by construction)."""
+    files, assign, _ = frames
+    got = vendored_dir_candidates(
+        assign, files, min_files=2, min_shared_frac=0.5, depth=1
+    ).toPandas()
+    vend = got[got.dir == "vendor"]
+    assert len(vend) >= 1, f"expected planted vendor dirs, got:\n{got}"
+    assert (vend.n_peer_repos >= 1).all()

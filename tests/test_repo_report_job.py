@@ -1,0 +1,64 @@
+"""``run_pipeline --repo-report`` end-to-end: the spark-submit artifact
+writes per-repo duplication profiles and vendored-directory candidates next
+to the clusters, and the planted ``vendor/`` copies in the synth corpus
+surface as candidates (operators oracled cell-by-cell in
+test_repo_analysis.py; this test covers the job wiring)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pandas as pd
+import pytest
+
+from db_lsh_spark.sources.synth import SynthConfig, generate
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("repo_report_corpus")
+    files = generate(SynthConfig(n_files=400)).files
+    files.to_parquet(str(d / "files.parquet"), index=False)
+    return str(d)
+
+
+def test_spark_submit_repo_report(corpus_dir, tmp_path):
+    from db_lsh_spark.session import package_zip
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus_dir, "--output", out_dir,
+            "--repo-report", "--vendored-min-files", "1",
+            "--vendored-depth", "2",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    assert summary["repo_report"]["repos"] > 0
+
+    profile = pd.read_parquet(os.path.join(out_dir, "repo_profile"))
+    clusters = pd.read_parquet(os.path.join(out_dir, "clusters"))
+    # every repo in the corpus profiled; file counts reconcile exactly
+    files = pd.read_parquet(corpus_dir)
+    assert sorted(profile.repo) == sorted(files.repo.unique())
+    assert profile.n_files.sum() == len(files) == len(clusters)
+    assert (profile.n_dup_files >= profile.n_cross_repo_dup_files).all()
+
+    # the synth generator plants exact copies under vendor/ in OTHER repos:
+    # at least one vendor/ directory must surface, with >= 1 peer repo
+    vendored = pd.read_parquet(os.path.join(out_dir, "vendored_dirs"))
+    vend = vendored[vendored.dir.str.startswith("vendor/")]
+    assert len(vend) >= 1, f"no vendor/ dirs surfaced:\n{vendored}"
+    assert (vend.n_peer_repos >= 1).any()
