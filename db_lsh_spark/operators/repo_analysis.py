@@ -41,7 +41,9 @@ def cluster_repo_spread(assign: DataFrame, files: DataFrame) -> DataFrame:
     )
 
 
-def repo_dup_profile(assign: DataFrame, files: DataFrame) -> DataFrame:
+def repo_dup_profile(
+    assign: DataFrame, files: DataFrame, spread: DataFrame | None = None
+) -> DataFrame:
     """Per-repo duplication profile → (repo, n_files, n_dup_files,
     n_cross_repo_dup_files, dup_ratio).
 
@@ -53,8 +55,13 @@ def repo_dup_profile(assign: DataFrame, files: DataFrame) -> DataFrame:
 
     The mega-repo skew census: sorting by n_files descending shows exactly
     which repos dominate the corpus and how much of them is copied content.
+
+    ``spread``: pass a (possibly persisted) ``cluster_repo_spread`` result
+    to share the cluster census with other report operators instead of
+    recomputing its join+groupBy per action.
     """
-    spread = cluster_repo_spread(assign, files)
+    if spread is None:
+        spread = cluster_repo_spread(assign, files)
     j = (
         assign.join(_slim_files(files).select("file_id", "repo"), "file_id")
         .join(spread, "cluster_id")
@@ -81,33 +88,61 @@ def vendored_dir_candidates(
     min_files: int = 3,
     min_shared_frac: float = 0.6,
     depth: int = 2,
+    peer_cap: int = 64,
+    spread: DataFrame | None = None,
 ) -> DataFrame:
     """Directories that look like vendored libraries → (repo, dir, n_files,
     n_shared, shared_frac, n_peer_repos).
 
     A file is "shared" when its dup cluster spans >= 2 repos; a directory
-    (the first ``depth`` path segments within its repo) is a vendored
-    candidate when it has >= ``min_files`` files of which >=
-    ``min_shared_frac`` are shared. ``n_peer_repos`` = distinct OTHER repos
-    reachable through those shared clusters — the likely upstream(s).
+    (the file's PARENT directory truncated to the first ``depth`` path
+    segments — the filename itself never becomes a segment, so flat
+    ``vendor/x.js`` layouts group under ``vendor``, and root-level files
+    group under the empty string) is a vendored candidate when it has >=
+    ``min_files`` files of which >= ``min_shared_frac`` are shared.
+    ``n_peer_repos`` = distinct OTHER repos reachable through those shared
+    clusters — the likely upstream(s).
 
-    The peer count deliberately counts repos, not files: a library vendored
-    into 10^4 repos yields 10^4 candidate rows each with the same peers,
-    never a quadratic repo×repo blowup (the per-cluster repo list is
-    aggregated once, capped at ``n_repos`` distinct values per cluster).
+    The peer count counts repos, not files, and the per-cluster repo list
+    is CAPPED at ``peer_cap`` members (deterministic: the lexicographically
+    smallest repo names survive) before the dir join: a library vendored
+    into 10^5 repos is one cluster whose member list would otherwise join
+    against every (repo, dir) row of every member — the quadratic
+    repo×repo shape. With the cap, ``n_peer_repos`` saturates at
+    ``peer_cap`` for such mega-clusters (reported value is a lower bound);
+    the join stays linear in the candidate rows.
+
+    ``spread``: optional precomputed ``cluster_repo_spread`` (see
+    ``repo_dup_profile``).
     """
-    spread = cluster_repo_spread(assign, files)
+    from pyspark.sql import Window
+
+    if spread is None:
+        spread = cluster_repo_spread(assign, files)
+    # parent dir truncated to `depth` segments; "" for root-level files
+    dir_expr = F.expr(
+        f"substring_index(path, '/', least({int(depth)}, "
+        f"size(split(path, '/')) - 1))"
+    )
     with_dir = (
-        assign.join(_slim_files(files), "file_id")
-        .withColumn("dir", F.substring_index("path", "/", depth))
+        assign.join(_slim_files(files), "file_id").withColumn("dir", dir_expr)
     )
     flagged = with_dir.join(spread.select("cluster_id", "n_repos"), "cluster_id")
 
-    # distinct peer repos per (repo, dir): via the cluster -> repo edge list
+    # distinct peer repos per (repo, dir): via the cluster -> repo edge
+    # list, capped per cluster BEFORE the dir join (see docstring)
     cluster_repos = (
         assign.join(_slim_files(files).select("file_id", "repo"), "file_id")
         .select("cluster_id", F.col("repo").alias("peer_repo"))
         .distinct()
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy("peer_repo")
+            ),
+        )
+        .where(F.col("_rk") <= peer_cap + 1)  # +1 absorbs the self repo
+        .drop("_rk")
     )
     peers = (
         flagged.where(F.col("n_repos") > 1)
@@ -116,7 +151,11 @@ def vendored_dir_candidates(
         .join(cluster_repos, "cluster_id")
         .where(F.col("peer_repo") != F.col("repo"))
         .groupBy("repo", "dir")
-        .agg(F.countDistinct("peer_repo").cast("long").alias("n_peer_repos"))
+        .agg(
+            F.least(
+                F.countDistinct("peer_repo"), F.lit(peer_cap).cast("long")
+            ).alias("n_peer_repos")
+        )
     )
 
     stats = flagged.groupBy("repo", "dir").agg(

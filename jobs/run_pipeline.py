@@ -90,6 +90,14 @@ def main(argv: list[str] | None = None) -> None:
         simhash_max_hamming=args.simhash_max_hamming,
     )
     files = spark.read.parquet(args.input)
+    if args.repo_report:
+        missing = {"repo", "path"} - set(files.columns)
+        if missing:
+            raise SystemExit(
+                f"--repo-report needs columns {sorted(missing)} on the "
+                f"input table (found: {files.columns}); failing before the "
+                "dedup run, not after it"
+            )
     target_pairs = args.target_pairs
     if target_pairs is None and args.beta is not None:
         target_pairs = int(args.beta * files.count())
@@ -98,35 +106,48 @@ def main(argv: list[str] | None = None) -> None:
                     with_lcs=args.with_lcs, target_pairs=target_pairs)
     out.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     out.pairs.write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
+    n_files = out.clusters.count()
+    n_dup = out.clusters.where("file_id != cluster_id").count()
+    # dedup timing closes BEFORE the report phase so files_per_sec stays
+    # comparable across runs with and without --repo-report
+    wall = time.monotonic() - t0
     repo_report: dict | None = None
     if args.repo_report:
         from db_lsh_spark.operators.repo_analysis import (
+            cluster_repo_spread,
             repo_dup_profile,
             vendored_dir_candidates,
         )
 
+        t_rep = time.monotonic()
         # read the just-written clusters back rather than re-deriving the
         # plan: the report joins the assignment twice and a parquet scan is
         # cheaper (and resume-safe) vs recomputing the CC lineage
         assign = spark.read.parquet(f"{args.output}/clusters").select(
             "file_id", "cluster_id"
         )
-        profile = repo_dup_profile(assign, files)
+        # one cluster census shared by both operators (cluster-count-sized)
+        spread = cluster_repo_spread(assign, files).persist()
+        profile = repo_dup_profile(assign, files, spread=spread)
         vendored = vendored_dir_candidates(
             assign, files,
             min_files=args.vendored_min_files,
             min_shared_frac=args.vendored_min_shared_frac,
             depth=args.vendored_depth,
+            spread=spread,
         )
         profile.write.mode("overwrite").parquet(f"{args.output}/repo_profile")
         vendored.write.mode("overwrite").parquet(f"{args.output}/vendored_dirs")
+        spread.unpersist()
         repo_report = {
-            "repos": profile.count(),
-            "vendored_dir_candidates": vendored.count(),
+            # metadata-only counts of what was just written — never
+            # re-executes the report DAGs
+            "repos": spark.read.parquet(f"{args.output}/repo_profile").count(),
+            "vendored_dir_candidates": spark.read.parquet(
+                f"{args.output}/vendored_dirs"
+            ).count(),
+            "report_sec": round(time.monotonic() - t_rep, 2),
         }
-    n_files = out.clusters.count()
-    n_dup = out.clusters.where("file_id != cluster_id").count()
-    wall = time.monotonic() - t0
     summary = {
         "n_files": n_files,
         "n_dup_assignments": n_dup,

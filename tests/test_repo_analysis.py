@@ -73,10 +73,13 @@ def test_vendored_dir_candidates(frames):
           SELECT a.cluster_id, count(DISTINCT f.repo) AS cr
           FROM assign a JOIN files f USING (file_id) GROUP BY a.cluster_id
         ),
-        -- substring_index(path,'/',2): first two segments
+        -- parent dir truncated to depth=2 segments (filename never a
+        -- segment; root-level files map to '')
         wd2 AS (
           SELECT cluster_id, repo, file_id,
-                 array_to_string((string_split(dir0,'/'))[1:2], '/') AS dir
+                 array_to_string(
+                   (string_split(dir0,'/'))[1:least(2, len(string_split(dir0,'/')) - 1)],
+                   '/') AS dir
           FROM (SELECT cluster_id, repo, file_id,
                        f2.path AS dir0
                 FROM assign a2 JOIN files f2 USING (file_id))
@@ -108,6 +111,39 @@ def test_vendored_dir_candidates(frames):
     got = vendored_dir_candidates(assign, files, min_files=3,
                                   min_shared_frac=0.6, depth=2)
     _cmp(got, exp, ["repo", "dir"])
+
+
+def test_flat_vendor_layout_and_peer_cap(spark):
+    """Files sitting DIRECTLY in vendor/ (no subdirectory) must group under
+    'vendor' — the filename is never a path segment — and the per-cluster
+    peer list cap saturates n_peer_repos at peer_cap deterministically."""
+    repos, names = ["ra", "rb", "rc"], ["a.js", "b.js", "c.js"]
+    rows, assign_rows, fid = [], [], 0
+    for ci, name in enumerate(names):
+        for repo in repos:
+            rows.append((fid, repo, f"vendor/{name}"))
+            assign_rows.append((fid, ci))
+            fid += 1
+    # one root-level unique file: dir must be '' and never crash
+    rows.append((fid, "ra", "README.md"))
+    assign_rows.append((fid, fid))
+    files = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["file_id", "repo", "path"])
+    )
+    assign = spark.createDataFrame(
+        pd.DataFrame(assign_rows, columns=["file_id", "cluster_id"])
+    )
+    got = vendored_dir_candidates(
+        assign, files, min_files=3, min_shared_frac=1.0, depth=2
+    ).toPandas().sort_values("repo").reset_index(drop=True)
+    assert got.dir.tolist() == ["vendor"] * 3
+    assert got.n_files.tolist() == [3, 3, 3]
+    assert got.n_peer_repos.tolist() == [2, 2, 2]
+
+    capped = vendored_dir_candidates(
+        assign, files, min_files=3, min_shared_frac=1.0, depth=2, peer_cap=1
+    ).toPandas()
+    assert capped.n_peer_repos.tolist() == [1, 1, 1]
 
 
 def test_planted_vendored_dirs_detected(frames):
