@@ -633,13 +633,17 @@ def oracle_sql() -> dict[str, str]:
     # needed), then the count-weighted per-bit majority vote and two's-
     # complement reassembly to match Spark's signed int64 view. Matches
     # functions/hashing.py:simhash64 bit-for-bit (asserted at all 3 sf).
-    # DuckDB's \s = [\t\n\f\r ] (RE2) vs Python str.split()'s unicode
-    # whitespace — equivalent on these fixtures (no \x0b/\xa0 etc., checked).
+    # tokenizer parity: RE2's \s is only [\t\n\f\r ], but the kernel uses
+    # Python str.split() which splits on the FULL unicode whitespace set
+    # (\x0b, \xa0,  , ideographic space, ...) — build the exact class
+    # from Python's own str.isspace so the twin can never diverge on
+    # exotic-whitespace text (list_filter drops the empty fields runs make)
+    _pyws = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
     _pw2 = "[" + ",".join(str(1 << b) for b in range(64)) + "]::HUGEINT[]"
     _simhash_cte = f"""
         WITH toks2 AS (
           SELECT doc_id,
-                 unnest(list_filter(string_split_regex(text, '\\s+'),
+                 unnest(list_filter(string_split_regex(text, '[{_pyws}]+'),
                         x -> x != '')) AS tok
           FROM documents WHERE text IS NOT NULL
         ),

@@ -14,6 +14,7 @@ from db_lsh_spark.operators.cluster import (
 )
 from db_lsh_spark.operators.signatures import (
     compute_signatures,
+    compute_simhash,
     exact_duplicate_edges,
     semi_filter_reps,
     sha_group_members,
@@ -62,6 +63,31 @@ def lsh_near_dup_pairs(
     pairs, _ = candidate_pairs(explode_bands(sigs), cfg)
     verified = verify_pairs(pairs, files, cfg, with_lcs=with_lcs)
 
+    expanded = _expand_rep_pairs(verified, members, "jaccard", F.lit(1.0))
+    return expanded.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def _expand_rep_pairs(
+    verified: DataFrame,
+    members: DataFrame,
+    value_col: str,
+    intra_value,
+) -> DataFrame:
+    """Expand verified sha256-REP-level pairs back through group
+    membership → (id_a, id_b, <value_col>), id_a < id_b.
+
+    - cross pairs: (a, b) for a ∈ group(rep_a), b ∈ group(rep_b) inherit
+      the rep pair's ``value_col`` (identical texts ⇒ identical
+      signatures/fingerprints);
+    - intra pairs: every pair inside one group gets ``intra_value``
+      (jaccard 1.0 for the MinHash lane, hamming 0 for SimHash).
+
+    Output-linear in the true pair count — inherently quadratic in
+    dup-group size, like the answer itself. One implementation shared by
+    both dedup lanes so expansion fixes can't silently diverge.
+    """
     m_a = members.select(F.col("rep_id").alias("id_a"), F.col("file_id").alias("fa"))
     m_b = members.select(F.col("rep_id").alias("id_b"), F.col("file_id").alias("fb"))
     cross = (
@@ -70,7 +96,7 @@ def lsh_near_dup_pairs(
         .select(
             F.least("fa", "fb").alias("id_a"),
             F.greatest("fa", "fb").alias("id_b"),
-            "jaccard",
+            value_col,
         )
     )
     g1 = members.select("rep_id", F.col("file_id").alias("id_a"))
@@ -78,11 +104,9 @@ def lsh_near_dup_pairs(
     intra = (
         g1.join(g2, "rep_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        .select("id_a", "id_b", intra_value.alias(value_col))
     )
-    return cross.unionByName(intra).select(
-        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
-    )
+    return cross.unionByName(intra)
 
 
 def dedup_clusters(
@@ -124,35 +148,25 @@ def simhash_near_dup_pairs(
     representatives only and verified rep pairs are expanded back through
     group membership (cross pairs inherit the rep Hamming distance; intra
     pairs are Hamming 0) — output-linear in the true pair count.
+
+    NULL text is treated as the empty document (fingerprint 0) — the
+    oracle's COALESCE semantics. Without the coalesce, ``sha2(NULL)`` is
+    NULL and the sha-group equi-join would silently DROP null-text docs
+    from the pair contract.
+
+    Runs the simhash-only kernel fast path (``compute_simhash``) — the
+    MinHash shingle sweep this lane would discard is never computed.
     """
-    files = with_ids_and_sha(_as_files(docs))
+    files = with_ids_and_sha(
+        _as_files(docs).withColumn("content", F.coalesce("content", F.lit("")))
+    )
     members = sha_group_members(files)
     rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
-    cfg = DedupConfig()
-    sims = semi_filter_reps(compute_signatures(files, cfg), rep_ids).select(
-        "file_id", "simhash"
-    )
+    sims = semi_filter_reps(compute_simhash(files), rep_ids)
     verified = simhash_band_pairs(sims, max_hamming, n_bands)
-
-    m_a = members.select(F.col("rep_id").alias("id_a"), F.col("file_id").alias("fa"))
-    m_b = members.select(F.col("rep_id").alias("id_b"), F.col("file_id").alias("fb"))
-    cross = (
-        verified.join(m_a, "id_a")
-        .join(m_b, "id_b")
-        .select(
-            F.least("fa", "fb").alias("id_a"),
-            F.greatest("fa", "fb").alias("id_b"),
-            "hamming",
-        )
+    return _expand_rep_pairs(
+        verified, members, "hamming", F.lit(0).cast("int")
     )
-    g1 = members.select("rep_id", F.col("file_id").alias("id_a"))
-    g2 = members.select("rep_id", F.col("file_id").alias("id_b"))
-    intra = (
-        g1.join(g2, "rep_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
-    )
-    return cross.unionByName(intra)
 
 
 def simhash_values(docs: DataFrame) -> DataFrame:
@@ -160,7 +174,6 @@ def simhash_values(docs: DataFrame) -> DataFrame:
     value-level kernel parity against the SQL twin (the oracle recomputes
     FNV-1a token hashing + per-bit majority vote entirely in SQL)."""
     files = _as_files(docs)
-    sims = compute_signatures(files, DedupConfig()).select(
+    return compute_simhash(files).select(
         F.col("file_id").alias("doc_id"), "simhash"
     )
-    return sims

@@ -269,6 +269,19 @@ def batch_signatures(
     mh[:] = _densify(sig, params.key).view(np.int64)
 
     # ---- SimHash: segmented bit votes over concatenated token hashes ----
+    sh[:] = _batch_simhash_from_tokens(token_arrays)
+
+    # ---- band hashes: vectorized across the whole batch ----
+    bh[:] = _band_hashes_batch(mh, params.bands, params.rows)
+    return mh, sh, bh
+
+
+def _batch_simhash_from_tokens(token_arrays: "list[np.ndarray]") -> np.ndarray:
+    """Segmented per-bit majority vote over per-doc token-hash arrays →
+    (n,) int64 simhashes. Shared by the full signature kernel and the
+    simhash-only fast path — one implementation, one set of values."""
+    n = len(token_arrays)
+    sh = np.empty(n, dtype=np.int64)
     lens_t = np.array([len(a) for a in token_arrays], dtype=np.int64)
     # empty docs get one sentinel hash so reduceat segments stay non-empty
     token_arrays = [
@@ -290,10 +303,23 @@ def batch_signatures(
                    .astype(np.uint64) << np.uint64(j))
     sh[:] = acc_sh.view(np.int64)
     sh[lens_t == 0] = 0  # definition: empty doc → simhash 0
+    return sh
 
-    # ---- band hashes: vectorized across the whole batch ----
-    bh[:] = _band_hashes_batch(mh, params.bands, params.rows)
-    return mh, sh, bh
+
+def batch_simhash(texts: "list[str] | np.ndarray") -> np.ndarray:
+    """SimHash-only fast path: tokenize + FNV token hashes + bit votes,
+    SKIPPING the MinHash shingle sweep, scatter-min and band folding that
+    dominate ``batch_signatures`` — the simhash lane pays only for what it
+    uses. Values are identical to ``batch_signatures(...)[1]`` by shared
+    kernel (asserted in tests)."""
+    if len(texts) == 0:
+        return np.empty(0, dtype=np.int64)
+    cache: dict = {}
+    token_arrays = [
+        token_hashes(tokenize(t if t is not None else ""), cache)
+        for t in texts
+    ]
+    return _batch_simhash_from_tokens(token_arrays)
 
 
 def _shingles_from_token_hashes(th: np.ndarray, k: int) -> np.ndarray:

@@ -123,20 +123,23 @@ def simhash_band_pairs(
             f"(pigeonhole); got n_bands={n_bands}, max_hamming={max_hamming}"
         )
     bits = 64 // n_bands
-    mask = (1 << bits) - 1
+    # n_bands=1 (bits=64, legitimate exact-match config): the full-width
+    # mask (2^64-1) doesn't fit a JVM long — the band IS the fingerprint,
+    # no shift/mask needed
+    if bits == 64:
+        band_exprs = [F.col("simhash")]
+    else:
+        mask = (1 << bits) - 1
+        band_exprs = [
+            F.shiftrightunsigned(F.col("simhash"), i * bits).bitwiseAND(
+                F.lit(mask)
+            )
+            for i in range(n_bands)
+        ]
     bands = sims.select(
         "file_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), i * bits).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_val"),
+        F.posexplode(F.array(*band_exprs)).alias("band", "band_val"),
     )
     left = bands.select(
         "band", "band_val",

@@ -26,7 +26,11 @@ from pyspark.sql.types import (
 )
 
 from db_lsh_spark.config import DedupConfig
-from db_lsh_spark.functions.hashing import HashParams, batch_signatures
+from db_lsh_spark.functions.hashing import (
+    HashParams,
+    batch_signatures,
+    batch_simhash,
+)
 
 SIGNATURE_SCHEMA = StructType(
     [
@@ -179,3 +183,30 @@ def compute_signatures(
 
     schema = SIGNATURE_SCHEMA if include_minhash else SIGNATURE_SCHEMA_SLIM
     return reps.select("file_id", "content").mapInPandas(gen, schema)
+
+
+SIMHASH_SCHEMA = StructType(
+    [
+        StructField("file_id", LongType(), False),
+        StructField("simhash", LongType(), False),
+    ]
+)
+
+
+def compute_simhash(reps: DataFrame) -> DataFrame:
+    """(file_id, content) → (file_id, simhash) via the simhash-only kernel
+    fast path — skips the MinHash shingle sweep and band folding entirely
+    (those dominate ``batch_signatures``; the simhash lane shouldn't pay
+    for values it discards). Same values as ``compute_signatures``'s
+    simhash column (shared kernel, asserted in tests)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "file_id": pdf["file_id"].astype("int64"),
+                    "simhash": batch_simhash(pdf["content"].tolist()),
+                }
+            )
+
+    return reps.select("file_id", "content").mapInPandas(gen, SIMHASH_SCHEMA)

@@ -36,17 +36,29 @@ def test_band_pairs_equal_bruteforce_with_planted_flips(spark):
     1 is a theorem here — 4 x 16-bit bands, any 3 flips leave a band
     intact — so equality, not containment)."""
     rng = np.random.default_rng(7)
-    base = rng.integers(0, 2**63, size=120, dtype=np.int64)
+    # FULL uint64 range (≈half the fingerprints are negative int64s —
+    # exercising the sign-sensitive shiftrightunsigned band path), viewed
+    # (not cast) to int64 so bit 63 never overflows on any NumPy version
+    base = rng.integers(0, 2**64, size=120, dtype=np.uint64)
     planted = []
     for i in range(0, 40, 2):
         flips = rng.choice(64, size=rng.integers(1, 4), replace=False)
-        v = np.uint64(base[i])  # base draws are non-negative int64
+        v = base[i]
         for b in flips:
             v = v ^ np.uint64(1 << int(b))
-        planted.append(np.int64(v))
-    sigs = np.concatenate([base, np.array(planted, dtype=np.int64)])
+        planted.append(v)
+    # force one planted perturbation to flip EXACTLY bit 63: a regression
+    # swapping shiftrightunsigned for an arithmetic shift (sign-extending
+    # negative simhashes into wrong band values) must fail this test
+    planted.append(base[40] ^ np.uint64(1 << 63))
+    sigs = (
+        np.concatenate([base, np.array(planted, dtype=np.uint64)])
+        .view(np.int64)
+    )
+    assert (sigs < 0).any(), "fixture must exercise negative fingerprints"
     exp = _brute_pairs(sigs, 3)
     assert len(exp) >= 20, "fixture must be non-vacuous"
+    assert any(a == 40 or b == 40 for a, b, _ in exp)  # the bit-63 pair
 
     got = {
         (r.id_a, r.id_b, r.hamming)
@@ -86,6 +98,51 @@ def test_doc_lane_expands_sha_groups(spark):
     assert got == exp
     # the clone pairs specifically: (0,3),(0,4),(3,4) at hamming 0
     assert {(0, 3, 0), (0, 4, 0), (3, 4, 0)} <= got
+
+
+def test_exact_match_config_n_bands_1(spark):
+    """n_bands=1 / max_hamming=0 is the legitimate exact-match config
+    (bits=64: the band IS the fingerprint — the full-width mask would
+    overflow a JVM long if materialized)."""
+    sigs = np.array([5, 5, -7, -7, 9], dtype=np.int64)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_band_pairs(_sims_df(spark, sigs), 0, 1).collect()
+    }
+    assert got == {(0, 1, 0), (2, 3, 0)}
+
+
+def test_null_text_docs_kept(spark):
+    """NULL text == empty document (fingerprint 0, the oracle's COALESCE
+    semantics): NULL-text docs must appear in the pair contract, not be
+    silently dropped by the sha-group equi-join (sha2(NULL) = NULL never
+    equi-joins)."""
+    docs = [(0, None), (1, None), (2, ""), (3, "alpha beta gamma"),
+            (4, "alpha beta gamma")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dup_pairs(df, 3, 4).collect()
+    }
+    # 0,1 (NULL) and 2 ('') all fingerprint 0 -> three hamming-0 pairs
+    assert got == {(0, 1, 0), (0, 2, 0), (1, 2, 0), (3, 4, 0)}
+
+
+def test_batch_simhash_fast_path_matches_full_kernel():
+    """The simhash-only fast path (skipping the MinHash sweep) returns
+    bit-identical values to batch_signatures' simhash column."""
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.functions.hashing import (
+        HashParams, batch_signatures, batch_simhash,
+    )
+
+    texts = ["alpha beta gamma", "", None, "x", "alpha  beta\tgamma\n",
+             "beta " * 50 + "solo", " 　", "tok"] * 3
+    params = HashParams.from_config(DedupConfig())
+    _, sh_full, _ = batch_signatures(texts, params)
+    sh_fast = batch_simhash(texts)
+    assert (sh_fast == sh_full).all()
+    assert batch_simhash([]).shape == (0,)
 
 
 def test_values_match_kernel(spark):
