@@ -638,7 +638,9 @@ def oracle_sql() -> dict[str, str]:
     # (\x0b, \xa0,  , ideographic space, ...) — build the exact class
     # from Python's own str.isspace so the twin can never diverge on
     # exotic-whitespace text (list_filter drops the empty fields runs make)
-    _pyws = "".join(chr(c) for c in range(0x3001) if chr(c).isspace())
+    _pyws = "".join(
+        chr(c) for c in range(sys.maxunicode + 1) if chr(c).isspace()
+    )
     _pw2 = "[" + ",".join(str(1 << b) for b in range(64)) + "]::HUGEINT[]"
     _simhash_cte = f"""
         WITH toks2 AS (

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from db_lsh_spark.config import DedupConfig
@@ -21,6 +23,13 @@ from db_lsh_spark.operators.signatures import (
     with_ids_and_sha,
 )
 from db_lsh_spark.operators.verify import verify_pairs
+
+
+# Python str.split()'s whitespace set (the kernel tokenizer) as a Java
+# regex character class — for detecting token-empty documents JVM-side
+_PY_WHITESPACE = "".join(
+    chr(c) for c in range(sys.maxunicode + 1) if chr(c).isspace()
+)
 
 
 def _as_files(docs: DataFrame) -> DataFrame:
@@ -55,8 +64,24 @@ def lsh_near_dup_pairs(
     The expansion is output-linear in the true pair count — inherently
     quadratic in dup-group size, like the answer itself. Callers that only
     need clusters use ``dedup_clusters`` (star edges, linear in group size).
+
+    Contract edge: documents with an EMPTY TOKEN SET (NULL, empty or
+    whitespace-only text) are excluded — Jaccard over empty shingle sets
+    is undefined, and the brute-force oracle (pairs need a shared shingle)
+    never emits them. Without the filter, byte-identical empty docs would
+    pair at "jaccard 1.0" through the sha-group expansion and token-empty
+    docs would all share the sentinel MinHash signature, silently
+    diverging from the oracle. This deliberately differs from the SimHash
+    lane, where fingerprint 0 makes empty-doc distance well-defined.
     """
-    files = with_ids_and_sha(_as_files(docs))
+    files = with_ids_and_sha(_as_files(docs)).where(
+        F.length(
+            F.regexp_replace(
+                F.coalesce("content", F.lit("")), f"[{_PY_WHITESPACE}]", ""
+            )
+        )
+        > 0
+    )
     members = sha_group_members(files)
     rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
     sigs = semi_filter_reps(compute_signatures(files, cfg), rep_ids)

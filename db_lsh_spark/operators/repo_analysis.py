@@ -130,9 +130,12 @@ def vendored_dir_candidates(
     flagged = with_dir.join(spread.select("cluster_id", "n_repos"), "cluster_id")
 
     # distinct peer repos per (repo, dir): via the cluster -> repo edge
-    # list, capped per cluster BEFORE the dir join (see docstring)
+    # list, capped per cluster BEFORE the dir join (see docstring).
+    # Derived from `flagged` (already carries repo + n_repos) rather than a
+    # third assign⨝files join, and pre-filtered to multi-repo clusters so
+    # the row_number window never sorts the singleton-dominated majority.
     cluster_repos = (
-        assign.join(_slim_files(files).select("file_id", "repo"), "file_id")
+        flagged.where(F.col("n_repos") > 1)
         .select("cluster_id", F.col("repo").alias("peer_repo"))
         .distinct()
         .withColumn(

@@ -91,7 +91,9 @@ def main(argv: list[str] | None = None) -> None:
     )
     files = spark.read.parquet(args.input)
     if args.repo_report:
-        missing = {"repo", "path"} - set(files.columns)
+        # file_id too: the report joins the RAW input frame on it —
+        # pipeline-generated dense ids never land back on `files`
+        missing = {"file_id", "repo", "path"} - set(files.columns)
         if missing:
             raise SystemExit(
                 f"--repo-report needs columns {sorted(missing)} on the "
@@ -106,8 +108,11 @@ def main(argv: list[str] | None = None) -> None:
                     with_lcs=args.with_lcs, target_pairs=target_pairs)
     out.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     out.pairs.write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
-    n_files = out.clusters.count()
-    n_dup = out.clusters.where("file_id != cluster_id").count()
+    # count what was just written — a slim parquet scan, not a re-execution
+    # of the full cluster DAG
+    clusters_pq = spark.read.parquet(f"{args.output}/clusters")
+    n_files = clusters_pq.count()
+    n_dup = clusters_pq.where("file_id != cluster_id").count()
     # dedup timing closes BEFORE the report phase so files_per_sec stays
     # comparable across runs with and without --repo-report
     wall = time.monotonic() - t0

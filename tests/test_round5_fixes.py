@@ -117,3 +117,27 @@ def test_widen_budget_change_invalidates_checkpoint(spark, tmp_path):
     # nothing resumed: the widened run rebuilt its own stages
     assert not any(r.skipped for r in out.store.results)
     assert out.widen_stats is not None
+
+
+def test_lsh_pairs_exclude_token_empty_docs(spark):
+    """code-review r5: Jaccard is undefined on empty shingle sets — NULL,
+    empty and whitespace-only docs are excluded from the MinHash pair
+    contract (they'd otherwise pair at 'jaccard 1.0' through sha groups or
+    share the sentinel signature), matching the brute-force oracle which
+    never emits them. Non-empty docs still pair as before."""
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.documents import lsh_near_dup_pairs
+
+    docs = [
+        (0, None), (1, None),            # NULL clones
+        (2, ""), (3, ""),                # empty clones
+        (4, " \t\n"), (5, " \t\n"),      # whitespace clones
+        (6, "alpha beta gamma delta epsilon"),
+        (7, "alpha beta gamma delta epsilon"),  # real clone pair
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in lsh_near_dup_pairs(df, DedupConfig()).collect()
+    }
+    assert got == {(6, 7, 1.0)}
