@@ -69,6 +69,7 @@ def main() -> None:
         "doc_dedup_clusters",
         "doc_stats",
         "doc_winnow_near_dup_pairs",
+        "doc_simhash_near_dup_pairs",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
         "emb_knn_l2",
