@@ -93,6 +93,28 @@ class DedupConfig:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    def index_fingerprint(self) -> str:
+        """Digest of the INDEX-SIDE fields only: the banded MinHash
+        signature table is a function of (seed, shingle_k, num_perm,
+        bands, rows) and nothing else — verify/budget/skew knobs
+        (jaccard_threshold, beta, max_bucket, salting, LCS, the SimHash
+        prefilter) are query-time parameters, and keying a persisted
+        index artifact on them would rebuild a table they never touched.
+        Twin of ``AnnConfig.index_fingerprint`` (the reference's
+        persisted trees are likewise reused across query configs,
+        ``dblsh.cpp:101-184``)."""
+        payload = json.dumps(
+            {
+                "seed": self.seed,
+                "shingle_k": self.shingle_k,
+                "num_perm": self.num_perm,
+                "bands": self.bands,
+                "rows": self.rows,
+            },
+            sort_keys=True,
+        ).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
 
 # The reference's per-dataset bootstrap radii (``set_rmin``,
 # ``basis.cpp:100-123``) — all seven published datasets, verbatim values.

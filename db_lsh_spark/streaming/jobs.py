@@ -60,13 +60,38 @@ def windowed_event_counts(
     )
 
 
+def _minhash_stream_index(
+    spark: SparkSession,
+    index_files: DataFrame | None,
+    cfg: DedupConfig,
+    index_store=None,
+):
+    """Build the static MinHash stream state ONCE: the banded signature
+    table and the indexed contents (the verify stage's fetch side). The
+    text twin of ``_l2_stream_index`` — with ``index_store`` both halves
+    are persisted artifacts, so a restarted stream starts from disk and
+    sees every file later merged by ``compact_minhash_index``."""
+    if index_store is not None:
+        return build_minhash_index_store(spark, index_files, index_store,
+                                         cfg)
+    indexed = with_ids_and_sha(index_files)
+    bands = explode_bands(compute_signatures(indexed, cfg)).localCheckpoint(
+        eager=True
+    )
+    contents = indexed.select("file_id", "content").localCheckpoint(
+        eager=True
+    )
+    return bands, contents
+
+
 def incremental_dedup_query(
     spark: SparkSession,
     doc_stream: DataFrame,
-    index_files: DataFrame,
+    index_files: DataFrame | None,
     cfg: DedupConfig,
     out_dir: str,
     checkpoint_dir: str,
+    index_store=None,
 ) -> StreamingQuery:
     """Incremental near-dup detection: per micro-batch, signature the new
     documents, probe the static banded index on (band, band_hash), verify
@@ -79,10 +104,17 @@ def incremental_dedup_query(
     State lives in the (static) index, not the stream — no unbounded
     streaming state. ``foreachBatch`` is the documented pattern for
     stream-static joins that need multi-step batch logic.
+
+    With ``index_store`` (a StageStore), the banded signature table and
+    the indexed contents are create-or-loaded as PERSISTED artifacts
+    (``build_minhash_index_store``) — a restarted stream starts entirely
+    from disk, including any files landed later via
+    ``compact_minhash_index``; pass ``index_files=None`` to require a
+    pure load.
     """
-    indexed = with_ids_and_sha(index_files)
-    index_sigs = compute_signatures(indexed, cfg)
-    index_bands = explode_bands(index_sigs).localCheckpoint(eager=True)
+    index_bands, index_contents = _minhash_stream_index(
+        spark, index_files, cfg, index_store
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -113,7 +145,7 @@ def incremental_dedup_query(
         # row whose file_id collides with a streamed doc_id is dropped via
         # anti join (not an arbitrary dropDuplicates pick)
         contents = probe.select("file_id", "content").unionByName(
-            indexed.select("file_id", "content").join(
+            index_contents.join(
                 probe.select("file_id"), "file_id", "left_anti"
             )
         )
@@ -532,6 +564,21 @@ def compact_l2_index_from_landing(
 
     Per-batch result: {"batch", "status"} with status in
     merged | ledgered | pending."""
+    return _compact_from_landing(
+        spark, landing_dir,
+        lambda df, d: compact_l2_index(spark, store, df, cfg, merge_id=d,
+                                       stage=stage),
+    )
+
+
+def _compact_from_landing(spark: SparkSession, landing_dir: str,
+                          merge_fn) -> list[dict]:
+    """Shared landing-zone walker behind every lane's compaction job:
+    ``batch-N`` subdirectories in name order, the ``_SUCCESS`` commit gate
+    (a marker-less directory is an in-flight sink write — merging it would
+    permanently ledger a partial batch; it is reported ``pending`` and
+    retried next run), and the merge ledger mapping each batch to
+    merged | ledgered."""
     import os
 
     out = []
@@ -541,9 +588,8 @@ def compact_l2_index_from_landing(
         if not os.path.exists(os.path.join(landing_dir, d, "_SUCCESS")):
             out.append({"batch": d, "status": "pending"})
             continue
-        new_emb = spark.read.parquet(os.path.join(landing_dir, d))
-        _, skipped = compact_l2_index(
-            spark, store, new_emb, cfg, merge_id=d, stage=stage
+        _, skipped = merge_fn(
+            spark.read.parquet(os.path.join(landing_dir, d)), d
         )
         out.append({"batch": d, "status": "ledgered" if skipped else "merged"})
     return out
@@ -604,4 +650,134 @@ def compact_ivf_index(
         spark, "ivf_inverted", ivf.assign_lists(new_emb, C),
         key_cols=["vec_id"], merge_id=merge_id,
         repartition_by=["list_id"], sort_within=["list_id", "vec_id"],
+    )
+
+
+def build_minhash_index_store(
+    spark: SparkSession,
+    index_files: DataFrame | None,
+    store,
+    cfg: DedupConfig,
+):
+    """Create-or-load BOTH halves of the persisted MinHash TEXT index —
+    the banded signature table (stage ``minhash_bands``, range-laid-out
+    on (band, band_hash) for rowgroup skipping under the probe join) and
+    the indexed contents (stage ``minhash_contents``, the verify stage's
+    fetch side). The headline dedup lane's twin of
+    ``build_l2_index_store``: contents must ride in the store because
+    compaction appends file_ids the caller's ``index_files`` frame has
+    never seen, and a verify joining bands-without-contents would
+    silently DROP those pairs.
+
+    With ``index_files=None`` the store must already be complete (pure
+    load) — the restarted-stream startup that needs no access to the raw
+    corpus at all (the reference's load-the-trees path,
+    ``dblsh.cpp:101-184``). Returns (bands frame, contents frame)."""
+    fp = cfg.index_fingerprint()
+    if index_files is None:
+        if not (store.is_complete("minhash_bands")
+                and store.is_complete("minhash_contents")):
+            raise ValueError(
+                f"store at {store.root} is incomplete and no source frame "
+                "was given — build the index first "
+                "(build_minhash_index_store with index_files)"
+            )
+        recorded = store.meta().get("index_fingerprint")
+        if recorded != fp:
+            raise ValueError(
+                f"store at {store.root} records index config {recorded!r} "
+                f"but this config hashes as {fp!r} — mismatched LSH knobs"
+            )
+        return (store.read(spark, "minhash_bands"),
+                store.read(spark, "minhash_contents"))
+    prev = store.meta().get("index_fingerprint")
+    if prev is not None and prev != fp and store.is_complete("minhash_bands"):
+        # same one-combination gate as build_or_load_l2_codes: a stage
+        # resuming under this store fingerprint while the caller's config
+        # hashes differently would mix incompatible signatures
+        raise ValueError(
+            f"store at {store.root} records index config {prev}, but this "
+            f"config hashes as {fp} — a mismatched builder would mix "
+            "incompatible signatures; use a different store"
+        )
+    store.record_meta(index_fingerprint=fp)
+    indexed = with_ids_and_sha(index_files)
+    # contents FIRST (crash ordering): bands-without-contents would
+    # generate candidates the verify fetch silently drops; contents
+    # without bands merely aren't indexed yet — rebuild resumes cleanly
+    contents = store.run_stage(
+        spark, "minhash_contents",
+        lambda: indexed.select("file_id", "content"),
+    )
+    bands = store.run_stage(
+        spark, "minhash_bands",
+        lambda: explode_bands(compute_signatures(indexed, cfg)),
+        repartition_by=["band", "band_hash"],
+        sort_within=["band", "band_hash", "file_id"],
+    )
+    return bands, contents
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    store,
+    new_files: DataFrame,
+    cfg: DedupConfig,
+    merge_id: str | None = None,
+):
+    """Merge newly-landed documents into the persisted text index — BOTH
+    halves: their contents into ``minhash_contents`` and their banded
+    MinHash signatures into ``minhash_bands``. Hashing runs over the NEW
+    files only; each merge is ``StageStore.merge_stage`` — idempotent,
+    manifest-gated by ``merge_id``, crash-safe — and the bands merge
+    restores the (band, band_hash) range layout.
+
+    Same contracts as ``compact_l2_index``: the recorded INDEX config
+    fingerprint gates the merge (new documents can never be hashed into
+    the table under mismatched shingle/signature knobs); contents merge
+    first (crash ordering); a re-landed file_id keeps its original row.
+    Returns (merged bands frame, skipped)."""
+    if not store.is_complete("minhash_bands"):
+        raise ValueError(
+            f"store at {store.root} has no minhash_bands artifact — build "
+            "the index first (build_minhash_index_store), then compact "
+            "into it"
+        )
+    recorded = store.meta().get("index_fingerprint")
+    if recorded != cfg.index_fingerprint():
+        raise ValueError(
+            f"store at {store.root} records index config {recorded!r} but "
+            f"this compaction's config hashes as "
+            f"{cfg.index_fingerprint()!r} — hashing new documents under "
+            "mismatched shingle/signature knobs would silently corrupt "
+            "the index; match the builder's config"
+        )
+    new_indexed = with_ids_and_sha(new_files)
+    store.merge_stage(
+        spark, "minhash_contents", new_indexed.select("file_id", "content"),
+        key_cols=["file_id"], merge_id=merge_id,
+    )
+    return store.merge_stage(
+        spark, "minhash_bands",
+        explode_bands(compute_signatures(new_indexed, cfg)),
+        key_cols=["file_id", "band"], merge_id=merge_id,
+        repartition_by=["band", "band_hash"],
+        sort_within=["band", "band_hash", "file_id"],
+    )
+
+
+def compact_minhash_index_from_landing(
+    spark: SparkSession,
+    store,
+    landing_dir: str,
+    cfg: DedupConfig,
+) -> list[dict]:
+    """Text twin of ``compact_l2_index_from_landing``: walk the
+    ``batch-N`` subdirectories of a DOCUMENT landing directory — parquet
+    batches carrying (file_id, content) rows — and merge each one not yet
+    in the ledger, under the shared ``_SUCCESS`` commit gate."""
+    return _compact_from_landing(
+        spark, landing_dir,
+        lambda df, d: compact_minhash_index(spark, store, df, cfg,
+                                            merge_id=d),
     )

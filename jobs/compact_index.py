@@ -1,20 +1,33 @@
 """spark-submit entry for index compaction (VERDICT r04 #6) — merge newly
-landed vector batches into a persisted ANN index store:
+landed batches into a persisted index store. Two lanes:
+
+vectors (default) — ANN index over (vec_id, embedding) batches:
 
     spark-submit --py-files db_lsh_spark.zip jobs/compact_index.py \
         --index-dir /data/ann_index \
         --landing /data/vec_landing \
+        --dim 64 \
         [--fingerprint <store fp>] \
         [--metric l2] [--planes 24] [--bands 8] [--rows 3] \
         [--bucket-width 1.0] [--seed 0]
 
-``--landing`` holds ``batch-N`` parquet subdirectories of
-(vec_id, embedding) rows (an ingest stream's per-batch sink). Each batch
-not yet in the store's merge ledger is hashed and merged into the
-``l2_codes`` + ``l2_vecs`` stages; ledgered batches are skipped, so the
-job is a safe cron/retry target. The store fingerprint defaults to the
-config's INDEX fingerprint (query-time knobs excluded) — pass
-``--fingerprint`` to target a store created with a custom one.
+text — the headline MinHash dedup index over (file_id, content) batches:
+
+    spark-submit --py-files db_lsh_spark.zip jobs/compact_index.py \
+        --lane text \
+        --index-dir /data/text_index \
+        --landing /data/doc_landing \
+        [--shingle-k 5] [--num-perm 128] [--bands 16] [--rows 8] \
+        [--seed 0]
+
+``--landing`` holds ``batch-N`` parquet subdirectories (an ingest
+stream's per-batch sink). Each batch not yet in the store's merge ledger
+is hashed and merged into the lane's stage pair (``l2_codes`` +
+``l2_vecs`` / ``minhash_bands`` + ``minhash_contents``); ledgered batches
+are skipped, so the job is a safe cron/retry target. The store
+fingerprint defaults to the config's INDEX fingerprint (query-time knobs
+excluded) — pass ``--fingerprint`` to target a store created with a
+custom one.
 """
 
 from __future__ import annotations
@@ -28,26 +41,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(spark, args) -> dict:
-    from db_lsh_spark.config import AnnConfig
     from db_lsh_spark.sources.io import StageStore
-    from db_lsh_spark.streaming.jobs import compact_l2_index_from_landing
 
-    cfg = AnnConfig(
-        seed=args.seed, dim=args.dim, metric=args.metric,
-        n_planes=args.planes, bands=args.bands, rows=args.rows,
-        bucket_width=args.bucket_width,
-    )
+    # getattr: pre-lane callers built a Namespace without the field —
+    # they are all vectors-lane invocations
+    lane = getattr(args, "lane", "vectors")
+    if lane == "text":
+        from db_lsh_spark.config import DedupConfig
+        from db_lsh_spark.streaming.jobs import (
+            compact_minhash_index_from_landing,
+        )
+
+        cfg = DedupConfig(
+            seed=args.seed, shingle_k=args.shingle_k,
+            num_perm=args.num_perm if args.num_perm else args.bands * args.rows,
+            bands=args.bands, rows=args.rows,
+        )
+        default_fp = f"minhash-{cfg.index_fingerprint()}"
+        compact = compact_minhash_index_from_landing
+    else:
+        from db_lsh_spark.config import AnnConfig
+        from db_lsh_spark.streaming.jobs import compact_l2_index_from_landing
+
+        cfg = AnnConfig(
+            seed=args.seed, dim=args.dim, metric=args.metric,
+            n_planes=args.planes, bands=args.bands, rows=args.rows,
+            bucket_width=args.bucket_width,
+        )
+        default_fp = f"lsh-{cfg.index_fingerprint()}"
+        compact = compact_l2_index_from_landing
     if args.fingerprint:
         fp = args.fingerprint
     else:
-        fp = f"lsh-{cfg.index_fingerprint()}"
+        fp = default_fp
         if args.dataset_id:
             # stores built by jobs/run_ann.py append the dataset identity
             # (abspath:n_base:dim) — pass the same string to open them
             fp = f"{fp}-{args.dataset_id}"
     store = StageStore(args.index_dir, fp)
-    merged = compact_l2_index_from_landing(spark, store, args.landing, cfg)
+    merged = compact(spark, store, args.landing, cfg)
     return {
+        "lane": lane,
         "index_dir": args.index_dir,
         "fingerprint": fp,
         "batches": merged,
@@ -59,9 +93,11 @@ def run(spark, args) -> dict:
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser()
+    p.add_argument("--lane", choices=("vectors", "text"), default="vectors")
     p.add_argument("--index-dir", required=True)
     p.add_argument("--landing", required=True,
-                   help="dir of batch-N parquet subdirs of (vec_id, embedding)")
+                   help="dir of batch-N parquet subdirs: (vec_id, embedding)"
+                        " for the vectors lane, (file_id, content) for text")
     p.add_argument("--fingerprint", default=None,
                    help="full store fingerprint override (expert path); "
                         "safe either way — compaction verifies the store's "
@@ -72,18 +108,31 @@ def main(argv: list[str] | None = None) -> None:
                         "fingerprint — pass the builder's (run_ann uses "
                         "'<abspath>:<n_base>:<dim>') to open its store")
     p.add_argument("--metric", choices=("l2",), default="l2")
-    p.add_argument("--dim", type=int, required=True,
-                   help="embedding dim — must match the store's index "
-                        "config (the E2LSH projection matrix is (planes, "
-                        "dim); a mismatch fails the store's recorded "
-                        "index-config gate loudly rather than hashing "
-                        "garbage)")
+    p.add_argument("--dim", type=int, default=None,
+                   help="embedding dim (vectors lane, required there) — "
+                        "must match the store's index config (the E2LSH "
+                        "projection matrix is (planes, dim); a mismatch "
+                        "fails the store's recorded index-config gate "
+                        "loudly rather than hashing garbage)")
     p.add_argument("--planes", type=int, default=24)
-    p.add_argument("--bands", type=int, default=8)
-    p.add_argument("--rows", type=int, default=3)
+    p.add_argument("--bands", type=int, default=None,
+                   help="LSH bands (default: 8 vectors / 16 text)")
+    p.add_argument("--rows", type=int, default=None,
+                   help="rows per band (default: 3 vectors / 8 text)")
     p.add_argument("--bucket-width", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shingle-k", type=int, default=5,
+                   help="token-shingle width (text lane)")
+    p.add_argument("--num-perm", type=int, default=None,
+                   help="MinHash permutations (text lane; default "
+                        "bands*rows)")
     args = p.parse_args(argv)
+    if args.lane == "vectors" and args.dim is None:
+        p.error("--dim is required for the vectors lane")
+    if args.bands is None:
+        args.bands = 16 if args.lane == "text" else 8
+    if args.rows is None:
+        args.rows = 8 if args.lane == "text" else 3
 
     from pyspark.sql import SparkSession
 

@@ -1,0 +1,239 @@
+"""Text-lane persisted index + compaction: the MinHash banded signature
+table gets the same artifact discipline as the vector lanes (VERDICT r04
+#1/#6, closed for L2/IVF last round) — the HEADLINE dedup lane should not
+rebuild its index from raw contents on every incremental start either.
+
+Done-criteria mirrored from tests/test_compaction.py:
+  * build-then-load without recompute (second open needs no source frame),
+  * merged bands == bands computed from the union corpus,
+  * idempotent manifest-gated merges,
+  * config gate refuses mismatched LSH knobs,
+  * a RESTARTED stream over the merged artifact equals the batch
+    computation on the UNION corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.operators.bands import explode_bands
+from db_lsh_spark.operators.signatures import compute_signatures, with_ids_and_sha
+from db_lsh_spark.operators.verify import verify_pairs
+from db_lsh_spark.sources.io import StageStore
+from db_lsh_spark.streaming.jobs import (
+    build_minhash_index_store,
+    compact_minhash_index,
+    compact_minhash_index_from_landing,
+    incremental_dedup_query,
+)
+
+
+@pytest.fixture()
+def frames(spark, fixture_small):
+    files = spark.createDataFrame(fixture_small.files)
+    static = files.where(F.col("file_id") < 250)
+    new_a = files.where((F.col("file_id") >= 250) & (F.col("file_id") < 325))
+    new_b = files.where(F.col("file_id") >= 325)
+    return files, static, new_a, new_b
+
+
+def _bands_key(df):
+    return sorted(
+        map(tuple, df.select("file_id", "band", "band_hash")
+            .toPandas().values.tolist())
+    )
+
+
+def _expected_bands(files, cfg):
+    return _bands_key(explode_bands(compute_signatures(
+        with_ids_and_sha(files), cfg)))
+
+
+def test_build_then_load_without_recompute(spark, frames, tmp_path,
+                                           dedup_cfg):
+    _, static, _, _ = frames
+    store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
+    bands, contents = build_minhash_index_store(spark, static, store,
+                                                dedup_cfg)
+    first = _bands_key(bands)
+    assert first == _expected_bands(static, dedup_cfg)
+    assert store.is_complete("minhash_bands")
+    assert store.is_complete("minhash_contents")
+
+    # second open: NO source frame — must load, cannot rebuild
+    bands2, contents2 = build_minhash_index_store(spark, None, store,
+                                                  dedup_cfg)
+    assert _bands_key(bands2) == first
+    assert contents2.count() == static.count()
+
+    # an incomplete store without a source frame is a loud error
+    empty = StageStore(str(tmp_path / "idx2"), dedup_cfg.index_fingerprint())
+    with pytest.raises(ValueError, match="incomplete"):
+        build_minhash_index_store(spark, None, empty, dedup_cfg)
+
+
+def test_compaction_matches_union_and_ledger(spark, frames, tmp_path,
+                                             dedup_cfg):
+    _, static, new_a, new_b = frames
+    store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
+    build_minhash_index_store(spark, static, store, dedup_cfg)
+
+    merged, skipped = compact_minhash_index(spark, store, new_a, dedup_cfg,
+                                            merge_id="batch-0")
+    assert not skipped
+    assert _bands_key(merged) == _expected_bands(
+        static.unionByName(new_a), dedup_cfg)
+
+    # replay of the same merge_id is ledgered, not re-merged
+    _, skipped = compact_minhash_index(spark, store, new_a, dedup_cfg,
+                                       merge_id="batch-0")
+    assert skipped
+
+    merged, _ = compact_minhash_index(spark, store, new_b, dedup_cfg,
+                                      merge_id="batch-1")
+    assert _bands_key(merged) == _expected_bands(
+        static.unionByName(new_a).unionByName(new_b), dedup_cfg)
+    # contents rode along: every banded file_id can be fetched for verify
+    contents = store.read(spark, "minhash_contents")
+    assert (merged.select("file_id").distinct()
+            .join(contents, "file_id", "left_anti").count()) == 0
+
+
+def test_compaction_config_gate(spark, frames, tmp_path, dedup_cfg):
+    _, static, new_a, _ = frames
+    store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
+    build_minhash_index_store(spark, static, store, dedup_cfg)
+    other = DedupConfig(shingle_k=7)
+    with pytest.raises(ValueError, match="mismatch|hashes as"):
+        compact_minhash_index(spark, store, new_a, other, merge_id="x")
+    # a not-yet-built store refuses compaction outright
+    empty = StageStore(str(tmp_path / "idx2"), dedup_cfg.index_fingerprint())
+    with pytest.raises(ValueError, match="build"):
+        compact_minhash_index(spark, empty, new_a, dedup_cfg, merge_id="x")
+    # query-time knobs do NOT invalidate the index artifact
+    tuned = DedupConfig(jaccard_threshold=0.5, beta=0.9, max_bucket=7)
+    assert tuned.index_fingerprint() == dedup_cfg.index_fingerprint()
+    assert tuned.fingerprint() != dedup_cfg.fingerprint()
+
+
+def test_landing_walker_success_gate(spark, frames, tmp_path, dedup_cfg):
+    _, static, new_a, new_b = frames
+    store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
+    build_minhash_index_store(spark, static, store, dedup_cfg)
+
+    landing = str(tmp_path / "landing")
+    new_a.select("file_id", "content").write.parquet(f"{landing}/batch-0")
+    new_b.select("file_id", "content").write.parquet(f"{landing}/batch-1")
+    os.remove(f"{landing}/batch-1/_SUCCESS")  # in-flight sink write
+
+    out = compact_minhash_index_from_landing(spark, store, landing,
+                                             dedup_cfg)
+    assert out == [{"batch": "batch-0", "status": "merged"},
+                   {"batch": "batch-1", "status": "pending"}]
+
+    with open(f"{landing}/batch-1/_SUCCESS", "w"):
+        pass
+    out = compact_minhash_index_from_landing(spark, store, landing,
+                                             dedup_cfg)
+    assert out == [{"batch": "batch-0", "status": "ledgered"},
+                   {"batch": "batch-1", "status": "merged"}]
+    assert _bands_key(store.read(spark, "minhash_bands")) == _expected_bands(
+        static.unionByName(new_a).unionByName(new_b), dedup_cfg)
+
+
+def test_compact_index_job_cli_text_lane(spark, frames, tmp_path,
+                                         dedup_cfg):
+    """The spark-submit compaction entry's text lane, driven in-process
+    with the exact argparse surface the CLI produces."""
+    import argparse
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "compact_index_text",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "compact_index.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    _, static, new_a, new_b = frames
+    store = StageStore(str(tmp_path / "idx"),
+                       f"minhash-{dedup_cfg.index_fingerprint()}")
+    build_minhash_index_store(spark, static, store, dedup_cfg)
+    landing = str(tmp_path / "landing")
+    new_a.select("file_id", "content").write.parquet(f"{landing}/batch-0")
+
+    args = argparse.Namespace(
+        lane="text", index_dir=str(tmp_path / "idx"), landing=landing,
+        fingerprint=None, dataset_id=None, seed=dedup_cfg.seed,
+        shingle_k=dedup_cfg.shingle_k, num_perm=dedup_cfg.num_perm,
+        bands=dedup_cfg.bands, rows=dedup_cfg.rows,
+    )
+    out = job.run(spark, args)
+    assert out["lane"] == "text"
+    assert out["merged_now"] == 1 and out["already_ledgered"] == 0
+    new_b.select("file_id", "content").write.parquet(f"{landing}/batch-1")
+    out2 = job.run(spark, args)
+    assert out2["merged_now"] == 1 and out2["already_ledgered"] == 1
+    assert _bands_key(store.read(spark, "minhash_bands")) == _expected_bands(
+        static.unionByName(new_a).unionByName(new_b), dedup_cfg)
+
+
+def test_stream_after_merge_equals_batch_on_union(spark, frames, tmp_path,
+                                                  dedup_cfg, fixture_small):
+    """The done-criterion: compact two batches into the store, then start
+    a FRESH incremental stream from the persisted artifact (no source
+    frame at all) and require its verified pairs to equal the batch
+    computation probing the union corpus."""
+    files, static, new_a, new_b = frames
+    store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
+    build_minhash_index_store(spark, static, store, dedup_cfg)
+    compact_minhash_index(spark, store, new_a, dedup_cfg, merge_id="batch-0")
+    compact_minhash_index(spark, store, new_b, dedup_cfg, merge_id="batch-1")
+
+    # probe docs: every file involved in a golden dup pair (both sides
+    # indexed, so expected pairs are non-trivial)
+    gp = fixture_small.golden_pairs
+    probe_ids = sorted(set(gp.id_a) | set(gp.id_b))[:40]
+    probe = files.where(F.col("file_id").isin(probe_ids)).select(
+        F.col("file_id").alias("doc_id"), F.col("content").alias("text"))
+    src = str(tmp_path / "probe_src")
+    probe.coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream.schema(probe.schema).parquet(src))
+    out = str(tmp_path / "pairs_out")
+    q = incremental_dedup_query(
+        spark, stream, None, dedup_cfg, out, str(tmp_path / "ck"),
+        index_store=store,
+    )
+    q.awaitTermination(600)
+    got = (spark.read.option("recursiveFileLookup", "true").parquet(out)
+           .select("id_a", "id_b", "jaccard").toPandas())
+
+    # batch truth: the same probe set against the UNION index, eagerly
+    probe_f = with_ids_and_sha(
+        probe.select(F.col("doc_id").alias("file_id"),
+                     F.col("text").alias("content")))
+    probe_bands = explode_bands(compute_signatures(probe_f, dedup_cfg))
+    index_bands = explode_bands(compute_signatures(
+        with_ids_and_sha(files), dedup_cfg))
+    cand = (
+        probe_bands.withColumnRenamed("file_id", "pid")
+        .join(index_bands.withColumnRenamed("file_id", "iid"),
+              ["band", "band_hash"])
+        .where(F.col("pid") != F.col("iid"))
+        .select(F.least("pid", "iid").alias("id_a"),
+                F.greatest("pid", "iid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    want = verify_pairs(
+        cand, with_ids_and_sha(files).select("file_id", "content"),
+        dedup_cfg, with_lcs=False,
+    ).select("id_a", "id_b", "jaccard").toPandas()
+
+    key = lambda df: sorted(map(tuple, df.values.tolist()))  # noqa: E731
+    assert key(got) == key(want)
