@@ -1,0 +1,143 @@
+"""spark-submit entry for STREAMING text dedup — incremental near-dup
+detection of arriving documents against the persisted MinHash index
+(the production face of ``streaming.jobs.incremental_dedup_query``; the
+reference's load-the-trees-then-query startup, ``dblsh.cpp:101-184`` +
+``Query.cpp:40-115``):
+
+    spark-submit --py-files db_lsh_spark.zip jobs/run_stream_dedup.py \
+        --stream /data/doc_landing \
+        --index-dir /data/text_index \
+        --output /data/pairs_out \
+        --checkpoint /data/ckpt \
+        [--build-from /data/corpus_parquet] \
+        [--shingle-k 5] [--num-perm 128] [--bands 16] [--rows 8] \
+        [--jaccard-threshold 0.8] [--seed 0] \
+        [--max-files-per-trigger 4] [--fingerprint <store fp>]
+
+``--stream`` is a landing directory of parquet files carrying
+(doc_id long, text string) rows; each new file becomes part of a
+micro-batch (``availableNow`` trigger: drain everything currently
+landed, then stop — re-run the job to pick up later arrivals, the
+offsets checkpoint carries over). Verified pairs append to
+``--output/batch-N`` with exactly-once semantics across restarts.
+
+The index comes from a StageStore at ``--index-dir``:
+
+* with ``--build-from`` the banded signatures + contents are
+  CREATE-OR-LOADED from that corpus (first run builds, reruns load);
+* without it the store must already be complete — the job starts purely
+  from disk, needing no access to the raw corpus (files landed later via
+  ``jobs/compact_index.py --lane text`` are probed too).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(spark, args) -> dict:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.sources.io import StageStore
+    from db_lsh_spark.streaming.jobs import incremental_dedup_query
+
+    cfg = DedupConfig(
+        seed=args.seed, shingle_k=args.shingle_k,
+        num_perm=args.num_perm if args.num_perm else args.bands * args.rows,
+        bands=args.bands, rows=args.rows,
+        jaccard_threshold=args.jaccard_threshold,
+    )
+    fp = args.fingerprint or f"minhash-{cfg.index_fingerprint()}"
+    store = StageStore(args.index_dir, fp)
+    build_from = getattr(args, "build_from", None)
+    index_files = spark.read.parquet(build_from) if build_from else None
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    doc_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.stream)
+    )
+    t0 = time.monotonic()
+    q = incremental_dedup_query(
+        spark, doc_stream, index_files, cfg, args.output, args.checkpoint,
+        index_store=store,
+    )
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    if os.path.isdir(args.output) and any(
+        d.startswith("batch-") for d in os.listdir(args.output)
+    ):
+        n_pairs = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(args.output).count()
+        )
+    else:
+        # the stream drained zero non-empty batches — no sink dirs exist
+        n_pairs = 0
+    return {
+        "output": args.output,
+        "index_dir": args.index_dir,
+        "fingerprint": fp,
+        "built_index": bool(build_from),
+        "n_pairs": n_pairs,
+        "n_indexed": store.read(spark, "minhash_contents").count(),
+        "wall_sec": round(wall, 3),
+    }
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser()
+    p.add_argument("--stream", required=True,
+                   help="landing dir of parquet files of (doc_id, text)")
+    p.add_argument("--index-dir", required=True,
+                   help="StageStore root of the persisted MinHash index")
+    p.add_argument("--output", required=True,
+                   help="verified-pair sink (batch-N subdirs)")
+    p.add_argument("--checkpoint", required=True,
+                   help="Structured Streaming offsets checkpoint")
+    p.add_argument("--build-from", default=None,
+                   help="corpus parquet to create-or-load the index from; "
+                        "omit to require a complete persisted index")
+    p.add_argument("--fingerprint", default=None,
+                   help="store fingerprint override (default: "
+                        "minhash-<index fingerprint of the CLI knobs>)")
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--num-perm", type=int, default=None,
+                   help="MinHash permutations (default bands*rows)")
+    p.add_argument("--bands", type=int, default=16)
+    p.add_argument("--rows", type=int, default=8)
+    p.add_argument("--jaccard-threshold", type=float, default=0.8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("db-lsh-spark-stream-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    print(json.dumps(run(spark, args)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

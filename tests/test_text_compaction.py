@@ -183,6 +183,74 @@ def test_compact_index_job_cli_text_lane(spark, frames, tmp_path,
         static.unionByName(new_a).unionByName(new_b), dedup_cfg)
 
 
+def test_run_stream_dedup_job(spark, frames, tmp_path, dedup_cfg,
+                              fixture_small):
+    """The spark-submit streaming entry (jobs/run_stream_dedup.py): first
+    run builds the index from --build-from and drains the landed probe
+    files; a re-run WITHOUT --build-from starts purely from the persisted
+    store, and with nothing new landed the offsets checkpoint makes it a
+    no-op (exactly-once across restarts)."""
+    import argparse
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_stream_dedup",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "run_stream_dedup.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    files, static, _, _ = frames
+    corpus = str(tmp_path / "corpus")
+    static.write.parquet(corpus)
+
+    gp = fixture_small.golden_pairs
+    probe_ids = sorted(set(gp.id_a) | set(gp.id_b))[:20]
+    probe = files.where(F.col("file_id").isin(probe_ids)).select(
+        F.col("file_id").alias("doc_id"), F.col("content").alias("text"))
+    landing = str(tmp_path / "stream")
+    probe.coalesce(1).write.parquet(landing)
+
+    base = dict(
+        stream=landing, index_dir=str(tmp_path / "idx"),
+        output=str(tmp_path / "out"), checkpoint=str(tmp_path / "ck"),
+        fingerprint=None, shingle_k=dedup_cfg.shingle_k,
+        num_perm=dedup_cfg.num_perm, bands=dedup_cfg.bands,
+        rows=dedup_cfg.rows, jaccard_threshold=dedup_cfg.jaccard_threshold,
+        seed=dedup_cfg.seed, max_files_per_trigger=4,
+    )
+    out1 = job.run(spark, argparse.Namespace(build_from=corpus, **base))
+    assert out1["built_index"] and out1["n_indexed"] == static.count()
+
+    # truth: probe bands vs the static index, verified
+    probe_f = with_ids_and_sha(
+        probe.select(F.col("doc_id").alias("file_id"),
+                     F.col("text").alias("content")))
+    pb = explode_bands(compute_signatures(probe_f, dedup_cfg))
+    ib = explode_bands(compute_signatures(with_ids_and_sha(static),
+                                          dedup_cfg))
+    cand = (
+        pb.withColumnRenamed("file_id", "pid")
+        .join(ib.withColumnRenamed("file_id", "iid"), ["band", "band_hash"])
+        .where(F.col("pid") != F.col("iid"))
+        .select(F.least("pid", "iid").alias("id_a"),
+                F.greatest("pid", "iid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    contents = probe_f.select("file_id", "content").unionByName(
+        with_ids_and_sha(static).select("file_id", "content")
+        .join(probe_f.select("file_id"), "file_id", "left_anti"))
+    want = verify_pairs(cand, contents, dedup_cfg, with_lcs=False).count()
+    assert out1["n_pairs"] == want and want > 0
+
+    # restart from the persisted store only: no source frame, no new
+    # files — the checkpoint makes it exactly-once, nothing re-emitted
+    out2 = job.run(spark, argparse.Namespace(build_from=None, **base))
+    assert not out2["built_index"]
+    assert out2["n_pairs"] == want
+
+
 def test_stream_after_merge_equals_batch_on_union(spark, frames, tmp_path,
                                                   dedup_cfg, fixture_small):
     """The done-criterion: compact two batches into the store, then start

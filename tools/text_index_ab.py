@@ -1,0 +1,120 @@
+"""A/B of the persisted MinHash text index: stream-start cost of probing
+a corpus index LOADED from the StageStore artifact vs REBUILT from raw
+contents, same probe batch, output equality asserted. Records
+BENCH/text_index_ab.json.
+
+    python tools/text_index_ab.py [n_files] [n_probes]
+
+This measures what the artifact buys operationally: every incremental
+dedup start (cron re-run, crash restart, new landing-zone drain) pays the
+index cost, and the rebuild arm re-signatures the FULL corpus while the
+load arm reads two parquet stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from db_lsh_spark.config import DedupConfig  # noqa: E402
+from db_lsh_spark.session import get_spark  # noqa: E402
+from db_lsh_spark.sources.io import StageStore  # noqa: E402
+from db_lsh_spark.sources.synth import write_files_only  # noqa: E402
+from db_lsh_spark.streaming.jobs import (  # noqa: E402
+    build_minhash_index_store,
+    incremental_dedup_query,
+)
+
+
+def run_once(spark, corpus_dir, probe_dir, out_root, cfg, store=None,
+             index_files=None):
+    """One full stream start: index (load or rebuild) + drain one probe
+    batch. Returns (wall seconds, pair count)."""
+    out = f"{out_root}/pairs"
+    ck = f"{out_root}/ck"
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 64).parquet(probe_dir)
+    )
+    t0 = time.monotonic()
+    q = incremental_dedup_query(spark, stream, index_files, cfg, out, ck,
+                                index_store=store)
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    pairs = (spark.read.option("recursiveFileLookup", "true").parquet(out)
+             .select("id_a", "id_b", "jaccard").toPandas()
+             .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return wall, pairs
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    n_probes = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cfg = DedupConfig()
+
+    fixture = f"/tmp/bench_fixture_{n_files}"
+    if not os.path.exists(f"{fixture}/files.parquet"):
+        write_files_only(n_files, fixture)
+
+    spark = get_spark(app_name="text-index-ab", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    files = spark.read.parquet(f"{fixture}/files.parquet")
+
+    work = f"/tmp/text_index_ab_{n_files}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    probe_dir = f"{work}/probes"
+    (files.orderBy("file_id").limit(n_probes)
+     .selectExpr("file_id as doc_id", "content as text")
+     .coalesce(1).write.parquet(probe_dir))
+
+    # build the artifact once (not timed in either arm — it is the
+    # one-off the reference also pays when constructing its trees)
+    store = StageStore(f"{work}/idx", cfg.index_fingerprint())
+    t0 = time.monotonic()
+    build_minhash_index_store(spark, files, store, cfg)
+    build_wall = time.monotonic() - t0
+
+    results = {"rebuild": [], "load": []}
+    pair_counts = set()
+    for rep in range(3):  # interleaved best-of-3
+        w, p = run_once(spark, fixture, probe_dir, f"{work}/rb",
+                        cfg, store=None, index_files=files)
+        results["rebuild"].append(round(w, 3))
+        rb_pairs = p
+        w, p = run_once(spark, fixture, probe_dir, f"{work}/ld",
+                        cfg, store=store, index_files=None)
+        results["load"].append(round(w, 3))
+        assert rb_pairs.equals(p), "arms disagree on verified pairs"
+        pair_counts.add(len(p))
+
+    out = {
+        "n_files": n_files,
+        "n_probes": n_probes,
+        "cpus": cpus,
+        "build_artifact_sec": round(build_wall, 3),
+        "stream_start_rebuild_sec": results["rebuild"],
+        "stream_start_load_sec": results["load"],
+        "best_rebuild": min(results["rebuild"]),
+        "best_load": min(results["load"]),
+        "speedup": round(min(results["rebuild"]) / min(results["load"]), 2),
+        "n_pairs": pair_counts.pop(),
+        "outputs_identical": True,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/text_index_ab.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
