@@ -213,9 +213,16 @@ class StageStore:
         #6: real pipelines append; the persisted index must absorb new
         rows without a full rebuild). Semantics:
 
-        - union the stage's current data with ``new_df``, dropDuplicates
-          on ``key_cols`` — re-merging the same rows is a no-op by
-          construction;
+        - FIRST WRITE WINS, deterministically: keys already present in
+          the stage keep their ORIGINAL rows (``new_df`` is anti-joined
+          on ``key_cols`` before the union), so a re-landed key with
+          CHANGED payload can never produce a mixed/chimera row set —
+          e.g. a re-landed file with edited content cannot leave the
+          index holding some old and some new band hashes (code-review
+          r5; the previous union+dropDuplicates kept an arbitrary row per
+          key). Re-merging identical rows is still a no-op. Duplicate
+          keys WITHIN one ``new_df`` are collapsed to an arbitrary row —
+          dedup the batch upstream if that matters;
         - MANIFEST-GATED: with a ``merge_id`` (e.g. the landing batch
           directory name), an id already in the manifest's ledger skips
           the merge entirely, so a restarted compaction job replays
@@ -245,9 +252,12 @@ class StageStore:
         t0 = time.monotonic()
         cur_dir = self._data_dir(stage)
         cur = spark.read.parquet(cur_dir)
-        merged = cur.unionByName(new_df.select(*cur.columns)).dropDuplicates(
-            key_cols
+        new_rows = (
+            new_df.select(*cur.columns)
+            .dropDuplicates(key_cols)
+            .join(cur.select(*key_cols), key_cols, "left_anti")
         )
+        merged = cur.unionByName(new_rows)
         if repartition_by:
             merged = merged.repartitionByRange(*repartition_by)
         if sort_within:

@@ -74,6 +74,13 @@ def _minhash_stream_index(
     if index_store is not None:
         return build_minhash_index_store(spark, index_files, index_store,
                                          cfg)
+    if index_files is None:
+        # would otherwise die deep in with_ids_and_sha with an opaque
+        # AttributeError (code-review r5)
+        raise ValueError(
+            "incremental dedup needs an index: pass index_files (rebuilt "
+            "in memory) or index_store (persisted artifact), or both"
+        )
     indexed = with_ids_and_sha(index_files)
     bands = explode_bands(compute_signatures(indexed, cfg)).localCheckpoint(
         eager=True
@@ -735,8 +742,21 @@ def compact_minhash_index(
     Same contracts as ``compact_l2_index``: the recorded INDEX config
     fingerprint gates the merge (new documents can never be hashed into
     the table under mismatched shingle/signature knobs); contents merge
-    first (crash ordering); a re-landed file_id keeps its original row.
-    Returns (merged bands frame, skipped)."""
+    first (crash ordering); a re-landed file_id keeps its original rows
+    — BOTH content and all band hashes — via ``merge_stage``'s
+    first-write-wins (re-indexing changed content is a REBUILD, not an
+    append). Returns (merged bands frame, skipped)."""
+    missing = {"file_id", "content"} - set(new_files.columns)
+    if missing:
+        # with_ids_and_sha would otherwise FABRICATE dense file_ids
+        # 0..N-1 for an id-less batch — exactly the ids the base corpus
+        # already occupies — and silently ledger the corruption
+        # (code-review r5)
+        raise ValueError(
+            f"landing batch must carry columns {{'file_id', 'content'}}; "
+            f"missing {sorted(missing)} — ids must be assigned at ingest, "
+            "they cannot be invented during compaction"
+        )
     if not store.is_complete("minhash_bands"):
         raise ValueError(
             f"store at {store.root} has no minhash_bands artifact — build "

@@ -24,10 +24,15 @@ offsets checkpoint carries over). Verified pairs append to
 The index comes from a StageStore at ``--index-dir``:
 
 * with ``--build-from`` the banded signatures + contents are
-  CREATE-OR-LOADED from that corpus (first run builds, reruns load);
+  CREATE-OR-LOADED from that corpus (first run builds, reruns load); the
+  store fingerprint binds config + dataset identity (derived
+  '<abspath>:<n_files>'), so retargeting ``--build-from`` at a different
+  corpus builds fresh instead of silently loading the old one;
 * without it the store must already be complete — the job starts purely
   from disk, needing no access to the raw corpus (files landed later via
-  ``jobs/compact_index.py --lane text`` are probed too).
+  ``jobs/compact_index.py --lane text`` are probed too). Pass
+  ``--dataset-id`` or ``--fingerprint`` from the build run's report; a
+  wrong/missing identity fails loudly (incomplete store), never silently.
 """
 
 from __future__ import annotations
@@ -46,7 +51,10 @@ def run(spark, args) -> dict:
 
     from db_lsh_spark.config import DedupConfig
     from db_lsh_spark.sources.io import StageStore
-    from db_lsh_spark.streaming.jobs import incremental_dedup_query
+    from db_lsh_spark.streaming.jobs import (
+        incremental_dedup_query,
+        read_event_stream,
+    )
 
     cfg = DedupConfig(
         seed=args.seed, shingle_k=args.shingle_k,
@@ -54,20 +62,42 @@ def run(spark, args) -> dict:
         bands=args.bands, rows=args.rows,
         jaccard_threshold=args.jaccard_threshold,
     )
-    fp = args.fingerprint or f"minhash-{cfg.index_fingerprint()}"
-    store = StageStore(args.index_dir, fp)
     build_from = getattr(args, "build_from", None)
     index_files = spark.read.parquet(build_from) if build_from else None
+    if args.fingerprint:
+        fp = args.fingerprint
+    else:
+        fp = f"minhash-{cfg.index_fingerprint()}"
+        # dataset identity in the fingerprint (the run_ann discipline,
+        # code-review r5): without it, pointing --build-from at a
+        # DIFFERENT corpus while reusing --index-dir would silently
+        # pure-load the OLD corpus's complete stages. Derived from the
+        # corpus when building; on pure-load runs pass --dataset-id (or
+        # --fingerprint) copied from the build run's report — a missing
+        # id fails LOUDLY (incomplete store), never silently.
+        ds = args.dataset_id or (
+            f"{os.path.abspath(build_from)}:{index_files.count()}"
+            if build_from else None
+        )
+        if ds:
+            fp = f"{fp}-{ds}"
+    store = StageStore(args.index_dir, fp)
 
     schema = StructType([
         StructField("doc_id", LongType()),
         StructField("text", StringType()),
     ])
-    doc_stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", args.max_files_per_trigger)
-        .parquet(args.stream)
+    doc_stream = read_event_stream(
+        spark, args.stream, schema,
+        max_files_per_trigger=args.max_files_per_trigger,
     )
+
+    def batch_dirs():
+        if not os.path.isdir(args.output):
+            return set()
+        return {d for d in os.listdir(args.output) if d.startswith("batch-")}
+
+    pre_existing = batch_dirs()
     t0 = time.monotonic()
     q = incremental_dedup_query(
         spark, doc_stream, index_files, cfg, args.output, args.checkpoint,
@@ -75,22 +105,25 @@ def run(spark, args) -> dict:
     )
     q.awaitTermination()
     wall = time.monotonic() - t0
-    if os.path.isdir(args.output) and any(
-        d.startswith("batch-") for d in os.listdir(args.output)
-    ):
-        n_pairs = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(args.output).count()
-        )
-    else:
-        # the stream drained zero non-empty batches — no sink dirs exist
-        n_pairs = 0
+
+    def count_pairs(dirs):
+        if not dirs:
+            return 0
+        return spark.read.parquet(
+            *[os.path.join(args.output, d) for d in sorted(dirs)]
+        ).count()
+
+    all_dirs = batch_dirs()
     return {
         "output": args.output,
         "index_dir": args.index_dir,
         "fingerprint": fp,
         "built_index": bool(build_from),
-        "n_pairs": n_pairs,
+        # this run's drains only — a re-run against a cumulative sink
+        # would otherwise report every prior run's pairs as its own
+        # (code-review r5)
+        "n_pairs_this_run": count_pairs(all_dirs - pre_existing),
+        "n_pairs_total": count_pairs(all_dirs),
         "n_indexed": store.read(spark, "minhash_contents").count(),
         "wall_sec": round(wall, 3),
     }
@@ -111,7 +144,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "omit to require a complete persisted index")
     p.add_argument("--fingerprint", default=None,
                    help="store fingerprint override (default: "
-                        "minhash-<index fingerprint of the CLI knobs>)")
+                        "minhash-<index fingerprint of the CLI knobs>"
+                        "-<dataset id>)")
+    p.add_argument("--dataset-id", default=None,
+                   help="dataset-identity suffix for the default "
+                        "fingerprint; derived as '<abspath>:<n_files>' "
+                        "from --build-from when building — copy the "
+                        "build run's reported fingerprint (or pass this) "
+                        "on pure-load runs")
     p.add_argument("--shingle-k", type=int, default=5)
     p.add_argument("--num-perm", type=int, default=None,
                    help="MinHash permutations (default bands*rows)")

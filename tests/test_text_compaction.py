@@ -120,6 +120,51 @@ def test_compaction_config_gate(spark, frames, tmp_path, dedup_cfg):
     assert tuned.fingerprint() != dedup_cfg.fingerprint()
 
 
+def test_relanded_file_keeps_original_rows(spark, frames, tmp_path,
+                                           dedup_cfg):
+    """merge_stage is FIRST-WRITE-WINS (code-review r5): a re-landed
+    file_id with CHANGED content must keep its original content AND all
+    its original band hashes — never a chimera mixing old and new."""
+    _, static, new_a, _ = frames
+    store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
+    build_minhash_index_store(spark, static, store, dedup_cfg)
+    before_bands = _bands_key(store.read(spark, "minhash_bands"))
+    before_contents = sorted(map(tuple, store.read(
+        spark, "minhash_contents").toPandas().values.tolist()))
+
+    # re-land every indexed file with rewritten content (new merge_id,
+    # so the ledger does NOT skip it) plus genuinely new files
+    relanded = static.select(
+        "file_id", F.concat(F.lit("REWRITTEN "), "content").alias("content")
+    ).unionByName(new_a.select("file_id", "content"))
+    merged, skipped = compact_minhash_index(spark, store, relanded,
+                                            dedup_cfg, merge_id="reland-0")
+    assert not skipped
+    # original files: bit-identical rows, no mixing with rewritten hashes
+    static_ids = {r.file_id for r in static.select("file_id").collect()}
+    kept = [(f, b, h) for f, b, h in _bands_key(merged) if f in static_ids]
+    assert kept == before_bands
+    contents = sorted(map(tuple, store.read(spark, "minhash_contents")
+                          .toPandas().values.tolist()))
+    kept_c = [(f, c) for f, c in contents if f in static_ids]
+    assert kept_c == before_contents
+    # the genuinely new files DID merge
+    assert {f for f, _, _ in _bands_key(merged)} == static_ids | {
+        r.file_id for r in new_a.select("file_id").collect()}
+
+
+def test_compaction_requires_file_id(spark, frames, tmp_path, dedup_cfg):
+    """An id-less landing batch must fail loudly — with_ids_and_sha would
+    otherwise fabricate dense ids 0..N-1 colliding with the base corpus
+    (code-review r5)."""
+    _, static, new_a, _ = frames
+    store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
+    build_minhash_index_store(spark, static, store, dedup_cfg)
+    with pytest.raises(ValueError, match="file_id"):
+        compact_minhash_index(spark, store, new_a.select("content"),
+                              dedup_cfg, merge_id="x")
+
+
 def test_landing_walker_success_gate(spark, frames, tmp_path, dedup_cfg):
     _, static, new_a, new_b = frames
     store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
@@ -215,13 +260,16 @@ def test_run_stream_dedup_job(spark, frames, tmp_path, dedup_cfg,
     base = dict(
         stream=landing, index_dir=str(tmp_path / "idx"),
         output=str(tmp_path / "out"), checkpoint=str(tmp_path / "ck"),
-        fingerprint=None, shingle_k=dedup_cfg.shingle_k,
+        dataset_id=None, shingle_k=dedup_cfg.shingle_k,
         num_perm=dedup_cfg.num_perm, bands=dedup_cfg.bands,
         rows=dedup_cfg.rows, jaccard_threshold=dedup_cfg.jaccard_threshold,
         seed=dedup_cfg.seed, max_files_per_trigger=4,
     )
-    out1 = job.run(spark, argparse.Namespace(build_from=corpus, **base))
+    out1 = job.run(spark, argparse.Namespace(build_from=corpus,
+                                             fingerprint=None, **base))
     assert out1["built_index"] and out1["n_indexed"] == static.count()
+    # the default fingerprint binds the dataset identity
+    assert out1["fingerprint"].endswith(f":{static.count()}")
 
     # truth: probe bands vs the static index, verified
     probe_f = with_ids_and_sha(
@@ -242,13 +290,24 @@ def test_run_stream_dedup_job(spark, frames, tmp_path, dedup_cfg,
         with_ids_and_sha(static).select("file_id", "content")
         .join(probe_f.select("file_id"), "file_id", "left_anti"))
     want = verify_pairs(cand, contents, dedup_cfg, with_lcs=False).count()
-    assert out1["n_pairs"] == want and want > 0
+    assert out1["n_pairs_this_run"] == want and want > 0
+    assert out1["n_pairs_total"] == want
 
     # restart from the persisted store only: no source frame, no new
-    # files — the checkpoint makes it exactly-once, nothing re-emitted
-    out2 = job.run(spark, argparse.Namespace(build_from=None, **base))
+    # files — the checkpoint makes it exactly-once, nothing re-emitted;
+    # the store is addressed by the build run's reported fingerprint
+    out2 = job.run(spark, argparse.Namespace(
+        build_from=None, fingerprint=out1["fingerprint"], **base))
     assert not out2["built_index"]
-    assert out2["n_pairs"] == want
+    assert out2["n_pairs_this_run"] == 0
+    assert out2["n_pairs_total"] == want
+
+    # a pure-load run with a wrong/missing dataset identity fails LOUDLY
+    with pytest.raises(ValueError, match="incomplete"):
+        job.run(spark, argparse.Namespace(
+            build_from=None, fingerprint=None,
+            **{**base, "checkpoint": str(tmp_path / "ck2"),
+               "output": str(tmp_path / "out2")}))
 
 
 def test_stream_after_merge_equals_batch_on_union(spark, frames, tmp_path,

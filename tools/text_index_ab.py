@@ -28,21 +28,19 @@ from db_lsh_spark.sources.synth import write_files_only  # noqa: E402
 from db_lsh_spark.streaming.jobs import (  # noqa: E402
     build_minhash_index_store,
     incremental_dedup_query,
+    read_event_stream,
 )
 
 
-def run_once(spark, corpus_dir, probe_dir, out_root, cfg, store=None,
-             index_files=None):
+def run_once(spark, probe_dir, out_root, cfg, store=None, index_files=None):
     """One full stream start: index (load or rebuild) + drain one probe
     batch. Returns (wall seconds, pair count)."""
     out = f"{out_root}/pairs"
     ck = f"{out_root}/ck"
     for d in (out, ck):
         shutil.rmtree(d, ignore_errors=True)
-    stream = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 64).parquet(probe_dir)
-    )
+    stream = read_event_stream(spark, probe_dir, "doc_id long, text string",
+                               max_files_per_trigger=64)
     t0 = time.monotonic()
     q = incremental_dedup_query(spark, stream, index_files, cfg, out, ck,
                                 index_store=store)
@@ -86,11 +84,11 @@ def main() -> None:
     results = {"rebuild": [], "load": []}
     pair_counts = set()
     for rep in range(3):  # interleaved best-of-3
-        w, p = run_once(spark, fixture, probe_dir, f"{work}/rb",
+        w, p = run_once(spark, probe_dir, f"{work}/rb",
                         cfg, store=None, index_files=files)
         results["rebuild"].append(round(w, 3))
         rb_pairs = p
-        w, p = run_once(spark, fixture, probe_dir, f"{work}/ld",
+        w, p = run_once(spark, probe_dir, f"{work}/ld",
                         cfg, store=store, index_files=None)
         results["load"].append(round(w, 3))
         assert rb_pairs.equals(p), "arms disagree on verified pairs"
