@@ -772,7 +772,13 @@ def compact_minhash_index(
             "mismatched shingle/signature knobs would silently corrupt "
             "the index; match the builder's config"
         )
-    new_indexed = with_ids_and_sha(new_files)
+    # one row per file_id WITHIN the batch, chosen deterministically (max
+    # content) — the same rule the streaming probe applies; without it a
+    # duplicated id in one batch would race its own band rows through
+    # merge_stage's within-batch arbitrary pick
+    new_indexed = with_ids_and_sha(
+        new_files.groupBy("file_id").agg(F.max("content").alias("content"))
+    )
     store.merge_stage(
         spark, "minhash_contents", new_indexed.select("file_id", "content"),
         key_cols=["file_id"], merge_id=merge_id,

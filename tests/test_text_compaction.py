@@ -153,6 +153,35 @@ def test_relanded_file_keeps_original_rows(spark, frames, tmp_path,
         r.file_id for r in new_a.select("file_id").collect()}
 
 
+def test_within_batch_duplicate_id_resolved_deterministically(
+        spark, frames, tmp_path, dedup_cfg):
+    """A landing batch carrying the same file_id twice must compact to
+    ONE deterministic variant (max content — the streaming probe's rule),
+    never an arbitrary or mixed row set."""
+    _, static, new_a, _ = frames
+    store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
+    build_minhash_index_store(spark, static, store, dedup_cfg)
+
+    doubled = new_a.select("file_id", "content").unionByName(
+        new_a.select("file_id",
+                     F.concat(F.lit("ALT "), "content").alias("content")))
+    merged, _ = compact_minhash_index(spark, store, doubled, dedup_cfg,
+                                      merge_id="dup-batch")
+    # the documented rule: max(content) per file_id, computed here in
+    # plain Python so the expectation is independent of the engine
+    winner_rows = [
+        (r.file_id, max(r.content, "ALT " + r.content))
+        for r in new_a.select("file_id", "content").collect()
+    ]
+    winner = spark.createDataFrame(winner_rows, "file_id long, content string")
+    assert _bands_key(merged) == _expected_bands(
+        static.select("file_id", "content").unionByName(winner), dedup_cfg)
+    contents = dict(store.read(spark, "minhash_contents")
+                    .toPandas().values.tolist())
+    for fid, c in winner_rows:
+        assert contents[fid] == c
+
+
 def test_compaction_requires_file_id(spark, frames, tmp_path, dedup_cfg):
     """An id-less landing batch must fail loudly — with_ids_and_sha would
     otherwise fabricate dense ids 0..N-1 colliding with the base corpus
