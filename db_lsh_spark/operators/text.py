@@ -342,7 +342,25 @@ def winnow_near_dup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     ).localCheckpoint(eager=True)
+    return verify_substring_pairs(cand, docs, min_lcs, lcs_cap=lcs_cap,
+                                  verify=verify)
 
+
+def verify_substring_pairs(
+    cand: DataFrame,
+    docs: DataFrame,
+    min_lcs: int,
+    lcs_cap: int | None = None,
+    verify: str = "window_join",
+) -> DataFrame:
+    """EXACT shared-substring verification of candidate (id_a, id_b)
+    pairs against a (doc_id, text) frame — the winnow lane's verify stage,
+    shared with the incremental twin (streaming/jobs.py) so the batch and
+    stream paths cannot diverge. Keeps pairs whose texts share a verbatim
+    span of >= ``min_lcs`` codepoints; modes documented on
+    ``winnow_near_dup_pairs``."""
+    if verify not in ("window_join", "lcs"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     # verify: candidate contents only (never the corpus)
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))

@@ -775,10 +775,14 @@ def compact_minhash_index(
     # one row per file_id WITHIN the batch, chosen deterministically (max
     # content) — the same rule the streaming probe applies; without it a
     # duplicated id in one batch would race its own band rows through
-    # merge_stage's within-batch arbitrary pick
+    # merge_stage's within-batch arbitrary pick. Materialized ONCE: the
+    # two merges below each trigger write jobs, and a lazy frame would
+    # re-run the dedup+sha (and feed the signature kernel a recomputed
+    # upstream) per job — profiled at 3x the whole append's cost on a
+    # 60k batch
     new_indexed = with_ids_and_sha(
         new_files.groupBy("file_id").agg(F.max("content").alias("content"))
-    )
+    ).localCheckpoint(eager=True)
     store.merge_stage(
         spark, "minhash_contents", new_indexed.select("file_id", "content"),
         key_cols=["file_id"], merge_id=merge_id,
@@ -806,4 +810,188 @@ def compact_minhash_index_from_landing(
         spark, landing_dir,
         lambda df, d: compact_minhash_index(spark, store, df, cfg,
                                             merge_id=d),
+    )
+
+
+def build_winnow_index_store(
+    spark: SparkSession,
+    index_docs: DataFrame | None,
+    store,
+    w: int = 8,
+    k: int = 16,
+):
+    """Create-or-load BOTH halves of the persisted WINNOW substring index
+    — the bottom-``w`` rolling-window fingerprints (stage ``winnow_fps``,
+    range-laid-out on fp for the probe equi-join) and the doc texts
+    (stage ``winnow_contents``, the substring-verify fetch side). Fourth
+    lane under the persisted-index discipline (after E2LSH, IVF and
+    MinHash; ``dblsh.cpp:101-184``). The index identity is (w, k) — the
+    fingerprint sketch is a function of those two knobs only; min_lcs /
+    verify mode / caps are query-time. With ``index_docs=None`` the store
+    must already be complete (pure load). Returns (fps, contents)."""
+    from db_lsh_spark.operators.text import winnow_fingerprints
+
+    fp = f"winnow:w={w}:k={k}"
+    if index_docs is None:
+        if not (store.is_complete("winnow_fps")
+                and store.is_complete("winnow_contents")):
+            raise ValueError(
+                f"store at {store.root} is incomplete and no source frame "
+                "was given — build the index first (build_winnow_index_"
+                "store with index_docs)"
+            )
+        recorded = store.meta().get("index_fingerprint")
+        if recorded != fp:
+            raise ValueError(
+                f"store at {store.root} records index config {recorded!r} "
+                f"but this config hashes as {fp!r} — mismatched knobs"
+            )
+        return (store.read(spark, "winnow_fps"),
+                store.read(spark, "winnow_contents"))
+    prev = store.meta().get("index_fingerprint")
+    if prev is not None and prev != fp and store.is_complete("winnow_fps"):
+        raise ValueError(
+            f"store at {store.root} records index config {prev}, but this "
+            f"config hashes as {fp} — a mismatched builder would mix "
+            "incompatible fingerprints; use a different store"
+        )
+    store.record_meta(index_fingerprint=fp)
+    contents = store.run_stage(
+        spark, "winnow_contents",
+        lambda: index_docs.select("doc_id", "text"),
+    )
+    fps = store.run_stage(
+        spark, "winnow_fps",
+        lambda: winnow_fingerprints(index_docs, w, k),
+        repartition_by=["fp"],
+        sort_within=["fp", "doc_id"],
+    )
+    return fps, contents
+
+
+def compact_winnow_index(
+    spark: SparkSession,
+    store,
+    new_docs: DataFrame,
+    w: int = 8,
+    k: int = 16,
+    merge_id: str | None = None,
+):
+    """Merge newly-landed documents into the persisted winnow index —
+    texts into ``winnow_contents`` first (crash ordering: fps-without-
+    text would generate candidates the verify fetch silently drops),
+    then their bottom-w fingerprints into ``winnow_fps``. Same contracts
+    as the sibling lanes: recorded index-config gate, manifest-ledgered
+    idempotence, first-write-wins for re-landed doc_ids, deterministic
+    within-batch dedup (max text). Returns (merged fps frame, skipped)."""
+    from db_lsh_spark.operators.text import winnow_fingerprints
+
+    missing = {"doc_id", "text"} - set(new_docs.columns)
+    if missing:
+        raise ValueError(
+            f"landing batch must carry columns {{'doc_id', 'text'}}; "
+            f"missing {sorted(missing)}"
+        )
+    if not store.is_complete("winnow_fps"):
+        raise ValueError(
+            f"store at {store.root} has no winnow_fps artifact — build the "
+            "index first (build_winnow_index_store), then compact into it"
+        )
+    fp = f"winnow:w={w}:k={k}"
+    recorded = store.meta().get("index_fingerprint")
+    if recorded != fp:
+        raise ValueError(
+            f"store at {store.root} records index config {recorded!r} but "
+            f"this compaction's config hashes as {fp!r} — match the "
+            "builder's knobs"
+        )
+    # materialized once for the same two-merge reason as the MinHash twin
+    deduped = new_docs.groupBy("doc_id").agg(
+        F.max("text").alias("text")
+    ).localCheckpoint(eager=True)
+    store.merge_stage(
+        spark, "winnow_contents", deduped.select("doc_id", "text"),
+        key_cols=["doc_id"], merge_id=merge_id,
+    )
+    return store.merge_stage(
+        spark, "winnow_fps", winnow_fingerprints(deduped, w, k),
+        key_cols=["doc_id", "fp"], merge_id=merge_id,
+        repartition_by=["fp"], sort_within=["fp", "doc_id"],
+    )
+
+
+def incremental_winnow_query(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_docs: DataFrame | None,
+    out_dir: str,
+    checkpoint_dir: str,
+    w: int = 8,
+    min_lcs: int = 32,
+    k: int = 16,
+    lcs_cap: int | None = None,
+    index_store=None,
+) -> StreamingQuery:
+    """Incremental SUBSTRING near-dup detection: per micro-batch, compute
+    arriving documents' bottom-w rolling-window fingerprints, probe the
+    static winnow index on fp, and verify candidates with the exact
+    shared-window join (``text.verify_substring_pairs`` — the one verify
+    implementation shared with the batch lane). Finds a lifted paragraph
+    / vendored header the MinHash stream twin is blind to, as documents
+    arrive. Same sink contract as ``incremental_dedup_query``: batch-
+    addressed overwrite directories -> exactly-once across restarts."""
+    from db_lsh_spark.operators.text import (
+        verify_substring_pairs,
+        winnow_fingerprints,
+    )
+
+    if min_lcs < k:
+        raise ValueError(f"min_lcs {min_lcs} < window size {k}: spans "
+                         "shorter than one window generate no candidates")
+    if index_store is not None:
+        index_fps, index_contents = build_winnow_index_store(
+            spark, index_docs, index_store, w, k
+        )
+    elif index_docs is None:
+        raise ValueError(
+            "incremental winnow needs an index: pass index_docs (rebuilt "
+            "in memory) or index_store (persisted artifact), or both"
+        )
+    else:
+        index_fps = winnow_fingerprints(index_docs, w, k).localCheckpoint(
+            eager=True
+        )
+        index_contents = index_docs.select("doc_id", "text").localCheckpoint(
+            eager=True
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probe = batch_df.groupBy("doc_id").agg(F.max("text").alias("text"))
+        probe_fps = winnow_fingerprints(probe, w, k)
+        cand = (
+            F.broadcast(probe_fps.withColumnRenamed("doc_id", "pid"))
+            .join(index_fps.withColumnRenamed("doc_id", "iid"), "fp")
+            .where(F.col("pid") != F.col("iid"))
+            .select(
+                F.least("pid", "iid").alias("id_a"),
+                F.greatest("pid", "iid").alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        contents = probe.select("doc_id", "text").unionByName(
+            index_contents.join(probe.select("doc_id"), "doc_id",
+                                "left_anti")
+        )
+        verified = verify_substring_pairs(cand, contents, min_lcs,
+                                          lcs_cap=lcs_cap)
+        (verified.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}"))
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

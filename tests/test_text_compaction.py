@@ -120,6 +120,60 @@ def test_compaction_config_gate(spark, frames, tmp_path, dedup_cfg):
     assert tuned.fingerprint() != dedup_cfg.fingerprint()
 
 
+def test_fragment_appends_and_squash(spark, frames, tmp_path, dedup_cfg):
+    """Appends are O(batch) FRAGMENTS — the base generation is untouched
+    per merge — and squash_after rewrites base+fragments into one
+    generation with the ledger intact and identical read contents."""
+    import os as _os
+
+    _, static, new_a, new_b = frames
+    store = StageStore(str(tmp_path / "idx"), dedup_cfg.index_fingerprint())
+    build_minhash_index_store(spark, static, store, dedup_cfg)
+    base_dir = store._data_dir("minhash_bands")
+    base_mtime = _os.path.getmtime(base_dir)
+
+    compact_minhash_index(spark, store, new_a, dedup_cfg, merge_id="b0")
+    compact_minhash_index(spark, store, new_b, dedup_cfg, merge_id="b1")
+    m = store._manifest("minhash_bands")
+    assert m["fragments"] == ["frag_b0", "frag_b1"]
+    # the base generation was never rewritten by the appends
+    assert _os.path.getmtime(base_dir) == base_mtime
+    union_key = _expected_bands(
+        static.unionByName(new_a).unionByName(new_b), dedup_cfg)
+    assert _bands_key(store.read(spark, "minhash_bands")) == union_key
+
+    store.squash_stage(spark, "minhash_bands",
+                       repartition_by=["band", "band_hash"],
+                       sort_within=["band", "band_hash", "file_id"])
+    m = store._manifest("minhash_bands")
+    assert m["fragments"] == [] and m["data_dir"].startswith("data_v")
+    assert sorted(m["merged_ids"]) == ["b0", "b1"]  # ledger survives
+    assert _bands_key(store.read(spark, "minhash_bands")) == union_key
+    # a replayed merge_id is still skipped after the squash
+    _, skipped = compact_minhash_index(spark, store, new_a, dedup_cfg,
+                                       merge_id="b0")
+    assert skipped
+
+    # auto-squash: threshold 1 folds the fragment immediately
+    store2 = StageStore(str(tmp_path / "idx2"), dedup_cfg.index_fingerprint())
+    build_minhash_index_store(spark, static, store2, dedup_cfg)
+    store2.merge_stage(
+        spark, "minhash_bands",
+        _expected_frame(spark, new_a, dedup_cfg),
+        key_cols=["file_id", "band"], merge_id="auto0",
+        repartition_by=["band", "band_hash"],
+        sort_within=["band", "band_hash", "file_id"], squash_after=1,
+    )
+    m2 = store2._manifest("minhash_bands")
+    assert m2["fragments"] == [] and m2["data_dir"].startswith("data_v")
+    assert _bands_key(store2.read(spark, "minhash_bands")) == _expected_bands(
+        static.unionByName(new_a), dedup_cfg)
+
+
+def _expected_frame(spark, files, cfg):
+    return explode_bands(compute_signatures(with_ids_and_sha(files), cfg))
+
+
 def test_relanded_file_keeps_original_rows(spark, frames, tmp_path,
                                            dedup_cfg):
     """merge_stage is FIRST-WRITE-WINS (code-review r5): a re-landed

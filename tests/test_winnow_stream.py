@@ -1,0 +1,125 @@
+"""Incremental winnow lane: arriving documents probe the PERSISTED
+bottom-w rolling-fingerprint index for shared-substring near-dups (the
+spans MinHash is blind to), with the same store/compaction/exactly-once
+contracts as the other three probe lanes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.text import winnow_fingerprints, winnow_near_dup_pairs
+from db_lsh_spark.sources.io import StageStore
+from db_lsh_spark.streaming.jobs import (
+    build_winnow_index_store,
+    compact_winnow_index,
+    incremental_winnow_query,
+)
+
+PARA = (
+    "this exact paragraph was lifted verbatim from one document into "
+    "another and is plenty long enough to cross the verify threshold"
+)
+
+ALL_ROWS = [
+    (0, "completely unrelated opening words " + PARA + " and then a "
+        "totally different tail about fish and rivers and stones"),
+    (1, "some other beginning that shares nothing at all " + PARA
+        + " followed by musings on compilers and register allocation"),
+    (2, "no shared span here: just plain text about gardening, soil "
+        "acidity, composting, and the correct pruning of apple trees"),
+    (3, None),
+    (4, "short"),
+    (5, "a third independent carrier of the lifted span " + PARA
+        + " ending with remarks on byte order and struct packing"),
+    (6, "entirely separate content concerning tidal charts, harbor "
+        "depth soundings, and the maintenance of small sailboats"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ALL_ROWS, "doc_id long, text string")
+
+
+def _fps_key(df):
+    return sorted(map(tuple, df.select("doc_id", "fp")
+                      .toPandas().values.tolist()))
+
+
+def test_winnow_store_build_load_and_compaction(spark, docs, tmp_path):
+    index = docs.where(F.col("doc_id").isin([0, 2, 4]))
+    batch = docs.where(F.col("doc_id") == 5).select("doc_id", "text")
+    store = StageStore(str(tmp_path / "idx"), "winnow-w8-k16")
+
+    fps, _ = build_winnow_index_store(spark, index, store, w=8, k=16)
+    assert _fps_key(fps) == _fps_key(winnow_fingerprints(index, 8, 16))
+
+    merged, skipped = compact_winnow_index(spark, store, batch, w=8, k=16,
+                                           merge_id="b0")
+    assert not skipped
+    assert _fps_key(merged) == _fps_key(winnow_fingerprints(
+        index.unionByName(batch.selectExpr("doc_id", "text")), 8, 16))
+    _, skipped = compact_winnow_index(spark, store, batch, w=8, k=16,
+                                      merge_id="b0")
+    assert skipped
+
+    # pure load needs no source frame; mismatched knobs refuse loudly
+    fps2, contents2 = build_winnow_index_store(spark, None, store, w=8, k=16)
+    assert _fps_key(fps2) == _fps_key(merged)
+    with pytest.raises(ValueError, match="mismatch|hashes as"):
+        build_winnow_index_store(spark, None, store, w=4, k=16)
+    with pytest.raises(ValueError, match="match the builder"):
+        compact_winnow_index(spark, store, batch, w=4, k=16, merge_id="b1")
+    with pytest.raises(ValueError, match="doc_id"):
+        compact_winnow_index(spark, store, batch.select("text"),
+                             w=8, k=16, merge_id="b1")
+
+
+def test_incremental_winnow_equals_batch_on_union(spark, docs, tmp_path):
+    """Stream probes against the store (base + one compacted batch) must
+    equal the batch winnow lane on the union corpus, restricted to pairs
+    involving a probed doc."""
+    index = docs.where(F.col("doc_id").isin([0, 2, 4]))
+    landed = docs.where(F.col("doc_id") == 5).select("doc_id", "text")
+    probe_ids = [1, 3, 6]
+    probe = docs.where(F.col("doc_id").isin(probe_ids))
+
+    store = StageStore(str(tmp_path / "idx"), "winnow-w8-k16")
+    build_winnow_index_store(spark, index, store, w=8, k=16)
+    compact_winnow_index(spark, store, landed, w=8, k=16, merge_id="b0")
+
+    src = str(tmp_path / "probe_src")
+    probe.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "out")
+    q = incremental_winnow_query(
+        spark, stream, None, out, str(tmp_path / "ck"),
+        w=8, min_lcs=32, k=16, index_store=store,
+    )
+    q.awaitTermination(600)
+    got = sorted(map(tuple, (
+        spark.read.option("recursiveFileLookup", "true").parquet(out)
+        .select("id_a", "id_b").toPandas().values.tolist())))
+
+    want = sorted(
+        (a, b)
+        for a, b in map(tuple, winnow_near_dup_pairs(docs)
+                        .select("id_a", "id_b").toPandas().values.tolist())
+        if a in probe_ids or b in probe_ids
+    )
+    assert got == want
+    # the planted expectation itself: the lifted paragraph links the
+    # probed doc 1 to BOTH the base doc 0 and the compacted doc 5
+    assert got == [(0, 1), (1, 5)]
+
+
+def test_incremental_winnow_requires_index(spark, docs, tmp_path):
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path))
+    with pytest.raises(ValueError, match="needs an index"):
+        incremental_winnow_query(spark, stream, None, str(tmp_path / "o"),
+                                 str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="min_lcs"):
+        incremental_winnow_query(spark, stream, docs, str(tmp_path / "o"),
+                                 str(tmp_path / "c"), min_lcs=8, k=16)

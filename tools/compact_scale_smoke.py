@@ -1,0 +1,125 @@
+"""Scale smoke of the text-index compaction path: build the persisted
+MinHash index over a large base corpus, append a landing batch through
+``compact_minhash_index_from_landing``, and drain a probe stream against
+the MERGED artifact — asserting the merged index equals a from-scratch
+build over the union and recording walls to BENCH/text_compact_scale.json.
+
+    python tools/compact_scale_smoke.py [n_total] [n_batch] [n_probes]
+
+Evidence target: the compaction path at fixture-×16 scale — the append
+(hash the NEW batch only + two ledgered merges) must cost a small
+fraction of the full rebuild it replaces.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from db_lsh_spark.config import DedupConfig  # noqa: E402
+from db_lsh_spark.session import get_spark  # noqa: E402
+from db_lsh_spark.sources.io import StageStore  # noqa: E402
+from db_lsh_spark.sources.synth import write_files_only  # noqa: E402
+from db_lsh_spark.streaming.jobs import (  # noqa: E402
+    build_minhash_index_store,
+    compact_minhash_index_from_landing,
+    incremental_dedup_query,
+    read_event_stream,
+)
+
+
+def main() -> None:
+    n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 960000
+    n_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 60000
+    n_probes = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cfg = DedupConfig()
+
+    fixture = f"/tmp/bench_fixture_{n_total}"
+    if not os.path.exists(f"{fixture}/files.parquet"):
+        write_files_only(n_total, fixture)
+
+    spark = get_spark(app_name="compact-scale-smoke",
+                      master=f"local[{cpus}]", shuffle_partitions=cpus)
+    files = spark.read.parquet(f"{fixture}/files.parquet")
+    n_base = n_total - n_batch
+    # file_ids are sparse (synth ids encode group structure), so split at
+    # the id QUANTILE, not the id value — a value split silently inverted
+    # the base/batch proportions on the first measurement
+    cut = files.stat.approxQuantile(
+        "file_id", [n_base / n_total], 0.0001)[0]
+    base = files.where(F.col("file_id") < cut)
+    batch = files.where(F.col("file_id") >= cut).select(
+        "file_id", "content")
+    n_base, n_batch = base.count(), batch.count()
+    assert n_base + n_batch == n_total
+
+    work = f"/tmp/compact_scale_{n_total}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    landing = f"{work}/landing"
+    batch.write.parquet(f"{landing}/batch-0")
+
+    store = StageStore(f"{work}/idx", cfg.index_fingerprint())
+    t0 = time.monotonic()
+    build_minhash_index_store(spark, base, store, cfg)
+    build_wall = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    out = compact_minhash_index_from_landing(spark, store, landing, cfg)
+    compact_wall = time.monotonic() - t0
+    assert out == [{"batch": "batch-0", "status": "merged"}], out
+
+    # the merged artifact must hold every doc exactly once, both halves
+    bands = store.read(spark, "minhash_bands")
+    contents = store.read(spark, "minhash_contents")
+    n_bands, n_contents = bands.count(), contents.count()
+    assert n_contents == n_total, (n_contents, n_total)
+    assert n_bands == n_total * cfg.bands, (n_bands, n_total * cfg.bands)
+    assert bands.select("file_id").distinct().count() == n_total
+
+    # drain a probe stream against the merged artifact (pure load)
+    probe_dir = f"{work}/probes"
+    (files.orderBy("file_id").limit(n_probes)
+     .selectExpr("file_id as doc_id", "content as text")
+     .coalesce(1).write.parquet(probe_dir))
+    stream = read_event_stream(spark, probe_dir, "doc_id long, text string",
+                               max_files_per_trigger=64)
+    t0 = time.monotonic()
+    q = incremental_dedup_query(spark, stream, None, cfg, f"{work}/pairs",
+                                f"{work}/ck", index_store=store)
+    q.awaitTermination()
+    probe_wall = time.monotonic() - t0
+    n_pairs = (spark.read.option("recursiveFileLookup", "true")
+               .parquet(f"{work}/pairs").count())
+
+    result = {
+        "n_total": n_total,
+        "n_base": n_base,
+        "n_batch": n_batch,
+        "n_probes": n_probes,
+        "cpus": cpus,
+        "build_base_index_sec": round(build_wall, 3),
+        "compact_batch_sec": round(compact_wall, 3),
+        "compact_vs_build": round(compact_wall / build_wall, 3),
+        "probe_stream_sec": round(probe_wall, 3),
+        "n_pairs_from_probe": n_pairs,
+        "bands_rows": n_bands,
+        "contents_rows": n_contents,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/text_compact_scale.json", "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
