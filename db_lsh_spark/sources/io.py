@@ -24,6 +24,7 @@ a one-module change.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -143,9 +144,10 @@ class StageStore:
         out_dir = os.path.join(self._dir(stage), "data")
         shutil.rmtree(out_dir, ignore_errors=True)
         # a config-invalidated rebuild also clears stale merge GENERATIONS
-        # (data_v*) and append FRAGMENTS (frag_*) left by compactions of
-        # the previous fingerprint
-        for d in self._generation_dirs(stage) + self._fragment_dirs(stage):
+        # (data_v*), append FRAGMENTS (frag_*) and their lineage left by
+        # compactions of the previous fingerprint
+        for d in (self._generation_dirs(stage) + self._fragment_dirs(stage)
+                  + self._fragment_lineage_dirs(stage)):
             shutil.rmtree(d, ignore_errors=True)
         df.write.mode("overwrite").parquet(out_dir)
         persisted = spark.read.parquet(out_dir)
@@ -208,6 +210,20 @@ class StageStore:
         return sorted(
             os.path.join(base, d) for d in os.listdir(base)
             if d.startswith("frag_") and os.path.isdir(os.path.join(base, d))
+        )
+
+    def _fragment_lineage_dirs(self, stage: str) -> list[str]:
+        """Per-fragment lineage dirs (``stage_metrics/<stage>.frag_*``) —
+        reclaimed with their fragments: after a squash the stage lineage
+        is rewritten with the FULL row counts, so surviving fragment
+        lineage would double-count in ``metrics()`` (code-review r5)."""
+        base = os.path.join(self.root, "stage_metrics")
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            os.path.join(base, d) for d in os.listdir(base)
+            if d.startswith(f"{stage}.frag_")
+            and os.path.isdir(os.path.join(base, d))
         )
 
     def merged_ids(self, stage: str) -> list[str]:
@@ -293,11 +309,19 @@ class StageStore:
             new_rows = new_rows.repartitionByRange(*repartition_by)
         if sort_within:
             new_rows = new_rows.sortWithinPartitions(*sort_within)
-        frag_name = "frag_" + (
-            "".join(c if c.isalnum() or c in "-_" else "_" for c in merge_id)
-            if merge_id is not None
-            else f"n{len(manifest.get('fragments', []))}"
-        )
+        if merge_id is not None:
+            # injective name: sanitization alone maps distinct ids like
+            # "batch.0" and "batch 0" to one directory, and an overwrite
+            # collision would silently destroy the earlier fragment's rows
+            # while both ids stay ledgered (code-review r5) — the digest
+            # suffix makes collisions impossible and re-runs deterministic
+            safe = "".join(
+                c if c.isalnum() or c in "-_" else "_" for c in merge_id
+            )[:48]
+            digest = hashlib.sha256(merge_id.encode()).hexdigest()[:8]
+            frag_name = f"frag_{safe}-{digest}"
+        else:
+            frag_name = f"frag_n{len(manifest.get('fragments', []))}"
         frag_dir = os.path.join(self._dir(stage), frag_name)
         new_rows.write.mode("overwrite").parquet(frag_dir)
         frag_rows = self._write_lineage(
@@ -367,11 +391,13 @@ class StageStore:
                    "data_dir": os.path.basename(new_dir),
                    "fragments": []},
         )
-        # GC: squashed fragments and generations older than the one we
+        # GC: squashed fragments (data AND lineage — the stage lineage now
+        # carries the full counts) and generations older than the one we
         # just replaced (that one is kept for in-flight readers)
-        for d in self._fragment_dirs(stage) + self._generation_dirs(stage) + [
-            os.path.join(self._dir(stage), "data")
-        ]:
+        for d in (self._fragment_dirs(stage)
+                  + self._fragment_lineage_dirs(stage)
+                  + self._generation_dirs(stage)
+                  + [os.path.join(self._dir(stage), "data")]):
             if d not in (new_dir, cur_dir):
                 shutil.rmtree(d, ignore_errors=True)
         self.results.append(

@@ -775,13 +775,17 @@ def compact_minhash_index(
     # one row per file_id WITHIN the batch, chosen deterministically (max
     # content) — the same rule the streaming probe applies; without it a
     # duplicated id in one batch would race its own band rows through
-    # merge_stage's within-batch arbitrary pick. Materialized ONCE: the
-    # two merges below each trigger write jobs, and a lazy frame would
-    # re-run the dedup+sha (and feed the signature kernel a recomputed
-    # upstream) per job — profiled at 3x the whole append's cost on a
-    # 60k batch
+    # merge_stage's within-batch arbitrary pick. Re-landed ids are
+    # dropped BEFORE hashing: merge_stage would discard their rows anyway
+    # ((file_id, band) keys cover the doc's full row set, so no chimera
+    # either way), but signaturing them first is pure waste. Materialized
+    # ONCE: the two merges below each trigger write jobs, and a lazy
+    # frame would re-run the dedup+sha per job — profiled at 3x the whole
+    # append's cost on a 60k batch.
     new_indexed = with_ids_and_sha(
         new_files.groupBy("file_id").agg(F.max("content").alias("content"))
+        .join(store.read(spark, "minhash_contents").select("file_id"),
+              "file_id", "left_anti")
     ).localCheckpoint(eager=True)
     store.merge_stage(
         spark, "minhash_contents", new_indexed.select("file_id", "content"),
@@ -905,10 +909,20 @@ def compact_winnow_index(
             f"this compaction's config hashes as {fp!r} — match the "
             "builder's knobs"
         )
-    # materialized once for the same two-merge reason as the MinHash twin
-    deduped = new_docs.groupBy("doc_id").agg(
-        F.max("text").alias("text")
-    ).localCheckpoint(eager=True)
+    # DOC-level first-write-wins, enforced BEFORE fingerprinting: the fps
+    # merge key is (doc_id, fp), and a re-landed doc with CHANGED text
+    # carries fp values the original never had — per-key anti-join alone
+    # would append them next to the originals, a chimera sketch probing
+    # against content the store doesn't hold (code-review r5; the MinHash
+    # twin is immune because (file_id, band) keys cover a doc's full
+    # fixed row set). Re-indexing changed content is a REBUILD. Also the
+    # two-merge materialization of the sibling lanes.
+    deduped = (
+        new_docs.groupBy("doc_id").agg(F.max("text").alias("text"))
+        .join(store.read(spark, "winnow_contents").select("doc_id"),
+              "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
     store.merge_stage(
         spark, "winnow_contents", deduped.select("doc_id", "text"),
         key_cols=["doc_id"], merge_id=merge_id,
@@ -930,6 +944,7 @@ def incremental_winnow_query(
     min_lcs: int = 32,
     k: int = 16,
     lcs_cap: int | None = None,
+    max_bucket: int | None = None,
     index_store=None,
 ) -> StreamingQuery:
     """Incremental SUBSTRING near-dup detection: per micro-batch, compute
@@ -939,7 +954,11 @@ def incremental_winnow_query(
     implementation shared with the batch lane). Finds a lifted paragraph
     / vendored header the MinHash stream twin is blind to, as documents
     arrive. Same sink contract as ``incremental_dedup_query``: batch-
-    addressed overwrite directories -> exactly-once across restarts."""
+    addressed overwrite directories -> exactly-once across restarts.
+    ``max_bucket`` caps each index-side fp bucket at its lowest
+    ``max_bucket`` doc_ids (the batch lane's knob against a ubiquitous
+    span — e.g. a license header in 100k docs — making every micro-batch
+    quadratic; deterministic, non-silent trade-off, None = exact)."""
     from db_lsh_spark.operators.text import (
         verify_substring_pairs,
         winnow_fingerprints,
@@ -964,14 +983,38 @@ def incremental_winnow_query(
         index_contents = index_docs.select("doc_id", "text").localCheckpoint(
             eager=True
         )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        index_fps = (
+            index_fps.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("fp").orderBy("doc_id")
+                ),
+            )
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        probe = batch_df.groupBy("doc_id").agg(F.max("text").alias("text"))
+        # materialized: probe feeds the fingerprint kernel, the contents
+        # union and the anti-join; cand feeds three joins inside
+        # verify_substring_pairs — lazy frames would re-run the kernel
+        # and the probe-index join per consumer (the recompute the batch
+        # lane localCheckpoints against, text.py)
+        probe = batch_df.groupBy("doc_id").agg(
+            F.max("text").alias("text")
+        ).localCheckpoint(eager=True)
         probe_fps = winnow_fingerprints(probe, w, k)
+        # no broadcast hint: an uncapped backlog batch can be arbitrarily
+        # large, and an explicit hint bypasses autoBroadcastJoinThreshold
+        # — let the planner decide, like the MinHash twin (code-review r5)
         cand = (
-            F.broadcast(probe_fps.withColumnRenamed("doc_id", "pid"))
+            probe_fps.withColumnRenamed("doc_id", "pid")
             .join(index_fps.withColumnRenamed("doc_id", "iid"), "fp")
             .where(F.col("pid") != F.col("iid"))
             .select(
@@ -979,7 +1022,7 @@ def incremental_winnow_query(
                 F.greatest("pid", "iid").alias("id_b"),
             )
             .dropDuplicates(["id_a", "id_b"])
-        )
+        ).localCheckpoint(eager=True)
         contents = probe.select("doc_id", "text").unionByName(
             index_contents.join(probe.select("doc_id"), "doc_id",
                                 "left_anti")

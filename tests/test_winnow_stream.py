@@ -114,6 +114,51 @@ def test_incremental_winnow_equals_batch_on_union(spark, docs, tmp_path):
     assert got == [(0, 1), (1, 5)]
 
 
+def test_relanded_doc_keeps_original_sketch(spark, docs, tmp_path):
+    """Doc-level first-write-wins (code-review r5): a re-landed doc_id
+    with CHANGED text must keep its ORIGINAL fingerprints — the (doc_id,
+    fp) merge key alone would append the new text's fps next to them, a
+    chimera sketch probing against content the store doesn't hold."""
+    index = docs.where(F.col("doc_id").isin([0, 2]))
+    store = StageStore(str(tmp_path / "idx"), "winnow-w8-k16")
+    fps0, _ = build_winnow_index_store(spark, index, store, w=8, k=16)
+    before = _fps_key(fps0)
+
+    relanded = index.select(
+        "doc_id",
+        F.concat(F.lit("entirely rewritten body "), "text").alias("text"),
+    ).unionByName(docs.where(F.col("doc_id") == 5).select("doc_id", "text"))
+    merged, _ = compact_winnow_index(spark, store, relanded, w=8, k=16,
+                                     merge_id="reland")
+    got = _fps_key(merged)
+    assert [(d, f) for d, f in got if d in (0, 2)] == before
+    assert {d for d, _ in got} == {0, 2, 5}
+    # contents stayed original too
+    texts = dict(store.read(spark, "winnow_contents")
+                 .toPandas().values.tolist())
+    orig = dict(index.toPandas()[["doc_id", "text"]].values.tolist())
+    assert texts[0] == orig[0] and texts[2] == orig[2]
+
+
+def test_fragment_names_injective(spark, docs, tmp_path):
+    """Distinct merge_ids that sanitize identically must land in distinct
+    fragment directories — an overwrite collision would silently destroy
+    the earlier batch's rows while both ids stay ledgered."""
+    index = docs.where(F.col("doc_id").isin([0, 2]))
+    store = StageStore(str(tmp_path / "idx"), "winnow-w8-k16")
+    build_winnow_index_store(spark, index, store, w=8, k=16)
+    b5 = docs.where(F.col("doc_id") == 5).select("doc_id", "text")
+    b6 = docs.where(F.col("doc_id") == 6).select("doc_id", "text")
+    compact_winnow_index(spark, store, b5, w=8, k=16, merge_id="batch.0")
+    merged, _ = compact_winnow_index(spark, store, b6, w=8, k=16,
+                                     merge_id="batch 0")
+    frags = store._manifest("winnow_fps")["fragments"]
+    assert len(frags) == len(set(frags)) == 2
+    # both batches' docs survive in the index
+    assert {d for d, _ in _fps_key(merged)} == {0, 2, 5, 6}
+    assert sorted(store.merged_ids("winnow_fps")) == ["batch 0", "batch.0"]
+
+
 def test_incremental_winnow_requires_index(spark, docs, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(
         str(tmp_path))

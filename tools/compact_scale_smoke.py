@@ -114,8 +114,12 @@ def main() -> None:
         "bands_rows": n_bands,
         "contents_rows": n_contents,
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/text_compact_scale.json", "w") as f:
+    # anchor to the repo root, not the cwd — run from anywhere
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"
+    )
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "text_compact_scale.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     spark.stop()

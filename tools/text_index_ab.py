@@ -107,8 +107,11 @@ def main() -> None:
         "n_pairs": pair_counts.pop(),
         "outputs_identical": True,
     }
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/text_index_ab.json", "w") as f:
+    bench_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"
+    )
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "text_index_ab.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
     spark.stop()
