@@ -131,12 +131,66 @@ def rolling_window_hashes(text: str, k: int = ROLLING_K):
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     kk = min(k, n)
-    pw = ROLLING_POWERS[k - kk:]  # tail: B^(kk-1-j) mod M
+    # the precomputed table covers the default window; any other k (the
+    # verify prefilter hashes min_lcs-length windows) derives its own
+    powers = (
+        ROLLING_POWERS
+        if k == ROLLING_K
+        else [pow(ROLLING_BASE, k - 1 - j, ROLLING_MOD) for j in range(k)]
+    )
+    pw = powers[k - kk:]  # tail: B^(kk-1-j) mod M
     nw = n - kk + 1
     h = np.zeros(nw, dtype=np.int64)
     for j in range(kk):
         h += (cps[j:j + nw] * pw[j]) % M
     return h % M
+
+
+def rolling_window_hashes_batch(texts, k: int = ROLLING_K):
+    """Per-text window-hash arrays for a whole Arrow batch at once —
+    equivalent to ``[rolling_window_hashes(t, k) for t in texts]`` (and
+    property-tested as such) but the O(k) vectorized passes run over the
+    batch's CONCATENATED codepoints, so per-pass NumPy overhead is paid
+    once per batch instead of once per document (the per-doc loop was the
+    winnow lane's profile hotspot: thousands of ~2 KB docs → thousands of
+    tiny vector ops). Windows crossing document boundaries are computed
+    and discarded (k−1 wasted lanes per boundary — negligible).
+    ``None``/NaN entries yield ``None``; docs shorter than ``k`` fall back
+    to the per-doc kernel (different power-table alignment)."""
+    import numpy as np
+
+    M = ROLLING_MOD
+    powers = (
+        ROLLING_POWERS
+        if k == ROLLING_K
+        else [pow(ROLLING_BASE, k - 1 - j, ROLLING_MOD) for j in range(k)]
+    )
+    out: list = [None] * len(texts)
+    chunks, spans = [], []  # spans: (out_idx, global_off, n_cps)
+    off = 0
+    for i, t in enumerate(texts):
+        if t is None or isinstance(t, float):
+            continue
+        cps = np.frombuffer(
+            t.encode("utf-32-le", errors="surrogatepass"), dtype=np.uint32
+        ).astype(np.int64)
+        if len(cps) < k:
+            out[i] = rolling_window_hashes(t, k)
+            continue
+        chunks.append(cps)
+        spans.append((i, off, len(cps)))
+        off += len(cps)
+    if not chunks:
+        return out
+    cat = np.concatenate(chunks)
+    nw = len(cat) - k + 1
+    h = np.zeros(nw, dtype=np.int64)
+    for j in range(k):
+        h += (cat[j:j + nw] * powers[j]) % M
+    h %= M
+    for i, o, n in spans:
+        out[i] = h[o:o + n - k + 1]
+    return out
 
 
 def rolling_fp_batch(texts, k: int = ROLLING_K):
@@ -147,14 +201,10 @@ def rolling_fp_batch(texts, k: int = ROLLING_K):
     (B^(len-1-j) = ROLLING_POWERS[K-len+j]); empty text → 0; NULL text
     null-propagates (returns None, matching the SQL oracle's CASE over a
     NULL length)."""
-    out = []
-    for t in texts:
-        if t is None or (isinstance(t, float)):  # None / pandas NaN
-            out.append(None)
-            continue
-        h = rolling_window_hashes(t, k)
-        out.append(int(h.min()) if len(h) else 0)
-    return out
+    return [
+        None if h is None else (int(h.min()) if len(h) else 0)
+        for h in rolling_window_hashes_batch(texts, k)
+    ]
 
 
 def rolling_fingerprint(docs: DataFrame) -> DataFrame:
@@ -217,13 +267,20 @@ def winnow_fingerprints(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            texts = [
+                None if (t is None or isinstance(t, float) or len(t) < k)
+                else t
+                for t in pdf["text"]
+            ]
             ids, fps = [], []
-            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                if t is None or isinstance(t, float) or len(t) < k:
+            for doc_id, hs in zip(
+                pdf["doc_id"], rolling_window_hashes_batch(texts, k)
+            ):
+                if hs is None:
                     continue
-                hs = np.unique(rolling_window_hashes(t, k))[:w]
-                ids.append(np.full(len(hs), doc_id, dtype=np.int64))
-                fps.append(hs)
+                u = np.unique(hs)[:w]
+                ids.append(np.full(len(u), doc_id, dtype=np.int64))
+                fps.append(u)
             if not ids:
                 continue
             yield pd.DataFrame(
@@ -269,6 +326,53 @@ def window_substrings(docs: DataFrame, length: int) -> DataFrame:
     return docs.select("doc_id", F.explode(win).alias("w"))
 
 
+def window_hashes(docs: DataFrame, length: int) -> DataFrame:
+    """(doc_id, h): the DISTINCT Rabin-Karp hashes of every
+    ``length``-codepoint window of each document — the slim twin of
+    ``window_substrings`` for the verify prefilter. One O(n) NumPy
+    recurrence per doc (``rolling_window_hashes``) instead of
+    materializing n·L characters of window strings, and the join key it
+    feeds is an int64 instead of an L-char string — ~L× less shuffle.
+    Docs shorter than ``length`` emit nothing (same contract as
+    ``window_substrings``); NULL text emits nothing."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("h", LongType(), False),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [
+                None if (t is None or isinstance(t, float) or len(t) < length)
+                else t
+                for t in pdf["text"]
+            ]
+            ids, hs = [], []
+            for doc_id, wh in zip(
+                pdf["doc_id"], rolling_window_hashes_batch(texts, length)
+            ):
+                if wh is None:
+                    continue
+                u = np.unique(wh)
+                ids.append(np.full(len(u), doc_id, dtype=np.int64))
+                hs.append(u)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {"doc_id": np.concatenate(ids), "h": np.concatenate(hs)}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
+
+
 def winnow_near_dup_pairs(
     docs: DataFrame,
     w: int = 8,
@@ -276,7 +380,7 @@ def winnow_near_dup_pairs(
     k: int = ROLLING_K,
     max_bucket: int | None = None,
     lcs_cap: int | None = None,
-    verify: str = "window_join",
+    verify: str = "hash_join",
 ) -> DataFrame:
     """Substring-level near-duplicate pairs the MinHash lane cannot see
     (VERDICT r04 #2): two documents sharing a long VERBATIM span (a lifted
@@ -295,16 +399,23 @@ def winnow_near_dup_pairs(
     trade-off, tuned by ``w``. ``min_lcs`` must be >= k (shorter spans
     produce no shared full window, so candidates cannot exist).
 
-    Verification (both EXACT — "LCS >= L" is definitionally "shares an
+    Verification (all EXACT — "LCS >= L" is definitionally "shares an
     L-codepoint substring"):
-    - ``verify="window_join"`` (default): explode candidate docs' distinct
+    - ``verify="hash_join"`` (default): equi-join the candidate docs'
+      distinct L-window Rabin-Karp HASHES (one O(n) NumPy recurrence per
+      doc, int64 join keys — ~L× less shuffle than window strings), then
+      confirm the small survivor set with the collision-free suffix-array
+      LCS. Exact: completeness from the prefilter (equal spans ⟹ equal
+      hashes), soundness from the confirm. Fastest measured
+      (BENCH/winnow_ab.json).
+    - ``verify="window_join"``: explode candidate docs' distinct
       L-windows (``window_substrings``, pure JVM) and equi-join on the
       window string — per-doc work is done ONCE per doc instead of once
       per pair, and the whole verify stays in whole-stage codegen.
-      Measured 10×+ faster at sf0.1 (78k candidate pairs).
+      Measured 10×+ faster than per-pair LCS at sf0.1 (78k cand pairs).
     - ``verify="lcs"``: per-pair suffix-array LCS (``functions.suffix``),
       the north_rule's substring-matching kernel — equivalence-tested
-      against the join path, and the one to use when texts may carry
+      against the join paths, and the one to use when texts may carry
       unpaired surrogates via createDataFrame (the JVM path's UTF-8
       conversion replaces them).
 
@@ -316,7 +427,7 @@ def winnow_near_dup_pairs(
     if min_lcs < k:
         raise ValueError(f"min_lcs {min_lcs} < window size {k}: spans "
                          "shorter than one window generate no candidates")
-    if verify not in ("window_join", "lcs"):
+    if verify not in ("hash_join", "window_join", "lcs"):
         raise ValueError(f"unknown verify mode {verify!r}")
     fps = winnow_fingerprints(docs, w, k)
     if max_bucket is not None:
@@ -351,7 +462,7 @@ def verify_substring_pairs(
     docs: DataFrame,
     min_lcs: int,
     lcs_cap: int | None = None,
-    verify: str = "window_join",
+    verify: str = "hash_join",
 ) -> DataFrame:
     """EXACT shared-substring verification of candidate (id_a, id_b)
     pairs against a (doc_id, text) frame — the winnow lane's verify stage,
@@ -359,7 +470,7 @@ def verify_substring_pairs(
     stream paths cannot diverge. Keeps pairs whose texts share a verbatim
     span of >= ``min_lcs`` codepoints; modes documented on
     ``winnow_near_dup_pairs``."""
-    if verify not in ("window_join", "lcs"):
+    if verify not in ("hash_join", "window_join", "lcs"):
         raise ValueError(f"unknown verify mode {verify!r}")
     # verify: candidate contents only (never the corpus)
     cand_ids = (
@@ -368,6 +479,45 @@ def verify_substring_pairs(
         .distinct()
     )
     needed = docs.select("doc_id", "text").join(cand_ids, "doc_id", "left_semi")
+
+    if verify == "hash_join":
+        # Two-stage exact verify. Stage 1 (prefilter, complete by
+        # construction): a shared span of >= min_lcs codepoints contains a
+        # shared min_lcs-window, whose Rabin-Karp hashes are equal — so
+        # joining the docs' distinct window HASHES (int64, one O(n) NumPy
+        # recurrence per doc) finds every true pair while shuffling ~L×
+        # less than the window-string join. Stage 2 (exactness): the hash
+        # is 31-bit, so the survivor set — |cand| · (windows/doc)²/2³¹
+        # expected spurious pairs, a few hundred at sf0.1 — is confirmed
+        # by the suffix-array LCS path, which is collision-free.
+        # Measured 2.5-3× faster than window_join at sf0.1 (78k candidate
+        # pairs, BENCH/winnow_ab.json).
+        if lcs_cap is not None:
+            # cap BEFORE hashing so the prefilter and the LCS confirm see
+            # the same truncated texts (window_join cap semantics)
+            pre = needed.select(
+                "doc_id", F.substring("text", 1, lcs_cap).alias("text")
+            )
+        else:
+            pre = needed
+        sub = window_hashes(pre, min_lcs)
+        sa = sub.select(F.col("doc_id").alias("id_a"), "h")
+        sb = sub.select(F.col("doc_id").alias("id_b"), "h")
+        shared = (
+            sa.join(sb, "h")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        # lineage-cut: the LCS confirm consumes survivors three times
+        # (two cand_id branches + the content join) — without the cut the
+        # hash join above would recompute per consumer
+        survivors = cand.join(
+            shared, ["id_a", "id_b"], "left_semi"
+        ).localCheckpoint(eager=True)
+        return verify_substring_pairs(
+            survivors, needed, min_lcs, lcs_cap=lcs_cap, verify="lcs"
+        )
 
     if verify == "window_join":
         if lcs_cap is not None:

@@ -119,13 +119,32 @@ def test_min_lcs_below_window_rejected(spark, planted):
 
 
 def test_verify_modes_equivalent(spark):
-    """window_join and suffix-array LCS verifies are the same predicate
-    ("LCS >= L" ⟺ "shares an L-window") — must agree exactly."""
+    """hash_join, window_join and suffix-array LCS verifies are the same
+    predicate ("LCS >= L" ⟺ "shares an L-window") — must agree exactly."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     key = lambda df: sorted(map(tuple, df[["id_a", "id_b"]].values.tolist()))
     wj = winnow_near_dup_pairs(docs, verify="window_join").toPandas()
     lcs = winnow_near_dup_pairs(docs, verify="lcs").toPandas()
-    assert key(wj) == key(lcs) and len(wj) > 0
+    hj = winnow_near_dup_pairs(docs, verify="hash_join").toPandas()
+    assert key(wj) == key(lcs) == key(hj) and len(wj) > 0
+
+
+def test_batch_rolling_kernel_matches_per_doc():
+    """rolling_window_hashes_batch is the concatenated-batch rendition of
+    the per-doc kernel — identical arrays for every text shape: empty,
+    shorter than k (tail-power fallback), exactly k, long, None/NaN, and
+    for a non-default k (the verify prefilter's min_lcs windows)."""
+    from db_lsh_spark.operators.text import rolling_window_hashes_batch
+
+    texts = ["", "ab", "x" * ROLLING_K, PARA, None, float("nan"),
+             "y" * (ROLLING_K - 1), PARA * 3]
+    for k in (ROLLING_K, 32):
+        got = rolling_window_hashes_batch(texts, k)
+        for t, g in zip(texts, got):
+            if t is None or isinstance(t, float):
+                assert g is None
+            else:
+                np.testing.assert_array_equal(g, rolling_window_hashes(t, k))
 
 
 def test_unknown_verify_mode_rejected(spark, planted):
