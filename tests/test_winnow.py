@@ -150,3 +150,38 @@ def test_batch_rolling_kernel_matches_per_doc():
 def test_unknown_verify_mode_rejected(spark, planted):
     with pytest.raises(ValueError, match="verify"):
         winnow_near_dup_pairs(planted, verify="nope")
+
+
+# Two DIFFERENT 32-char windows with the SAME 31-bit Rabin-Karp hash
+# (mined offline by birthday search over the real kernel — verified in
+# the test body, so a kernel change that breaks the collision fails
+# loudly instead of testing nothing).
+_COLLIDE_A = "wswspmxtnangpvmrbgkzgjwidchrztay"
+_COLLIDE_B = "qhsqneicburkgsotcflehzqeoqnlvyxl"
+
+
+def test_hash_join_survivor_confirm_rejects_collisions(spark):
+    """Exactness of the hash_join verify under a TRUE hash collision: two
+    docs whose only shared window HASH comes from different window TEXTS
+    survive the int64 prefilter but must be rejected by the suffix-array
+    confirm — while a genuinely shared span still passes."""
+    ha = rolling_window_hashes(_COLLIDE_A, 32)
+    hb = rolling_window_hashes(_COLLIDE_B, 32)
+    assert int(ha[0]) == int(hb[0]) and _COLLIDE_A != _COLLIDE_B
+
+    docs = spark.createDataFrame(
+        [
+            (0, "left filler text then " + _COLLIDE_A + " and a tail"),
+            (1, "other beginning here " + _COLLIDE_B + " different end"),
+            (2, "left filler text then " + _COLLIDE_A + " other suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2)], "id_a long, id_b long"
+    )
+    got = text_ops.verify_substring_pairs(
+        cand, docs, min_lcs=32, verify="hash_join"
+    ).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert pairs == {(0, 2)}  # collision pair (0,1) rejected by confirm
