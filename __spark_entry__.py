@@ -269,6 +269,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dedup_clusters"] = _dedup_clusters
 
+    # ---- canonical selection (operators/selection.py) ----
+    # the keep/drop decision after clustering: keep the longest member of
+    # each cluster (tie-break min doc_id), emit the drop list with its
+    # kept-doc lineage, and the one-row savings census
+    def _keep_list(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import dedup_clusters
+        from db_lsh_spark.operators.selection import keep_list
+
+        docs = _docs(s, d)
+        assign = dedup_clusters(s, docs, DOC_DEDUP_CFG)
+        return keep_list(docs, assign)
+
+    q["doc_dedup_keep_list"] = _keep_list
+
+    def _dedup_savings(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import dedup_clusters
+        from db_lsh_spark.operators.selection import dedup_savings
+
+        docs = _docs(s, d)
+        assign = dedup_clusters(s, docs, DOC_DEDUP_CFG)
+        return dedup_savings(docs, assign)
+
+    q["doc_dedup_savings"] = _dedup_savings
+
     # ---- repo-level duplication analysis (operators/repo_analysis.py) ----
     # documents.source plays the repo role: the consumer-facing census of
     # which dup clusters span sources and how much of each source is copied
@@ -838,6 +862,46 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 6) AS dup_ratio
         FROM labels l JOIN spread s USING (cluster_id)
         GROUP BY l.source
+    """
+    # canonical selection: total assignment + codepoint lengths, keeper =
+    # row_number 1 by (n_chars DESC, doc_id ASC) — the SQL mirror of
+    # selection.py's max(struct(n_chars, -doc_id)) policy
+    _keeper_cte = f"""
+        {_closure_ctes},
+        scored AS (
+            SELECT d.doc_id, COALESCE(r.cluster_id, d.doc_id) AS cluster_id,
+                   COALESCE(length(d.text), 0)::BIGINT AS n_chars
+            FROM documents d
+            LEFT JOIN (SELECT node, min(label) AS cluster_id
+                       FROM reach GROUP BY node) r ON d.doc_id = r.node
+        ),
+        keepers AS (
+            SELECT cluster_id, doc_id AS kept_doc_id
+            FROM (SELECT cluster_id, doc_id,
+                         row_number() OVER (
+                             PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id ASC) AS rk
+                  FROM scored)
+            WHERE rk = 1
+        )"""
+    sql["doc_dedup_keep_list"] = f"""
+        {_keeper_cte}
+        SELECT s.doc_id, s.cluster_id, k.kept_doc_id
+        FROM scored s JOIN keepers k USING (cluster_id)
+        WHERE s.doc_id != k.kept_doc_id
+    """
+    sql["doc_dedup_savings"] = f"""
+        {_keeper_cte}
+        SELECT count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN s.doc_id != k.kept_doc_id
+                   THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+               sum(s.n_chars)::BIGINT AS chars_total,
+               sum(CASE WHEN s.doc_id != k.kept_doc_id
+                   THEN s.n_chars ELSE 0 END)::BIGINT AS chars_dropped,
+               round(sum(CASE WHEN s.doc_id != k.kept_doc_id
+                         THEN s.n_chars ELSE 0 END)::DOUBLE
+                     / sum(s.n_chars), 6) AS chars_dropped_frac
+        FROM scored s JOIN keepers k USING (cluster_id)
     """
     sql["emb_norms"] = """
         SELECT vec_id,

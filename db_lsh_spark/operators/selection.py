@@ -1,0 +1,127 @@
+"""Canonical selection over dedup clusters — the keep/drop decision a
+training-data pipeline takes after clustering.
+
+The reference stops at cluster/result emission (Query.cpp:123-164 writes
+per-query result sets); choosing WHICH member of each duplicate cluster
+survives is the task-addendum consumer step every LLM-data pipeline runs
+next, so the contract here is the DuckDB oracle twin
+(``doc_dedup_keep_list`` / ``doc_dedup_savings`` in ``__spark_entry__``),
+not a reference file.
+
+Policy (deterministic, engine-independent): within each cluster keep the
+LONGEST document (codepoint length, NULL text counts 0), tie-break the
+smallest id. Computed as a partial-aggregatable ``max(struct(n_chars,
+-id))`` groupBy — NOT a per-cluster window sort — so a 10^8-member
+mega-cluster (the sha256 / vendored-dir skew case this engine caps
+everywhere else) costs one map-side combine per partition plus one
+cluster-count-sized reduce, never a single-task sort of the whole
+cluster. All frames are slim (id, cluster_id, n_chars) projections;
+content is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _with_len(
+    docs: DataFrame, assign: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """assign ⋈ per-doc codepoint length → (id, cluster_id, n_chars).
+
+    ``F.length`` counts codepoints, matching DuckDB ``length(text)`` — the
+    same parity contract ``doc_stats`` established.
+    """
+    lens = docs.select(
+        F.col(id_col),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return assign.join(lens, id_col)
+
+
+def canonical_keepers(
+    docs: DataFrame,
+    assign: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(cluster_id, kept_<id_col>): argmax by (n_chars, -id) per cluster.
+
+    ``assign`` is a total assignment (every doc has a cluster_id;
+    singletons map to themselves, as ``dedup_clusters`` /
+    ``assignments_with_singletons`` emit). max(struct) is
+    partial-aggregatable: Spark combines map-side, so the shuffle carries
+    one candidate row per (partition, cluster), not per member.
+    """
+    scored = _with_len(docs, assign, text_col, id_col)
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col(id_col)).alias("neg_id"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias(f"kept_{id_col}"),
+        )
+    )
+
+
+def keep_list(
+    docs: DataFrame,
+    assign: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop list: (<id_col>, cluster_id, kept_<id_col>) for every
+    non-canonical member of a size ≥ 2 cluster.
+
+    Singleton clusters (id == cluster representative, the only member)
+    never produce a row: the single member IS the keeper. The join is on
+    cluster_id with a cluster-count-sized right side — broadcastable when
+    small, plain shuffle-hash when not; either way no content moves.
+    """
+    keep = canonical_keepers(docs, assign, text_col, id_col)
+    kept_col = f"kept_{id_col}"
+    return (
+        assign.join(keep, "cluster_id")
+        .where(F.col(id_col) != F.col(kept_col))
+        .select(id_col, "cluster_id", kept_col)
+    )
+
+
+def dedup_savings(
+    docs: DataFrame,
+    assign: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row census of what the keep-list removes: doc and codepoint
+    totals plus the dropped fraction — the "how much smaller is my
+    training set" number. Pure aggregation over the slim scored frame;
+    a single map-side-combined pass at any scale.
+    """
+    keep = canonical_keepers(docs, assign, text_col, id_col)
+    kept_col = f"kept_{id_col}"
+    flagged = _with_len(docs, assign, text_col, id_col).join(
+        keep, "cluster_id"
+    ).withColumn(
+        "is_drop", (F.col(id_col) != F.col(kept_col)).cast("long")
+    )
+    return flagged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_drop").alias("n_dropped"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum(F.col("n_chars") * F.col("is_drop")).alias("chars_dropped"),
+        F.round(
+            F.sum(F.col("n_chars") * F.col("is_drop"))
+            / F.sum("n_chars"),
+            6,
+        ).alias("chars_dropped_frac"),
+    )

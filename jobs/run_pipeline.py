@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None) -> None:
                         "cluster spans other repos")
     p.add_argument("--vendored-depth", type=int, default=2,
                    help="path segments that define a directory")
+    p.add_argument("--keep-list", action="store_true",
+                   help="also write the canonical keep/drop decision to "
+                        "<output>/keep_list (file_id, cluster_id, "
+                        "kept_file_id for every dropped file; keeper = "
+                        "longest content, tie-break min file_id) plus a "
+                        "savings census in the summary")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -153,6 +159,28 @@ def main(argv: list[str] | None = None) -> None:
             ).count(),
             "report_sec": round(time.monotonic() - t_rep, 2),
         }
+    keep_report: dict | None = None
+    if args.keep_list:
+        from db_lsh_spark.operators.selection import dedup_savings, keep_list
+
+        t_keep = time.monotonic()
+        # read-back, same rationale as --repo-report: a slim parquet scan
+        # of the just-written assignment beats re-deriving the CC lineage
+        assign = spark.read.parquet(f"{args.output}/clusters").select(
+            "file_id", "cluster_id"
+        )
+        drops = keep_list(files, assign, text_col="content",
+                          id_col="file_id")
+        drops.write.mode("overwrite").parquet(f"{args.output}/keep_list")
+        sav = dedup_savings(files, assign, text_col="content",
+                            id_col="file_id").collect()[0]
+        keep_report = {
+            "n_dropped": sav["n_dropped"],
+            "chars_total": sav["chars_total"],
+            "chars_dropped": sav["chars_dropped"],
+            "chars_dropped_frac": sav["chars_dropped_frac"],
+            "keep_list_sec": round(time.monotonic() - t_keep, 2),
+        }
     summary = {
         "n_files": n_files,
         "n_dup_assignments": n_dup,
@@ -167,6 +195,7 @@ def main(argv: list[str] | None = None) -> None:
         "target_pairs": target_pairs,
         "widening_rounds": out.widen_stats,
         "repo_report": repo_report,
+        "keep_list": keep_report,
     }
     print(json.dumps(summary))
     spark.stop()

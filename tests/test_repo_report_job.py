@@ -39,7 +39,7 @@ def test_spark_submit_repo_report(corpus_dir, tmp_path):
             os.path.join(REPO, "jobs", "run_pipeline.py"),
             "--input", corpus_dir, "--output", out_dir,
             "--repo-report", "--vendored-min-files", "1",
-            "--vendored-depth", "2",
+            "--vendored-depth", "2", "--keep-list",
         ],
         capture_output=True, text=True, timeout=900, cwd=REPO,
     )
@@ -62,3 +62,17 @@ def test_spark_submit_repo_report(corpus_dir, tmp_path):
     vend = vendored[vendored.dir.str.startswith("vendor/")]
     assert len(vend) >= 1, f"no vendor/ dirs surfaced:\n{vendored}"
     assert (vend.n_peer_repos >= 1).any()
+
+    # --keep-list: drop rows reconcile exactly with the written clusters —
+    # every size-k cluster drops k-1 files, keepers are cluster members,
+    # and the summary census matches the parquet
+    drops = pd.read_parquet(os.path.join(out_dir, "keep_list"))
+    sizes = clusters.groupby("cluster_id").size()
+    assert len(drops) == int((sizes - 1).sum())
+    assert summary["keep_list"]["n_dropped"] == len(drops)
+    assert summary["keep_list"]["chars_total"] == int(
+        files.content.fillna("").str.len().sum()
+    )
+    member = clusters.set_index("file_id").cluster_id
+    assert (drops.kept_file_id.map(member) == drops.cluster_id).all()
+    assert not drops.file_id.isin(drops.kept_file_id).any()

@@ -1,0 +1,98 @@
+"""Canonical keep-list selection (operators/selection.py): policy edges a
+hand-built table pins exactly, plus a DuckDB window-function oracle over
+the planted-duplicate fixture's golden clusters."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from db_lsh_spark.operators.selection import (
+    canonical_keepers,
+    dedup_savings,
+    keep_list,
+)
+
+
+def _frames(spark, rows):
+    docs_pd = pd.DataFrame(rows, columns=["doc_id", "text", "cluster_id"])
+    docs = spark.createDataFrame(docs_pd[["doc_id", "text"]])
+    assign = spark.createDataFrame(docs_pd[["doc_id", "cluster_id"]])
+    return docs, assign
+
+
+def test_policy_edges(spark):
+    """Longest wins; equal lengths tie-break min doc_id; NULL text counts
+    as 0 chars; singleton clusters emit no drop row."""
+    rows = [
+        # cluster 0: 3 members, lengths 5 / 9 / 9 → keeper 2 (longest tie,
+        # min id among the two 9s)
+        (1, "aaaaa", 0),
+        (2, "bbbbbbbbb", 0),
+        (3, "ccccccccc", 0),
+        # cluster 10: NULL text (0 chars) vs 1 char → keeper 11
+        (10, None, 10),
+        (11, "x", 10),
+        # singleton
+        (20, "solo", 20),
+    ]
+    docs, assign = _frames(spark, rows)
+    keep = {
+        r["cluster_id"]: r["kept_doc_id"]
+        for r in canonical_keepers(docs, assign).collect()
+    }
+    assert keep == {0: 2, 10: 11, 20: 20}
+
+    drops = keep_list(docs, assign).toPandas().sort_values("doc_id")
+    assert drops["doc_id"].tolist() == [1, 3, 10]
+    assert drops["kept_doc_id"].tolist() == [2, 2, 11]
+
+    sav = dedup_savings(docs, assign).collect()[0]
+    assert sav["n_docs"] == 6
+    assert sav["n_dropped"] == 3
+    assert sav["chars_total"] == 5 + 9 + 9 + 0 + 1 + 4
+    assert sav["chars_dropped"] == 5 + 9 + 0
+    assert abs(sav["chars_dropped_frac"] - round(14 / 28, 6)) < 1e-9
+
+
+def test_keep_list_matches_duckdb_window_oracle(spark, fixture_small):
+    """Same drop list as row_number() OVER (ORDER BY length DESC, id ASC)
+    on the golden cluster assignment of the 400-file planted fixture."""
+    files_pd = fixture_small.files[["file_id", "content"]]
+    clusters_pd = fixture_small.golden_clusters
+    docs = spark.createDataFrame(files_pd)
+    assign = spark.createDataFrame(clusters_pd)
+
+    got = (
+        keep_list(docs, assign, text_col="content", id_col="file_id")
+        .toPandas()
+        .sort_values("file_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("files", files_pd)
+    con.register("assign", clusters_pd)
+    exp = con.execute(
+        """
+        WITH scored AS (
+            SELECT a.file_id, a.cluster_id,
+                   COALESCE(length(f.content), 0)::BIGINT AS n_chars
+            FROM assign a JOIN files f USING (file_id)
+        ),
+        keepers AS (
+            SELECT cluster_id, file_id AS kept_file_id
+            FROM (SELECT cluster_id, file_id,
+                         row_number() OVER (
+                             PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, file_id ASC) AS rk
+                  FROM scored)
+            WHERE rk = 1
+        )
+        SELECT s.file_id, s.cluster_id, k.kept_file_id
+        FROM scored s JOIN keepers k USING (cluster_id)
+        WHERE s.file_id != k.kept_file_id
+        ORDER BY s.file_id
+        """
+    ).df()
+    assert len(got) > 0, "planted fixture must produce drops"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
