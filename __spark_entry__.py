@@ -438,6 +438,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _emb(s, d), 0.45, ANN_CFG
     )
 
+    # vector keep-list: canonical member per cosine dedup cluster = the
+    # max-L2-norm vector (pre-rounded norms so FP ulps can't flip the
+    # argmax), tie-break min vec_id — the score-generic twin of
+    # doc_dedup_keep_list
+    def _emb_keep_list(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import keep_list_by_score
+
+        emb = _emb(s, d)
+        assign = ann_ops.cosine_dedup_clusters(emb, 0.45, ANN_CFG).select(
+            F.col("vec_id"), "cluster_id"
+        )
+        return keep_list_by_score(
+            assign, ann_ops.norms(emb), id_col="vec_id", score_col="l2_norm"
+        )
+
+    q["emb_dedup_keep_list"] = _emb_keep_list
+
     # ---- generic operator lane (TPC-H-ish tables; SURVEY §2.3/2.4/2.6) ----
     def _q1(s: SparkSession, d: str) -> DataFrame:
         li = _t(s, d, "lineitem")
@@ -1069,6 +1086,55 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT min(label) AS cluster_id, node AS vec_id
         FROM reach GROUP BY node
+    """
+    # vector keep-list: the same cosine closure, keeper = max rounded
+    # L2 norm (tie-break min vec_id) — the window twin of
+    # selection.keep_list_by_score over ann.norms
+    sql["emb_dedup_keep_list"] = """
+        WITH RECURSIVE u AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_aggregate(
+                           list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))) AS e
+            FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e), 6) >= 0.45
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM p
+            UNION SELECT id_b, id_a FROM p
+        ),
+        reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.node
+        ),
+        assign AS (
+            SELECT min(label) AS cluster_id, node AS vec_id
+            FROM reach GROUP BY node
+        ),
+        scored AS (
+            SELECT a.vec_id, a.cluster_id,
+                   round(sqrt(list_aggregate(
+                       list_transform(m.embedding::DOUBLE[], x -> x * x),
+                       'sum')), 6) AS l2_norm
+            FROM assign a JOIN embeddings m USING (vec_id)
+        ),
+        keepers AS (
+            SELECT cluster_id, vec_id AS kept_vec_id
+            FROM (SELECT cluster_id, vec_id,
+                         row_number() OVER (
+                             PARTITION BY cluster_id
+                             ORDER BY l2_norm DESC, vec_id ASC) AS rk
+                  FROM scored)
+            WHERE rk = 1
+        )
+        SELECT s.vec_id, s.cluster_id, k.kept_vec_id
+        FROM scored s JOIN keepers k USING (cluster_id)
+        WHERE s.vec_id != k.kept_vec_id
     """
     sql["tpch_q1"] = """
         SELECT l_returnflag, l_linestatus,

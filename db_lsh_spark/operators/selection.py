@@ -41,6 +41,60 @@ def _with_len(
     return assign.join(lens, id_col)
 
 
+def keepers_by_score(
+    assign: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """(cluster_id, kept_<id_col>): argmax by (score, -id) per cluster,
+    for any per-item score frame (id, score).
+
+    max(struct) is partial-aggregatable: Spark combines map-side, so the
+    shuffle carries one candidate row per (partition, cluster), not per
+    member — a sha/vendored mega-cluster never funnels through one sort.
+    Scores meant to match a SQL oracle should be pre-rounded (the norms /
+    length frames here already are) so FP ulps can't flip the argmax.
+    """
+    scored = assign.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("_score")),
+        id_col,
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_score"),
+                    (-F.col(id_col)).alias("neg_id"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias(f"kept_{id_col}"),
+        )
+    )
+
+
+def keep_list_by_score(
+    assign: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Drop list under an arbitrary score: (<id_col>, cluster_id,
+    kept_<id_col>) for every non-argmax member. Same join shape as
+    ``keep_list`` — cluster-count-sized keeper side, no payload moves."""
+    keep = keepers_by_score(assign, scores, id_col, score_col)
+    kept_col = f"kept_{id_col}"
+    return (
+        assign.join(keep, "cluster_id")
+        .where(F.col(id_col) != F.col(kept_col))
+        .select(id_col, "cluster_id", kept_col)
+    )
+
+
 def canonical_keepers(
     docs: DataFrame,
     assign: DataFrame,
@@ -51,26 +105,15 @@ def canonical_keepers(
 
     ``assign`` is a total assignment (every doc has a cluster_id;
     singletons map to themselves, as ``dedup_clusters`` /
-    ``assignments_with_singletons`` emit). max(struct) is
-    partial-aggregatable: Spark combines map-side, so the shuffle carries
-    one candidate row per (partition, cluster), not per member.
+    ``assignments_with_singletons`` emit).
     """
-    scored = _with_len(docs, assign, text_col, id_col)
-    return (
-        scored.groupBy("cluster_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("n_chars"),
-                    (-F.col(id_col)).alias("neg_id"),
-                )
-            ).alias("best")
-        )
-        .select(
-            "cluster_id",
-            (-F.col("best.neg_id")).alias(f"kept_{id_col}"),
-        )
+    lens = docs.select(
+        F.col(id_col),
+        F.coalesce(F.length(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_chars"),
     )
+    return keepers_by_score(assign, lens, id_col=id_col, score_col="n_chars")
 
 
 def keep_list(

@@ -11,6 +11,7 @@ from db_lsh_spark.operators.selection import (
     canonical_keepers,
     dedup_savings,
     keep_list,
+    keep_list_by_score,
 )
 
 
@@ -53,6 +54,28 @@ def test_policy_edges(spark):
     assert sav["chars_total"] == 5 + 9 + 9 + 0 + 1 + 4
     assert sav["chars_dropped"] == 5 + 9 + 0
     assert abs(sav["chars_dropped_frac"] - round(14 / 28, 6)) < 1e-9
+
+
+def test_keep_list_by_score_policy(spark):
+    """Generic scorer: max score wins, equal scores tie-break min id —
+    the vector-lane policy (emb_dedup_keep_list uses rounded L2 norms)."""
+    assign = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2, 3, 7, 8], "cluster_id": [0, 0, 0, 7, 7]})
+    )
+    scores = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [1, 2, 3, 7, 8], "l2_norm": [2.5, 9.0, 9.0, 1.0, 1.0]}
+        )
+    )
+    drops = (
+        keep_list_by_score(assign, scores, id_col="vec_id", score_col="l2_norm")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    # cluster 0: keeper 2 (norm tie 9.0 between 2 and 3 → min id);
+    # cluster 7: keeper 7 (tie → min id)
+    assert drops["vec_id"].tolist() == [1, 3, 8]
+    assert drops["kept_vec_id"].tolist() == [2, 2, 7]
 
 
 def test_keep_list_matches_duckdb_window_oracle(spark, fixture_small):
