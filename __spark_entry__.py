@@ -293,6 +293,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dedup_savings"] = _dedup_savings
 
+    # ---- ensemble dedup (documents.ensemble_*) ----
+    # the three detector families unioned with a consensus count, then CC
+    # over the union — the "any evidence" dedup pass a curation pipeline
+    # actually runs (each lane alone misses what another catches)
+    def _ensemble_pairs(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import ensemble_near_dup_pairs
+
+        return ensemble_near_dup_pairs(
+            _docs(s, d), DOC_DEDUP_CFG,
+            max_hamming=SIMHASH_MAX_HAMMING, n_bands=SIMHASH_BANDS,
+            winnow_w=WINNOW_W, min_lcs=WINNOW_MIN_LCS,
+        )
+
+    q["doc_ensemble_near_dup_pairs"] = _ensemble_pairs
+
+    def _ensemble_clusters(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import ensemble_dedup_clusters
+
+        assign = ensemble_dedup_clusters(
+            _docs(s, d), DOC_DEDUP_CFG,
+            max_hamming=SIMHASH_MAX_HAMMING, n_bands=SIMHASH_BANDS,
+            winnow_w=WINNOW_W, min_lcs=WINNOW_MIN_LCS,
+        )
+        sizes = assign.groupBy("cluster_id").agg(
+            F.count("*").alias("cluster_size")
+        )
+        return (
+            assign.join(sizes, "cluster_id")
+            .where(F.col("cluster_size") >= 2)
+            .select("cluster_id", "doc_id")
+        )
+
+    q["doc_ensemble_dedup_clusters"] = _ensemble_clusters
+
     # ---- repo-level duplication analysis (operators/repo_analysis.py) ----
     # documents.source plays the repo role: the consumer-facing census of
     # which dup clusters span sources and how much of each source is copied
@@ -805,6 +839,42 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_lsh_near_dup_pairs_seeded"] = _pairs_sql(
         "docs2", preamble=f"docs2 AS ({_dups_cte}), "
     )
+    # ensemble: the three lane oracles composed verbatim as subqueries —
+    # union all with lane tags, consensus count per pair; the clusters twin
+    # adds the same recursive min-reachable-id closure the single-lane
+    # cluster oracle uses (every edge-touching node's cluster has size >= 2
+    # by construction, matching the Spark query's size filter)
+    _ensemble_lanes = f"""
+        lanes AS (
+            SELECT id_a, id_b, 'jaccard' AS lane
+            FROM ({sql["doc_near_dup_pairs"]})
+            UNION ALL
+            SELECT id_a, id_b, 'simhash' AS lane
+            FROM ({sql["doc_simhash_near_dup_pairs"]})
+            UNION ALL
+            SELECT id_a, id_b, 'winnow' AS lane
+            FROM ({sql["doc_winnow_near_dup_pairs"]})
+        )"""
+    sql["doc_ensemble_near_dup_pairs"] = f"""
+        WITH {_ensemble_lanes}
+        SELECT id_a, id_b, count(DISTINCT lane)::INT AS n_lanes
+        FROM lanes GROUP BY 1, 2
+    """
+    sql["doc_ensemble_dedup_clusters"] = f"""
+        WITH RECURSIVE {_ensemble_lanes},
+        ep AS (SELECT DISTINCT id_a, id_b FROM lanes),
+        eedges AS (
+            SELECT id_a AS src, id_b AS dst FROM ep
+            UNION SELECT id_b, id_a FROM ep
+        ),
+        ereach(node, label) AS (
+            SELECT src, src FROM eedges
+            UNION
+            SELECT e.src, r.label FROM eedges e JOIN ereach r ON e.dst = r.node
+        )
+        SELECT min(label) AS cluster_id, node AS doc_id
+        FROM ereach GROUP BY node
+    """
     # clusters: connected components of the thresholded pair graph. At the
     # test threshold the components are stars around a base doc, but the
     # general recursive closure is expressed here (DuckDB recursive CTE

@@ -194,6 +194,90 @@ def simhash_near_dup_pairs(
     )
 
 
+def ensemble_near_dup_pairs(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    winnow_w: int = 8,
+    min_lcs: int = 32,
+) -> DataFrame:
+    """Consensus near-dup pairs across the three detector families →
+    (id_a, id_b, n_lanes), where ``n_lanes`` ∈ {1,2,3} counts how many
+    independent detectors flagged the pair:
+
+    - shingle-set Jaccard ≥ threshold (``lsh_near_dup_pairs``) — structural
+      rewrite similarity;
+    - SimHash Hamming ≤ ``max_hamming`` (``simhash_near_dup_pairs``) —
+      token-frequency similarity, order-insensitive;
+    - shared verbatim span ≥ ``min_lcs`` codepoints
+      (``text.winnow_near_dup_pairs``) — substring lift/vendoring the two
+      set-similarity lanes cannot see.
+
+    The reference scores one similarity at a time (a single (R,c)-NN
+    predicate per query, Query.cpp:76-123); a training-data dedup pass
+    wants the detectors' UNION with a consensus strength, which is what a
+    curation pipeline thresholds on ("drop n_lanes >= 2 pairs, review
+    n_lanes == 1").
+
+    Scale shape: each lane keeps its own short-circuits (sha256 rep
+    collapse, capped banded self-joins, bottom-w sketches) — this operator
+    adds one union + one pair-keyed groupBy over lane outputs that are
+    already output-linear. Nothing here re-touches content.
+    """
+    from db_lsh_spark.operators.text import winnow_near_dup_pairs
+
+    jac = lsh_near_dup_pairs(docs, cfg).select(
+        "id_a", "id_b", F.lit("jaccard").alias("lane")
+    )
+    sim = simhash_near_dup_pairs(docs, max_hamming, n_bands).select(
+        "id_a", "id_b", F.lit("simhash").alias("lane")
+    )
+    win = winnow_near_dup_pairs(docs, w=winnow_w, min_lcs=min_lcs).select(
+        "id_a", "id_b", F.lit("winnow").alias("lane")
+    )
+    return (
+        jac.unionByName(sim)
+        .unionByName(win)
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("lane").cast("int").alias("n_lanes"))
+    )
+
+
+def ensemble_dedup_clusters(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    winnow_w: int = 8,
+    min_lcs: int = 32,
+    min_lanes: int = 1,
+) -> DataFrame:
+    """Connected components over the UNION of all three detector lanes →
+    total assignment (cluster_id, doc_id), singletons mapped to
+    themselves. ``min_lanes`` > 1 restricts edges to consensus pairs.
+
+    Exact duplicates need no dedicated edge source here: identical texts
+    are Hamming-0 SimHash pairs (and Jaccard-1.0 pairs when non-empty), so
+    the sha256 groups arrive already connected through the lane outputs.
+    CC runs on the pair union — the same alternating large-star/small-star
+    path (``operators/cluster.py``) every other cluster lane uses.
+    """
+    pairs = ensemble_near_dup_pairs(
+        docs, cfg, max_hamming, n_bands, winnow_w, min_lcs
+    )
+    if min_lanes > 1:
+        pairs = pairs.where(F.col("n_lanes") >= min_lanes)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    comp = connected_components(edges)
+    assign = assignments_with_singletons(
+        comp, docs.select(F.col("doc_id").alias("file_id"))
+    )
+    return assign.select("cluster_id", F.col("file_id").alias("doc_id"))
+
+
 def simhash_values(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash) — the raw 64-bit fingerprints, for direct
     value-level kernel parity against the SQL twin (the oracle recomputes

@@ -1,0 +1,117 @@
+"""Ensemble dedup: union of the three detector families (shingle-Jaccard
+MinHash, SimHash Hamming, winnowing shared-span) with a consensus count,
+then connected components over the union.
+
+The planted fixture proves each lane contributes pairs the others are
+blind to — the reason a curation pipeline runs the union rather than any
+single detector (the reference evaluates one similarity predicate per
+query, Query.cpp:76-123; here the predicates are OR-ed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.documents import (
+    ensemble_dedup_clusters,
+    ensemble_near_dup_pairs,
+    lsh_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from db_lsh_spark.operators.text import winnow_near_dup_pairs
+
+CFG = DedupConfig(jaccard_threshold=0.9, shingle_k=5)
+
+PARA = (
+    "this exact paragraph was lifted verbatim from one document into "
+    "another and is plenty long enough to cross the verify threshold"
+)
+# one long sentence whose REVERSAL shares the token multiset (identical
+# SimHash) but almost no 5-token shingle and no 32-codepoint span
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two "
+    "three four five six seven eight nine ten eleven twelve"
+).split()
+# long enough that a one-word trailing edit keeps shingle Jaccard >= 0.9:
+# 121 tokens -> 117 distinct 5-shingles, 5 of which differ per side
+BASE = " ".join(f"tok{i:03d}" for i in range(120))
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        # winnow-only pair: shared paragraph, unrelated everything else
+        (0, "completely unrelated opening words " + PARA + " and a tail "
+            "about fish and rivers and stones and slow winter water"),
+        (1, "some other beginning that shares nothing at all " + PARA
+            + " followed by musings on compilers and register allocation"),
+        # simhash-only pair: same token multiset, reversed order
+        (2, " ".join(WORDS)),
+        (3, " ".join(reversed(WORDS))),
+        # jaccard pair (near-identical text -> all three lanes see it)
+        (4, BASE + " small"),
+        (5, BASE + " tiny"),
+        # noise: unrelated doc, NULL, short
+        (6, "gardening notes: soil acidity, composting, apple pruning"),
+        (7, None),
+        (8, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_each_lane_has_a_blind_spot(spark, planted):
+    jac = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(planted, CFG).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dup_pairs(planted).collect()
+    }
+    win = {
+        (r.id_a, r.id_b)
+        for r in winnow_near_dup_pairs(planted).collect()
+    }
+    # winnow-only: lifted paragraph, Jaccard ~0, distant SimHash
+    assert (0, 1) in win and (0, 1) not in jac and (0, 1) not in sim
+    # simhash-only: reversed word order kills shingles and shared spans
+    assert (2, 3) in sim and (2, 3) not in jac and (2, 3) not in win
+    # near-identical text: at least the Jaccard lane
+    assert (4, 5) in jac
+
+
+def test_ensemble_pairs_union_and_consensus(spark, planted):
+    got = {
+        (r.id_a, r.id_b): r.n_lanes
+        for r in ensemble_near_dup_pairs(planted, CFG).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == 1
+    assert (2, 3) in got and got[(2, 3)] == 1
+    # the near-identical pair carries a stronger consensus than the
+    # single-detector pairs
+    assert got[(4, 5)] >= 2
+    # noise docs never pair
+    flat = {i for p in got for i in p}
+    assert flat.isdisjoint({6, 7, 8})
+
+
+def test_ensemble_clusters_merge_all_lanes(spark, planted):
+    assign = ensemble_dedup_clusters(planted, CFG)
+    m = {r.doc_id: r.cluster_id for r in assign.collect()}
+    # total assignment: every doc, singletons map to themselves
+    assert set(m) == set(range(9))
+    assert m[0] == m[1] and m[2] == m[3] and m[4] == m[5]
+    # the three planted clusters stay separate, noise stays singleton
+    assert len({m[0], m[2], m[4], m[6], m[7], m[8]}) == 6
+    assert m[6] == 6 and m[7] == 7 and m[8] == 8
+
+
+def test_min_lanes_keeps_only_consensus_edges(spark, planted):
+    assign = ensemble_dedup_clusters(planted, CFG, min_lanes=2)
+    m = {r.doc_id: r.cluster_id for r in assign.collect()}
+    # single-detector edges dropped -> those docs fall back to singletons
+    assert m[0] != m[1] and m[2] != m[3]
+    # the multi-lane pair survives
+    assert m[4] == m[5]
