@@ -48,6 +48,19 @@ class DedupOutput:
     clusters: DataFrame    # (file_id, cluster_id)
     store: StageStore | None
     widen_stats: list[dict] | None = None  # per-round stats (target_pairs mode)
+    lane_pairs: dict[str, DataFrame] | None = None  # extra-lane edge sources
+
+
+# extra detector lanes run_dedup can fold into the cluster edge union, with
+# their stage-identity defaults (encoded into the checkpoint fingerprint —
+# two lane configurations must never resume each other's stages)
+EXTRA_LANES = ("simhash", "winnow")
+_LANE_DEFAULTS = {
+    "simhash_max_hamming": 3,  # pigeonhole recall 1 with 4 x 16-bit bands
+    "simhash_bands": 4,
+    "winnow_w": 8,             # bottom-w rolling-window sketch size
+    "winnow_min_lcs": 32,      # verified shared-span length (codepoints)
+}
 
 
 def run_dedup(
@@ -57,6 +70,8 @@ def run_dedup(
     checkpoint_root: str | None = None,
     with_lcs: bool = True,
     target_pairs: int | None = None,
+    extra_lanes: tuple[str, ...] = (),
+    lane_cfg: dict | None = None,
 ) -> DedupOutput:
     """Run the full pipeline. With ``checkpoint_root`` set, every stage is
     materialized + manifest-gated (resume-from-checkpoint); without it the
@@ -73,8 +88,37 @@ def run_dedup(
     stats land in the summary (``DedupOutput.widen_stats``) and — when
     checkpointed — as lineage rows under ``stage_metrics/pairs_widening``
     (one row per round: partition_id = round index, rows_out = cumulative
-    candidate pairs)."""
+    candidate pairs).
+
+    ``extra_lanes`` folds additional detector families into the cluster
+    edge union as first-class checkpointed stages (the production face of
+    ``documents.ensemble_dedup_clusters``):
+
+    - ``"simhash"``: banded 64-bit SimHash self-join over the EXISTING
+      signature stage (the simhash column is already computed and
+      checkpointed there — the lane adds one slim equi-join, no kernel
+      work), recall 1 by pigeonhole at the lane defaults;
+    - ``"winnow"``: bottom-w rolling-window fingerprint candidates +
+      shared-span verify over sha256 REPRESENTATIVES only (identical
+      contents are already connected by the exact edges).
+
+    Lane knobs ride in ``lane_cfg`` (see ``_LANE_DEFAULTS``); both the lane
+    set and the knobs are part of the checkpoint fingerprint.
+    """
     cfg = cfg or DedupConfig()
+    extra = tuple(sorted(set(extra_lanes)))
+    unknown = set(extra) - set(EXTRA_LANES)
+    if unknown:
+        raise ValueError(
+            f"unknown extra_lanes {sorted(unknown)}; choose from {EXTRA_LANES}"
+        )
+    lc = dict(_LANE_DEFAULTS)
+    bad = set(lane_cfg or ()) - set(lc)
+    if bad:
+        raise ValueError(
+            f"unknown lane_cfg keys {sorted(bad)}; choose from {sorted(lc)}"
+        )
+    lc.update(lane_cfg or {})
     # the widening budget is part of the PIPELINE identity even though it
     # lives outside DedupConfig: a fixed-band checkpoint and a widened one
     # (or two different budgets) produce different candidate sets, so they
@@ -82,6 +126,12 @@ def run_dedup(
     fp = cfg.fingerprint() + (
         f"-widen{target_pairs}" if target_pairs is not None else ""
     )
+    if extra:
+        fp += (
+            f"-lanes={','.join(extra)}"
+            f"-h{lc['simhash_max_hamming']}b{lc['simhash_bands']}"
+            f"w{lc['winnow_w']}l{lc['winnow_min_lcs']}"
+        )
     store = StageStore(checkpoint_root, fp) if checkpoint_root else None
 
     def gate(name: str, builder, **kw) -> DataFrame:
@@ -221,6 +271,44 @@ def run_dedup(
 
     verified = gate("verified", build_verified)
 
+    # ---- extra detector lanes (ensemble edge sources) ----
+    lane_pairs: dict[str, DataFrame] = {}
+    if "simhash" in extra:
+
+        def build_simhash_lane() -> DataFrame:
+            from db_lsh_spark.operators.candidates import simhash_band_pairs
+
+            # the signature stage (either path) already carries the rep-
+            # filtered simhash column — one slim banded self-join, no
+            # kernel work, recall 1 by pigeonhole at hamming<bands
+            return simhash_band_pairs(
+                signatures.select("file_id", "simhash"),
+                lc["simhash_max_hamming"],
+                lc["simhash_bands"],
+            )
+
+        lane_pairs["simhash"] = gate("simhash_pairs", build_simhash_lane)
+    if "winnow" in extra:
+
+        def build_winnow_lane() -> DataFrame:
+            from db_lsh_spark.operators.text import winnow_near_dup_pairs
+
+            # reps only: identical contents are connected by exact edges,
+            # so re-sketching duplicate bytes would be pure waste
+            reps = semi_filter_reps(
+                fi_slim.select("file_id", "content"), rep_ids
+            )
+            return winnow_near_dup_pairs(
+                reps.select(
+                    F.col("file_id").alias("doc_id"),
+                    F.col("content").alias("text"),
+                ),
+                w=lc["winnow_w"],
+                min_lcs=lc["winnow_min_lcs"],
+            )
+
+        lane_pairs["winnow"] = gate("winnow_pairs", build_winnow_lane)
+
     def build_clusters() -> DataFrame:
         # Eager checkpoints serve two purposes: the iterative CC re-reads its
         # edge input every round (without this the whole LSH join would be
@@ -231,6 +319,12 @@ def run_dedup(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         ).localCheckpoint(eager=True)
         edges = near_edges.unionByName(exact_edges.localCheckpoint(eager=True))
+        for lp in lane_pairs.values():
+            edges = edges.unionByName(
+                lp.select(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ).localCheckpoint(eager=True)
+            )
         comp = connected_components(edges)
         return assignments_with_singletons(comp, fi_slim)
 
@@ -242,6 +336,7 @@ def run_dedup(
         clusters=clusters,
         store=store,
         widen_stats=widen_stats,
+        lane_pairs=lane_pairs or None,
     )
 
 

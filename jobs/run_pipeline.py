@@ -63,6 +63,15 @@ def main(argv: list[str] | None = None) -> None:
                         "cluster spans other repos")
     p.add_argument("--vendored-depth", type=int, default=2,
                    help="path segments that define a directory")
+    p.add_argument("--lanes", default="",
+                   help="comma-separated extra detector lanes folded into "
+                        "the cluster edge union as checkpointed stages: "
+                        "'simhash' (banded fingerprint self-join over the "
+                        "existing signature stage, Hamming<=3 recall 1 by "
+                        "pigeonhole), 'winnow' (shared-span candidates over "
+                        "sha256 reps). The ensemble production path — see "
+                        "documents.ensemble_dedup_clusters for the oracled "
+                        "operator twin")
     p.add_argument("--keep-list", action="store_true",
                    help="also write the canonical keep/drop decision to "
                         "<output>/keep_list (file_id, cluster_id, "
@@ -110,8 +119,12 @@ def main(argv: list[str] | None = None) -> None:
     if target_pairs is None and args.beta is not None:
         target_pairs = int(args.beta * files.count())
     t0 = time.monotonic()
+    extra_lanes = tuple(
+        s.strip() for s in args.lanes.split(",") if s.strip()
+    )
     out = run_dedup(spark, files, cfg, checkpoint_root=args.checkpoint,
-                    with_lcs=args.with_lcs, target_pairs=target_pairs)
+                    with_lcs=args.with_lcs, target_pairs=target_pairs,
+                    extra_lanes=extra_lanes)
     out.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     out.pairs.write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
     # count what was just written — a slim parquet scan, not a re-execution
@@ -193,6 +206,7 @@ def main(argv: list[str] | None = None) -> None:
             for r in (out.store.results if out.store else [])
         ],
         "target_pairs": target_pairs,
+        "extra_lanes": list(extra_lanes) or None,
         "widening_rounds": out.widen_stats,
         "repo_report": repo_report,
         "keep_list": keep_report,

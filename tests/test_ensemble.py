@@ -115,3 +115,98 @@ def test_min_lanes_keeps_only_consensus_edges(spark, planted):
     assert m[0] != m[1] and m[2] != m[3]
     # the multi-lane pair survives
     assert m[4] == m[5]
+
+
+# ---- production path: run_dedup(extra_lanes=...) --------------------------
+
+
+def _as_files(docs):
+    return docs.where(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("file_id"), F.col("text").alias("content")
+    )
+
+
+def _partition(assign_pairs):
+    """cluster partition as a frozenset of frozensets (id sets)."""
+    groups: dict = {}
+    for doc, cl in assign_pairs:
+        groups.setdefault(cl, set()).add(doc)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_pipeline_extra_lanes_merge_blind_spots(spark, planted):
+    from db_lsh_spark.pipeline import run_dedup
+
+    files = _as_files(planted)
+    base = run_dedup(spark, files, CFG, checkpoint_root=None, with_lcs=False)
+    mb = {r.file_id: r.cluster_id for r in base.clusters.collect()}
+    # the MinHash-only pipeline is blind to the winnow and simhash pairs
+    assert mb[0] != mb[1] and mb[2] != mb[3] and mb[4] == mb[5]
+
+    out = run_dedup(
+        spark, files, CFG, checkpoint_root=None, with_lcs=False,
+        extra_lanes=("simhash", "winnow"),
+    )
+    m = {r.file_id: r.cluster_id for r in out.clusters.collect()}
+    assert m[0] == m[1] and m[2] == m[3] and m[4] == m[5]
+    assert len({m[0], m[2], m[4], m[6], m[8]}) == 5
+    assert set(out.lane_pairs) == {"simhash", "winnow"}
+
+
+def test_pipeline_lanes_equal_ensemble_operator(spark, planted):
+    """The production path (run_dedup + extra lanes) and the operator path
+    (ensemble_dedup_clusters) partition the corpus identically on the
+    non-null fixture — the two renditions of the same edge union."""
+    from db_lsh_spark.pipeline import run_dedup
+
+    docs = planted.where(F.col("text").isNotNull())
+    out = run_dedup(
+        spark, _as_files(planted), CFG, checkpoint_root=None,
+        with_lcs=False, extra_lanes=("simhash", "winnow"),
+    )
+    got = _partition(
+        (r.file_id, r.cluster_id) for r in out.clusters.collect()
+    )
+    want = _partition(
+        (r.doc_id, r.cluster_id)
+        for r in ensemble_dedup_clusters(docs, CFG).collect()
+    )
+    assert got == want
+
+
+def test_pipeline_lane_stages_resume(spark, planted, tmp_path):
+    from db_lsh_spark.pipeline import run_dedup
+
+    files = _as_files(planted)
+    root = str(tmp_path / "lanes_ckpt")
+    out1 = run_dedup(
+        spark, files, CFG, checkpoint_root=root, with_lcs=False,
+        extra_lanes=("simhash", "winnow"),
+    )
+    assert all(not r.skipped for r in out1.store.results)
+    c1 = sorted((r.file_id, r.cluster_id) for r in out1.clusters.collect())
+    out2 = run_dedup(
+        spark, files, CFG, checkpoint_root=root, with_lcs=False,
+        extra_lanes=("simhash", "winnow"),
+    )
+    skipped = {r.name for r in out2.store.results if r.skipped}
+    # every stage — including both lane stages — resumes from checkpoint
+    assert {"simhash_pairs", "winnow_pairs", "clusters"} <= skipped
+    assert sorted(
+        (r.file_id, r.cluster_id) for r in out2.clusters.collect()
+    ) == c1
+    # a lane-less run must NOT resume lane-run stages (fingerprint forks)
+    out3 = run_dedup(spark, files, CFG, checkpoint_root=root, with_lcs=False)
+    assert all(not r.skipped for r in out3.store.results)
+
+
+def test_unknown_lane_rejected(spark, planted):
+    from db_lsh_spark.pipeline import run_dedup
+
+    with pytest.raises(ValueError, match="unknown extra_lanes"):
+        run_dedup(spark, _as_files(planted), CFG, extra_lanes=("bogus",))
+    with pytest.raises(ValueError, match="unknown lane_cfg"):
+        run_dedup(
+            spark, _as_files(planted), CFG,
+            extra_lanes=("simhash",), lane_cfg={"nope": 1},
+        )
