@@ -85,6 +85,44 @@ def simhash_prefilter(
     )
 
 
+def simhash_bands_frame(
+    sims: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """(file_id, simhash) → (file_id, simhash, band, band_val): the banded
+    view of a SimHash fingerprint table, with the pigeonhole precondition
+    validated (n_bands >= max_hamming + 1 ⇒ two fingerprints within
+    ``max_hamming`` agree exactly on >= 1 band). One implementation shared
+    by the batch self-join (``simhash_band_pairs``) and the streaming
+    probe (``streaming.jobs.incremental_simhash_query``) so the banding
+    can never diverge between the two."""
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"recall-1 guarantee needs n_bands >= max_hamming+1 "
+            f"(pigeonhole); got n_bands={n_bands}, max_hamming={max_hamming}"
+        )
+    bits = 64 // n_bands
+    # n_bands=1 (bits=64, legitimate exact-match config): the full-width
+    # mask (2^64-1) doesn't fit a JVM long — the band IS the fingerprint,
+    # no shift/mask needed
+    if bits == 64:
+        band_exprs = [F.col("simhash")]
+    else:
+        mask = (1 << bits) - 1
+        band_exprs = [
+            F.shiftrightunsigned(F.col("simhash"), i * bits).bitwiseAND(
+                F.lit(mask)
+            )
+            for i in range(n_bands)
+        ]
+    return sims.select(
+        "file_id",
+        "simhash",
+        F.posexplode(F.array(*band_exprs)).alias("band", "band_val"),
+    )
+
+
 def simhash_band_pairs(
     sims: DataFrame, max_hamming: int = 3, n_bands: int = 4
 ) -> DataFrame:
@@ -115,32 +153,7 @@ def simhash_band_pairs(
 
     ``sims``: (file_id, simhash) → (id_a, id_b, hamming), id_a < id_b.
     """
-    if 64 % n_bands != 0:
-        raise ValueError(f"n_bands must divide 64, got {n_bands}")
-    if n_bands < max_hamming + 1:
-        raise ValueError(
-            f"recall-1 guarantee needs n_bands >= max_hamming+1 "
-            f"(pigeonhole); got n_bands={n_bands}, max_hamming={max_hamming}"
-        )
-    bits = 64 // n_bands
-    # n_bands=1 (bits=64, legitimate exact-match config): the full-width
-    # mask (2^64-1) doesn't fit a JVM long — the band IS the fingerprint,
-    # no shift/mask needed
-    if bits == 64:
-        band_exprs = [F.col("simhash")]
-    else:
-        mask = (1 << bits) - 1
-        band_exprs = [
-            F.shiftrightunsigned(F.col("simhash"), i * bits).bitwiseAND(
-                F.lit(mask)
-            )
-            for i in range(n_bands)
-        ]
-    bands = sims.select(
-        "file_id",
-        "simhash",
-        F.posexplode(F.array(*band_exprs)).alias("band", "band_val"),
-    )
+    bands = simhash_bands_frame(sims, max_hamming, n_bands)
     left = bands.select(
         "band", "band_val",
         F.col("file_id").alias("id_a"), F.col("simhash").alias("sim_a"),

@@ -1038,3 +1038,198 @@ def incremental_winnow_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def build_simhash_index_store(
+    spark: SparkSession,
+    index_docs: DataFrame | None,
+    store,
+):
+    """Create-or-load the persisted SIMHASH fingerprint index — one slim
+    stage ``simhash_sigs`` of (doc_id, simhash). Fifth lane under the
+    persisted-index discipline (``dblsh.cpp:101-184``). No contents half:
+    SimHash verification is the exact ``bit_count(xor)`` on the
+    fingerprints themselves, so the index never stores (or ships) text.
+
+    The index identity is the knob-free 64-bit kernel (FNV-1a tokens +
+    per-bit majority vote); banding is QUERY-time — the same persisted
+    table serves any (max_hamming, n_bands) probe. NULL text indexes as
+    the empty document (fingerprint 0), the batch lane's COALESCE
+    semantics. With ``index_docs=None`` the store must already be
+    complete (pure load)."""
+    from db_lsh_spark.operators.signatures import compute_simhash
+
+    fp = "simhash64"
+    if index_docs is None:
+        if not store.is_complete("simhash_sigs"):
+            raise ValueError(
+                f"store at {store.root} is incomplete and no source frame "
+                "was given — build the index first (build_simhash_index_"
+                "store with index_docs)"
+            )
+        recorded = store.meta().get("index_fingerprint")
+        if recorded != fp:
+            raise ValueError(
+                f"store at {store.root} records index config {recorded!r} "
+                f"but this config hashes as {fp!r} — mismatched knobs"
+            )
+        return store.read(spark, "simhash_sigs")
+    prev = store.meta().get("index_fingerprint")
+    if prev is not None and prev != fp and store.is_complete("simhash_sigs"):
+        raise ValueError(
+            f"store at {store.root} records index config {prev}, but this "
+            f"config hashes as {fp} — use a different store"
+        )
+    store.record_meta(index_fingerprint=fp)
+
+    def build() -> DataFrame:
+        files = index_docs.select(
+            F.col("doc_id").alias("file_id"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        )
+        return compute_simhash(files).select(
+            F.col("file_id").alias("doc_id"), "simhash"
+        )
+
+    return store.run_stage(spark, "simhash_sigs", build)
+
+
+def compact_simhash_index(
+    spark: SparkSession,
+    store,
+    new_docs: DataFrame,
+    merge_id: str | None = None,
+):
+    """Merge newly-landed documents' fingerprints into the persisted
+    SimHash index — ``merge_stage`` on doc_id (idempotent, manifest-gated,
+    first-write-wins for re-landed ids: re-indexing changed text is a
+    REBUILD, not an append). Hashing runs over genuinely-new docs only.
+    Returns (merged frame, skipped)."""
+    from db_lsh_spark.operators.signatures import compute_simhash
+
+    missing = {"doc_id", "text"} - set(new_docs.columns)
+    if missing:
+        raise ValueError(
+            f"landing batch must carry columns {{'doc_id', 'text'}}; "
+            f"missing {sorted(missing)} — ids must be assigned at ingest"
+        )
+    if not store.is_complete("simhash_sigs"):
+        raise ValueError(
+            f"store at {store.root} has no simhash_sigs artifact — build "
+            "the index first (build_simhash_index_store), then compact"
+        )
+    recorded = store.meta().get("index_fingerprint")
+    if recorded != "simhash64":
+        raise ValueError(
+            f"store at {store.root} records index config {recorded!r}, not "
+            "'simhash64' — refusing to merge into a foreign store"
+        )
+    fresh = (
+        new_docs.groupBy("doc_id").agg(F.max("text").alias("text"))
+        .join(store.read(spark, "simhash_sigs").select("doc_id"),
+              "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    sigs = compute_simhash(
+        fresh.select(
+            F.col("doc_id").alias("file_id"),
+            F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        )
+    ).select(F.col("file_id").alias("doc_id"), "simhash")
+    return store.merge_stage(
+        spark, "simhash_sigs", sigs, key_cols=["doc_id"], merge_id=merge_id
+    )
+
+
+def incremental_simhash_query(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_docs: DataFrame | None,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    index_store=None,
+) -> StreamingQuery:
+    """Incremental SimHash near-dup detection: per micro-batch, fingerprint
+    the arriving documents (simhash-only kernel fast path), probe the
+    static fingerprint index through the SAME banded view the batch
+    self-join uses (``candidates.simhash_bands_frame`` — recall 1 by
+    pigeonhole at n_bands >= max_hamming+1), and keep pairs passing the
+    exact ``bit_count(xor) <= max_hamming`` filter. Completes the
+    streaming twin set: every batch dedup family (MinHash, winnow,
+    SimHash; cosine/L2/IVF on vectors) now has an incremental rendition.
+
+    No content ever moves: probe and index exchange only (band, band_val,
+    doc_id, simhash) rows, and verification is fingerprint arithmetic.
+    Same sink contract as ``incremental_dedup_query``: batch-addressed
+    overwrite directories -> exactly-once pair output across restarts.
+    Output rows: (id_a, id_b, hamming), id_a < id_b."""
+    from db_lsh_spark.operators.candidates import simhash_bands_frame
+    from db_lsh_spark.operators.signatures import compute_simhash
+
+    if index_store is not None:
+        index_sigs = build_simhash_index_store(spark, index_docs,
+                                               index_store)
+    elif index_docs is None:
+        raise ValueError(
+            "incremental simhash needs an index: pass index_docs (rebuilt "
+            "in memory) or index_store (persisted artifact), or both"
+        )
+    else:
+        index_sigs = compute_simhash(
+            index_docs.select(
+                F.col("doc_id").alias("file_id"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            )
+        ).select(F.col("file_id").alias("doc_id"), "simhash")
+    index_bands = simhash_bands_frame(
+        index_sigs.select(F.col("doc_id").alias("file_id"), "simhash"),
+        max_hamming, n_bands,
+    ).select(
+        F.col("file_id").alias("iid"), F.col("simhash").alias("sim_i"),
+        "band", "band_val",
+    ).localCheckpoint(eager=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probe = batch_df.groupBy("doc_id").agg(F.max("text").alias("text"))
+        probe_sigs = compute_simhash(
+            probe.select(
+                F.col("doc_id").alias("file_id"),
+                F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            )
+        )
+        probe_bands = simhash_bands_frame(
+            probe_sigs, max_hamming, n_bands
+        ).select(
+            F.col("file_id").alias("pid"), F.col("simhash").alias("sim_p"),
+            "band", "band_val",
+        )
+        pairs = (
+            probe_bands.join(index_bands, ["band", "band_val"])
+            .where(F.col("pid") != F.col("iid"))
+            .withColumn(
+                "hamming",
+                F.bit_count(
+                    F.col("sim_p").bitwiseXOR(F.col("sim_i"))
+                ).cast("int"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .select(
+                F.least("pid", "iid").alias("id_a"),
+                F.greatest("pid", "iid").alias("id_b"),
+                "hamming",
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        (pairs.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}"))
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,126 @@
+"""Streamed ensemble: the three incremental lanes (MinHash, SimHash,
+winnow) run over the SAME probe stream against stores built on the same
+index corpus; the union of their pair outputs, with a per-pair distinct-
+lane count, must equal the batch ensemble operator on the union corpus
+restricted to probe-x-index pairs. The streaming rendition of
+``documents.ensemble_near_dup_pairs``."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.documents import ensemble_near_dup_pairs
+from db_lsh_spark.sources.io import StageStore
+from db_lsh_spark.streaming.jobs import (
+    build_minhash_index_store,
+    build_simhash_index_store,
+    build_winnow_index_store,
+    incremental_dedup_query,
+    incremental_simhash_query,
+    incremental_winnow_query,
+)
+
+CFG = DedupConfig(jaccard_threshold=0.9, shingle_k=5)
+
+PARA = (
+    "this exact paragraph was lifted verbatim from one document into "
+    "another and is plenty long enough to cross the verify threshold"
+)
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two "
+    "three four five six seven eight nine ten eleven twelve"
+).split()
+BASE = " ".join(f"tok{i:03d}" for i in range(120))
+
+# each planted pair spans probe x index so the stream lanes can see it
+ALL_ROWS = [
+    # winnow-only: shared paragraph, unrelated everything else
+    (0, "completely unrelated opening words " + PARA + " and a tail "
+        "about fish and rivers and stones and slow winter water"),     # idx
+    (1, "some other beginning that shares nothing at all " + PARA
+        + " followed by musings on compilers and register allocation"),  # pr
+    # simhash-only: same token multiset, reversed order
+    (2, " ".join(WORDS)),                                               # idx
+    (3, " ".join(reversed(WORDS))),                                     # pr
+    # near-identical text -> jaccard (and winnow/simhash consensus)
+    (4, BASE + " small"),                                               # idx
+    (5, BASE + " tiny"),                                                # pr
+    # noise on both sides
+    (6, "gardening notes: soil acidity, composting, apple pruning"),    # idx
+    (7, "tidal charts, harbor depth soundings, small sailboats"),       # pr
+]
+INDEX_IDS = [0, 2, 4, 6]
+PROBE_IDS = [1, 3, 5, 7]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ALL_ROWS, "doc_id long, text string")
+
+
+def test_streamed_ensemble_equals_batch_operator(spark, docs, tmp_path):
+    index = docs.where(F.col("doc_id").isin(INDEX_IDS))
+    probe = docs.where(F.col("doc_id").isin(PROBE_IDS))
+
+    # one persisted store per lane, all built from the same index corpus
+    mh_store = StageStore(str(tmp_path / "mh"), "mh")
+    sh_store = StageStore(str(tmp_path / "sh"), "sh")
+    wn_store = StageStore(str(tmp_path / "wn"), "wn")
+    build_minhash_index_store(
+        spark, index.select(F.col("doc_id").alias("file_id"),
+                            F.col("text").alias("content")),
+        mh_store, CFG,
+    )
+    build_simhash_index_store(spark, index, sh_store)
+    build_winnow_index_store(spark, index, wn_store, w=8, k=16)
+
+    src = str(tmp_path / "probe_src")
+    probe.coalesce(1).write.parquet(src)
+
+    outs = {}
+    for lane, start in (
+        ("jaccard", lambda s, o, c: incremental_dedup_query(
+            spark, s, None, CFG, o, c, index_store=mh_store)),
+        ("simhash", lambda s, o, c: incremental_simhash_query(
+            spark, s, None, o, c, index_store=sh_store)),
+        ("winnow", lambda s, o, c: incremental_winnow_query(
+            spark, s, None, o, c, w=8, min_lcs=32, k=16,
+            index_store=wn_store)),
+    ):
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(src)
+        out = str(tmp_path / f"out_{lane}")
+        q = start(stream, out, str(tmp_path / f"ck_{lane}"))
+        q.awaitTermination(600)
+        outs[lane] = (
+            spark.read.option("recursiveFileLookup", "true").parquet(out)
+            .select("id_a", "id_b").withColumn("lane", F.lit(lane))
+        )
+
+    streamed = (
+        outs["jaccard"].unionByName(outs["simhash"])
+        .unionByName(outs["winnow"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count_distinct("lane").cast("int").alias("n_lanes"))
+    )
+    got = sorted(map(tuple, streamed.toPandas().values.tolist()))
+
+    cross = set()
+    for p in PROBE_IDS:
+        for i in INDEX_IDS:
+            cross.add((min(p, i), max(p, i)))
+    want = sorted(
+        (a, b, n)
+        for a, b, n in map(tuple, ensemble_near_dup_pairs(docs, CFG)
+                           .toPandas().values.tolist())
+        if (a, b) in cross
+    )
+    assert got == want
+    pairs = {(a, b): n for a, b, n in got}
+    # the planted blind spots each arrive through exactly one lane...
+    assert pairs[(0, 1)] == 1 and pairs[(2, 3)] == 1
+    # ...and the near-identical pair through several
+    assert pairs[(4, 5)] >= 2

@@ -1,0 +1,110 @@
+"""``run_pipeline --lanes simhash,winnow`` end-to-end: the spark-submit
+artifact folds both extra detector lanes into the cluster edge union as
+checkpointed stages, merges planted pairs only those lanes can see, and a
+second submit resumes every stage from checkpoint (operator semantics are
+oracled in test_ensemble.py; this covers the job wiring)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+
+import pandas as pd
+import pytest
+
+from db_lsh_spark.sources.synth import SynthConfig, generate
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PARA = (
+    "this exact paragraph was lifted verbatim from one document into "
+    "another and is plenty long enough to cross the verify threshold"
+)
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two "
+    "three four five six seven eight nine ten eleven twelve"
+).split()
+
+# ids far above the synth corpus range so the planted rows are addressable
+W_A, W_B = 9000001, 9000002  # share PARA -> winnow lane only
+S_A, S_B = 9000003, 9000004  # reversed token order -> simhash lane only
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lanes_corpus")
+    files = generate(SynthConfig(n_files=300)).files
+    planted = [
+        (W_A, "completely unrelated opening words " + PARA + " and a tail "
+              "about fish and rivers and stones and slow winter water"),
+        (W_B, "some other beginning that shares nothing at all " + PARA
+              + " followed by musings on compilers and register allocation"),
+        (S_A, " ".join(WORDS)),
+        (S_B, " ".join(reversed(WORDS))),
+    ]
+    extra = pd.DataFrame(
+        [
+            {
+                "repo": "planted", "path": f"p{fid}.txt", "commit": "c0",
+                "lang": "txt", "content": text,
+                "sha256": hashlib.sha256(text.encode()).hexdigest(),
+                "file_id": fid,
+            }
+            for fid, text in planted
+        ]
+    )
+    pd.concat([files, extra], ignore_index=True).to_parquet(
+        str(d / "files.parquet"), index=False
+    )
+    return str(d)
+
+
+def _submit(corpus_dir: str, out_dir: str, ckpt: str) -> dict:
+    from db_lsh_spark.session import package_zip
+
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus_dir, "--output", out_dir,
+            "--checkpoint", ckpt, "--lanes", "simhash,winnow",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    return json.loads(lines[-1])
+
+
+def test_spark_submit_lanes_merge_and_resume(corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    summary = _submit(corpus_dir, out_dir, ckpt)
+    assert summary["extra_lanes"] == ["simhash", "winnow"]
+    stages = {s["name"]: s for s in summary["stages"]}
+    assert {"simhash_pairs", "winnow_pairs", "clusters"} <= set(stages)
+    assert not any(s["resumed_from_checkpoint"] for s in stages.values())
+
+    clusters = pd.read_parquet(os.path.join(out_dir, "clusters"))
+    m = clusters.set_index("file_id").cluster_id
+    assert m[W_A] == m[W_B], "winnow lane pair not merged"
+    assert m[S_A] == m[S_B], "simhash lane pair not merged"
+    assert m[W_A] != m[S_A]
+
+    # second submit: every stage (lanes included) resumes from checkpoint,
+    # identical assignment
+    summary2 = _submit(corpus_dir, out_dir, ckpt)
+    assert all(
+        s["resumed_from_checkpoint"] for s in summary2["stages"]
+    ), summary2["stages"]
+    clusters2 = pd.read_parquet(os.path.join(out_dir, "clusters"))
+    pd.testing.assert_frame_equal(
+        clusters.sort_values("file_id").reset_index(drop=True),
+        clusters2.sort_values("file_id").reset_index(drop=True),
+    )

@@ -1,0 +1,130 @@
+"""Incremental SimHash lane: arriving documents probe the persisted
+fingerprint index through the same banded view the batch self-join uses.
+Completes the streaming twin set — every batch dedup family now has an
+incremental rendition with the store/compaction/exactly-once contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.documents import simhash_values
+from db_lsh_spark.sources.io import StageStore
+from db_lsh_spark.streaming.jobs import (
+    build_simhash_index_store,
+    compact_simhash_index,
+    incremental_simhash_query,
+)
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two "
+    "three four five six seven eight nine ten eleven twelve"
+).split()
+
+ALL_ROWS = [
+    (0, " ".join(WORDS)),                  # index: base word multiset
+    (1, " ".join(reversed(WORDS))),        # probe: same multiset -> Hamming 0
+    (2, "entirely separate content concerning tidal charts, harbor "
+        "depth soundings, and the maintenance of small sailboats"),
+    (3, None),                             # probe: NULL -> fingerprint 0
+    (4, ""),                               # index: empty -> fingerprint 0
+    (5, "a fifth document about compilers, register allocation and the "
+        "scheduling of instructions on out of order machines"),
+]
+PROBE_IDS = [1, 3]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ALL_ROWS, "doc_id long, text string")
+
+
+def _sigs_key(df):
+    return sorted(map(tuple, df.select("doc_id", "simhash")
+                      .toPandas().values.tolist()))
+
+
+def _expected_pairs(docs, probe_ids, index_ids, max_hamming=3):
+    """Brute-force expectation straight from the kernel fingerprints."""
+    sims = dict(_sigs_key(simhash_values(docs)))
+    out = []
+    for p in probe_ids:
+        for i in index_ids:
+            x = (sims[p] ^ sims[i]) & ((1 << 64) - 1)
+            h = bin(x).count("1")
+            if h <= max_hamming:
+                out.append((min(p, i), max(p, i), h))
+    return sorted(out)
+
+
+def test_simhash_store_build_load_and_compaction(spark, docs, tmp_path):
+    index = docs.where(F.col("doc_id").isin([0, 2]))
+    batch = docs.where(F.col("doc_id").isin([4, 5])).select("doc_id", "text")
+    store = StageStore(str(tmp_path / "idx"), "simhash64")
+
+    sigs = build_simhash_index_store(spark, index, store)
+    assert _sigs_key(sigs) == _sigs_key(simhash_values(index))
+
+    merged, skipped = compact_simhash_index(spark, store, batch,
+                                            merge_id="b0")
+    assert not skipped
+    assert _sigs_key(merged) == _sigs_key(
+        simhash_values(docs.where(F.col("doc_id").isin([0, 2, 4, 5])))
+    )
+    _, skipped = compact_simhash_index(spark, store, batch, merge_id="b0")
+    assert skipped
+
+    # pure load needs no source frame; a foreign store refuses loudly
+    sigs2 = build_simhash_index_store(spark, None, store)
+    assert _sigs_key(sigs2) == _sigs_key(merged)
+    other = StageStore(str(tmp_path / "other"), "winnow-w8-k16")
+    other.record_meta(index_fingerprint="winnow:w=8:k=16")
+    with pytest.raises(ValueError, match="incomplete|mismatched"):
+        build_simhash_index_store(spark, None, other)
+    with pytest.raises(ValueError, match="doc_id"):
+        compact_simhash_index(spark, store, batch.select("text"),
+                              merge_id="b1")
+
+
+def test_incremental_simhash_equals_bruteforce_on_union(spark, docs,
+                                                        tmp_path):
+    """Stream probes against the store (base + one compacted batch) must
+    equal the brute-force Hamming join restricted to probe x index —
+    including the reversed-token pair (Hamming 0) and the NULL-vs-empty
+    pair (both fingerprint 0, the COALESCE contract)."""
+    index = docs.where(F.col("doc_id").isin([0, 2]))
+    landed = docs.where(F.col("doc_id").isin([4, 5])).select("doc_id",
+                                                             "text")
+    probe = docs.where(F.col("doc_id").isin(PROBE_IDS))
+
+    store = StageStore(str(tmp_path / "idx"), "simhash64")
+    build_simhash_index_store(spark, index, store)
+    compact_simhash_index(spark, store, landed, merge_id="b0")
+
+    src = str(tmp_path / "probe_src")
+    probe.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "out")
+    q = incremental_simhash_query(
+        spark, stream, None, out, str(tmp_path / "ck"), index_store=store,
+    )
+    q.awaitTermination(600)
+    got = sorted(map(tuple, (
+        spark.read.option("recursiveFileLookup", "true").parquet(out)
+        .select("id_a", "id_b", "hamming").toPandas().values.tolist())))
+
+    want = _expected_pairs(docs, PROBE_IDS, [0, 2, 4, 5])
+    assert got == want
+    got_pairs = {(a, b) for a, b, _ in got}
+    assert (0, 1) in got_pairs   # reversed token order, Hamming 0
+    assert (3, 4) in got_pairs   # NULL probe vs empty indexed doc
+
+
+def test_incremental_simhash_requires_index(spark, docs, tmp_path):
+    src = str(tmp_path / "s")
+    docs.where("doc_id = 1").coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    with pytest.raises(ValueError, match="needs an index"):
+        incremental_simhash_query(spark, stream, None, str(tmp_path / "o"),
+                                  str(tmp_path / "c"))
