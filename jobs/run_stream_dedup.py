@@ -33,6 +33,14 @@ The index comes from a StageStore at ``--index-dir``:
   ``jobs/compact_index.py --lane text`` are probed too). Pass
   ``--dataset-id`` or ``--fingerprint`` from the build run's report; a
   wrong/missing identity fails loudly (incomplete store), never silently.
+
+``--lane`` selects the incremental detector: ``minhash`` (default, the
+historical behavior above), ``simhash`` (fingerprint-only index, exact
+Hamming verify), ``winnow`` (shared-substring spans), or ``ensemble`` —
+all three over the same landing dir, each with its own store/sink/
+checkpoint SUBDIRECTORY of the given paths, plus a distinct-pair union
+count in the report (the streamed rendition of
+``documents.ensemble_near_dup_pairs``).
 """
 
 from __future__ import annotations
@@ -46,42 +54,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(spark, args) -> dict:
+def _run_one_lane(spark, args, lane, cfg, index_files,
+                  index_dir, out_dir, ck_dir) -> dict:
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    from db_lsh_spark.config import DedupConfig
     from db_lsh_spark.sources.io import StageStore
     from db_lsh_spark.streaming.jobs import (
         incremental_dedup_query,
+        incremental_simhash_query,
+        incremental_winnow_query,
         read_event_stream,
     )
 
-    cfg = DedupConfig(
-        seed=args.seed, shingle_k=args.shingle_k,
-        num_perm=args.num_perm if args.num_perm else args.bands * args.rows,
-        bands=args.bands, rows=args.rows,
-        jaccard_threshold=args.jaccard_threshold,
-    )
     build_from = getattr(args, "build_from", None)
-    index_files = spark.read.parquet(build_from) if build_from else None
-    if args.fingerprint:
+    w = getattr(args, "winnow_w", 8)
+    k = getattr(args, "winnow_k", 16)
+    min_lcs = getattr(args, "min_lcs", 32)
+    max_hamming = getattr(args, "simhash_max_hamming", 3)
+    n_bands = getattr(args, "simhash_bands", 4)
+    if args.fingerprint and lane == "minhash":
         fp = args.fingerprint
     else:
-        fp = f"minhash-{cfg.index_fingerprint()}"
+        fp = {
+            "minhash": f"minhash-{cfg.index_fingerprint()}",
+            "simhash": "simhash64",
+            "winnow": f"winnow-w{w}k{k}",
+        }[lane]
         # dataset identity in the fingerprint (the run_ann discipline,
         # code-review r5): without it, pointing --build-from at a
         # DIFFERENT corpus while reusing --index-dir would silently
         # pure-load the OLD corpus's complete stages. Derived from the
         # corpus when building; on pure-load runs pass --dataset-id (or
-        # --fingerprint) copied from the build run's report — a missing
-        # id fails LOUDLY (incomplete store), never silently.
+        # --fingerprint, minhash lane) copied from the build run's
+        # report — a missing id fails LOUDLY (incomplete store).
         ds = args.dataset_id or (
             f"{os.path.abspath(build_from)}:{index_files.count()}"
             if build_from else None
         )
         if ds:
             fp = f"{fp}-{ds}"
-    store = StageStore(args.index_dir, fp)
+    store = StageStore(index_dir, fp)
 
     schema = StructType([
         StructField("doc_id", LongType()),
@@ -93,16 +105,35 @@ def run(spark, args) -> dict:
     )
 
     def batch_dirs():
-        if not os.path.isdir(args.output):
+        if not os.path.isdir(out_dir):
             return set()
-        return {d for d in os.listdir(args.output) if d.startswith("batch-")}
+        return {d for d in os.listdir(out_dir) if d.startswith("batch-")}
+
+    # the lane twins take documents (doc_id, text); the MinHash lane keeps
+    # its historical (file_id, content) index contract — either corpus
+    # shape is accepted and mapped to the lane's view
+    index_docs = None
+    if index_files is not None:
+        index_docs = (_as_docs(index_files) if lane != "minhash"
+                      else _as_files(index_files))
 
     pre_existing = batch_dirs()
     t0 = time.monotonic()
-    q = incremental_dedup_query(
-        spark, doc_stream, index_files, cfg, args.output, args.checkpoint,
-        index_store=store,
-    )
+    if lane == "minhash":
+        q = incremental_dedup_query(
+            spark, doc_stream, index_docs, cfg, out_dir, ck_dir,
+            index_store=store,
+        )
+    elif lane == "simhash":
+        q = incremental_simhash_query(
+            spark, doc_stream, index_docs, out_dir, ck_dir,
+            max_hamming=max_hamming, n_bands=n_bands, index_store=store,
+        )
+    else:
+        q = incremental_winnow_query(
+            spark, doc_stream, index_docs, out_dir, ck_dir,
+            w=w, min_lcs=min_lcs, k=k, index_store=store,
+        )
     q.awaitTermination()
     wall = time.monotonic() - t0
 
@@ -110,13 +141,19 @@ def run(spark, args) -> dict:
         if not dirs:
             return 0
         return spark.read.parquet(
-            *[os.path.join(args.output, d) for d in sorted(dirs)]
+            *[os.path.join(out_dir, d) for d in sorted(dirs)]
         ).count()
 
+    indexed_stage = {
+        "minhash": "minhash_contents",
+        "simhash": "simhash_sigs",
+        "winnow": "winnow_contents",
+    }[lane]
     all_dirs = batch_dirs()
     return {
-        "output": args.output,
-        "index_dir": args.index_dir,
+        "lane": lane,
+        "output": out_dir,
+        "index_dir": index_dir,
         "fingerprint": fp,
         "built_index": bool(build_from),
         # this run's drains only — a re-run against a cumulative sink
@@ -124,8 +161,81 @@ def run(spark, args) -> dict:
         # (code-review r5)
         "n_pairs_this_run": count_pairs(all_dirs - pre_existing),
         "n_pairs_total": count_pairs(all_dirs),
-        "n_indexed": store.read(spark, "minhash_contents").count(),
+        "n_indexed": store.read(spark, indexed_stage).count(),
         "wall_sec": round(wall, 3),
+    }
+
+
+def _as_docs(df):
+    """(file_id, content)-shaped OR (doc_id, text)-shaped corpus frame →
+    the (doc_id, text) view the simhash/winnow twins take."""
+    from pyspark.sql import functions as F
+
+    id_col = (F.col("file_id").alias("doc_id") if "file_id" in df.columns
+              else F.col("doc_id"))
+    text_col = (F.col("content").alias("text") if "content" in df.columns
+                else F.col("text"))
+    return df.select(id_col, text_col)
+
+
+def _as_files(df):
+    """The inverse view: (file_id, content) for the MinHash lane."""
+    from pyspark.sql import functions as F
+
+    id_col = (F.col("doc_id").alias("file_id") if "file_id" not in df.columns
+              else F.col("file_id"))
+    text_col = (F.col("text").alias("content")
+                if "content" not in df.columns else F.col("content"))
+    return df.select(id_col, text_col)
+
+
+def run(spark, args) -> dict:
+    from db_lsh_spark.config import DedupConfig
+
+    cfg = DedupConfig(
+        seed=args.seed, shingle_k=args.shingle_k,
+        num_perm=args.num_perm if args.num_perm else args.bands * args.rows,
+        bands=args.bands, rows=args.rows,
+        jaccard_threshold=args.jaccard_threshold,
+    )
+    build_from = getattr(args, "build_from", None)
+    index_files = spark.read.parquet(build_from) if build_from else None
+    lane = getattr(args, "lane", None) or "minhash"
+    if lane != "ensemble":
+        return _run_one_lane(spark, args, lane, cfg, index_files,
+                             args.index_dir, args.output, args.checkpoint)
+
+    # ensemble: all three lanes over the same landing dir, each with its
+    # own store/sink/checkpoint subdirectory (stores must not share a
+    # root — each records its own index_fingerprint meta); the union
+    # report is the streamed rendition of ensemble_near_dup_pairs
+    reports = {}
+    for sub in ("minhash", "simhash", "winnow"):
+        reports[sub] = _run_one_lane(
+            spark, args, sub, cfg, index_files,
+            os.path.join(args.index_dir, sub),
+            os.path.join(args.output, sub),
+            os.path.join(args.checkpoint, sub),
+        )
+    union = None
+    for sub, rep in reports.items():
+        if rep["n_pairs_total"] == 0:
+            continue
+        part = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(rep["output"]).select("id_a", "id_b")
+        )
+        union = part if union is None else union.unionByName(part)
+    n_union = (
+        union.dropDuplicates(["id_a", "id_b"]).count() if union is not None
+        else 0
+    )
+    return {
+        "lane": "ensemble",
+        "lanes": reports,
+        "n_union_pairs_total": n_union,
+        "output": args.output,
+        "index_dir": args.index_dir,
     }
 
 
@@ -160,6 +270,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--jaccard-threshold", type=float, default=0.8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--lane", default="minhash",
+                   choices=["minhash", "simhash", "winnow", "ensemble"],
+                   help="which incremental detector probes the stream; "
+                        "'ensemble' runs all three (per-lane store/sink/"
+                        "checkpoint subdirectories) and reports the "
+                        "distinct pair union — the streamed rendition of "
+                        "documents.ensemble_near_dup_pairs")
+    p.add_argument("--simhash-max-hamming", type=int, default=3)
+    p.add_argument("--simhash-bands", type=int, default=4)
+    p.add_argument("--winnow-w", type=int, default=8)
+    p.add_argument("--winnow-k", type=int, default=16)
+    p.add_argument("--min-lcs", type=int, default=32)
     return p.parse_args(argv)
 
 

@@ -124,3 +124,56 @@ def test_streamed_ensemble_equals_batch_operator(spark, docs, tmp_path):
     assert pairs[(0, 1)] == 1 and pairs[(2, 3)] == 1
     # ...and the near-identical pair through several
     assert pairs[(4, 5)] >= 2
+
+
+def test_stream_job_ensemble_lane(spark, docs, tmp_path):
+    """jobs/run_stream_dedup.py --lane ensemble: builds all three stores
+    from --build-from, drains the landing dir through all three
+    incremental lanes, and reports the distinct pair union."""
+    import argparse
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_stream_dedup",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "run_stream_dedup.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    index = docs.where(F.col("doc_id").isin(INDEX_IDS))
+    probe = docs.where(F.col("doc_id").isin(PROBE_IDS))
+    corpus = str(tmp_path / "corpus")
+    index.write.parquet(corpus)
+    landing = str(tmp_path / "landing")
+    probe.coalesce(1).write.parquet(landing)
+
+    out = job.run(spark, argparse.Namespace(
+        stream=landing, index_dir=str(tmp_path / "idx"),
+        output=str(tmp_path / "out"), checkpoint=str(tmp_path / "ck"),
+        build_from=corpus, fingerprint=None, dataset_id=None,
+        lane="ensemble",
+        shingle_k=CFG.shingle_k, num_perm=CFG.num_perm, bands=CFG.bands,
+        rows=CFG.rows, jaccard_threshold=CFG.jaccard_threshold,
+        seed=CFG.seed, max_files_per_trigger=4,
+        simhash_max_hamming=3, simhash_bands=4,
+        winnow_w=8, winnow_k=16, min_lcs=32,
+    ))
+    assert out["lane"] == "ensemble"
+    assert set(out["lanes"]) == {"minhash", "simhash", "winnow"}
+    # every lane indexed the full corpus and drained the probe batch
+    assert all(r["n_indexed"] == len(INDEX_IDS)
+               for r in out["lanes"].values())
+    # the union equals the batch ensemble restricted to probe x index
+    cross = {(min(p, i), max(p, i)) for p in PROBE_IDS for i in INDEX_IDS}
+    want = sum(
+        1 for a, b, _ in map(tuple, ensemble_near_dup_pairs(docs, CFG)
+                             .toPandas().values.tolist())
+        if (a, b) in cross
+    )
+    assert out["n_union_pairs_total"] == want > 0
+    # each planted blind-spot pair came through its own lane
+    assert out["lanes"]["winnow"]["n_pairs_total"] >= 1
+    assert out["lanes"]["simhash"]["n_pairs_total"] >= 1
+    assert out["lanes"]["minhash"]["n_pairs_total"] >= 1
