@@ -327,6 +327,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_ensemble_dedup_clusters"] = _ensemble_clusters
 
+    # canonical selection over the ENSEMBLE clusters: the full curation
+    # chain (three detectors -> union -> CC -> keep/drop) in one query
+    def _ensemble_keep_list(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import ensemble_dedup_clusters
+        from db_lsh_spark.operators.selection import keep_list
+
+        docs = _docs(s, d)
+        assign = ensemble_dedup_clusters(
+            docs, DOC_DEDUP_CFG,
+            max_hamming=SIMHASH_MAX_HAMMING, n_bands=SIMHASH_BANDS,
+            winnow_w=WINNOW_W, min_lcs=WINNOW_MIN_LCS,
+        )
+        return keep_list(docs, assign)
+
+    q["doc_ensemble_keep_list"] = _ensemble_keep_list
+
     # ---- repo-level duplication analysis (operators/repo_analysis.py) ----
     # documents.source plays the repo role: the consumer-facing census of
     # which dup clusters span sources and how much of each source is copied
@@ -874,6 +890,43 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT min(label) AS cluster_id, node AS doc_id
         FROM ereach GROUP BY node
+    """
+    # keep-list over the ensemble closure: longest member wins (tie-break
+    # min doc_id) — singletons never appear because every closure node has
+    # an edge, matching selection.keep_list's drops-only output
+    sql["doc_ensemble_keep_list"] = f"""
+        WITH RECURSIVE {_ensemble_lanes},
+        ep AS (SELECT DISTINCT id_a, id_b FROM lanes),
+        eedges AS (
+            SELECT id_a AS src, id_b AS dst FROM ep
+            UNION SELECT id_b, id_a FROM ep
+        ),
+        ereach(node, label) AS (
+            SELECT src, src FROM eedges
+            UNION
+            SELECT e.src, r.label FROM eedges e JOIN ereach r ON e.dst = r.node
+        ),
+        eassign AS (
+            SELECT min(label) AS cluster_id, node AS doc_id
+            FROM ereach GROUP BY node
+        ),
+        escored AS (
+            SELECT a.doc_id, a.cluster_id,
+                   COALESCE(length(d.text), 0)::BIGINT AS n_chars
+            FROM eassign a JOIN documents d USING (doc_id)
+        ),
+        ekeepers AS (
+            SELECT cluster_id, doc_id AS kept_doc_id
+            FROM (SELECT cluster_id, doc_id,
+                         row_number() OVER (
+                             PARTITION BY cluster_id
+                             ORDER BY n_chars DESC, doc_id ASC) AS rk
+                  FROM escored)
+            WHERE rk = 1
+        )
+        SELECT s.doc_id, s.cluster_id, k.kept_doc_id
+        FROM escored s JOIN ekeepers k USING (cluster_id)
+        WHERE s.doc_id != k.kept_doc_id
     """
     # clusters: connected components of the thresholded pair graph. At the
     # test threshold the components are stars around a base doc, but the

@@ -1233,3 +1233,29 @@ def incremental_simhash_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_simhash_index_from_landing(
+    spark: SparkSession, store, landing_dir: str
+) -> list[dict]:
+    """Landing-zone compaction for the SimHash index: walk ``batch-N``
+    parquet subdirectories of (doc_id, text) rows through the shared
+    ``_SUCCESS``-gated walker and merge each unledgered batch. Cron-safe
+    like the other lanes."""
+    return _compact_from_landing(
+        spark, landing_dir,
+        lambda df, d: compact_simhash_index(spark, store, df, merge_id=d),
+    )
+
+
+def compact_winnow_index_from_landing(
+    spark: SparkSession, store, landing_dir: str, w: int = 8, k: int = 16
+) -> list[dict]:
+    """Landing-zone compaction for the winnow substring index — same
+    walker, (doc_id, text) batches, (w, k) gated against the store's
+    recorded sketch config."""
+    return _compact_from_landing(
+        spark, landing_dir,
+        lambda df, d: compact_winnow_index(spark, store, df, w=w, k=k,
+                                           merge_id=d),
+    )

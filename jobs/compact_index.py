@@ -1,5 +1,7 @@
 """spark-submit entry for index compaction (VERDICT r04 #6) — merge newly
-landed batches into a persisted index store. Two lanes:
+landed batches into a persisted index store. Four lanes (``simhash`` and
+``winnow`` take (doc_id, text) batches and the stream job's default store
+fingerprints ``simhash64[-<ds>]`` / ``winnow-w{w}k{k}[-<ds>]``):
 
 vectors (default) — ANN index over (vec_id, embedding) batches:
 
@@ -46,7 +48,32 @@ def run(spark, args) -> dict:
     # getattr: pre-lane callers built a Namespace without the field —
     # they are all vectors-lane invocations
     lane = getattr(args, "lane", "vectors")
-    if lane == "text":
+    if lane == "simhash":
+        from db_lsh_spark.streaming.jobs import (
+            compact_simhash_index_from_landing,
+        )
+
+        cfg = None
+        default_fp = "simhash64"
+
+        def compact(spark, store, landing, _cfg):
+            return compact_simhash_index_from_landing(spark, store, landing)
+
+    elif lane == "winnow":
+        from db_lsh_spark.streaming.jobs import (
+            compact_winnow_index_from_landing,
+        )
+
+        w = getattr(args, "winnow_w", 8)
+        k = getattr(args, "winnow_k", 16)
+        cfg = None
+        default_fp = f"winnow-w{w}k{k}"
+
+        def compact(spark, store, landing, _cfg):
+            return compact_winnow_index_from_landing(spark, store, landing,
+                                                     w=w, k=k)
+
+    elif lane == "text":
         from db_lsh_spark.config import DedupConfig
         from db_lsh_spark.streaming.jobs import (
             compact_minhash_index_from_landing,
@@ -93,7 +120,9 @@ def run(spark, args) -> dict:
 
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--lane", choices=("vectors", "text"), default="vectors")
+    p.add_argument("--lane",
+                   choices=("vectors", "text", "simhash", "winnow"),
+                   default="vectors")
     p.add_argument("--index-dir", required=True)
     p.add_argument("--landing", required=True,
                    help="dir of batch-N parquet subdirs: (vec_id, embedding)"
@@ -126,6 +155,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--num-perm", type=int, default=None,
                    help="MinHash permutations (text lane; default "
                         "bands*rows)")
+    p.add_argument("--winnow-w", type=int, default=8,
+                   help="bottom-w sketch size (winnow lane)")
+    p.add_argument("--winnow-k", type=int, default=16,
+                   help="rolling-window width in codepoints (winnow lane)")
     args = p.parse_args(argv)
     if args.lane == "vectors" and args.dim is None:
         p.error("--dim is required for the vectors lane")

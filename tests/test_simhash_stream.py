@@ -121,6 +121,58 @@ def test_incremental_simhash_equals_bruteforce_on_union(spark, docs,
     assert (3, 4) in got_pairs   # NULL probe vs empty indexed doc
 
 
+def test_compact_index_job_simhash_and_winnow_lanes(spark, docs, tmp_path):
+    """jobs/compact_index.py --lane simhash|winnow: landing batches of
+    (doc_id, text) rows merge into the persisted fingerprint stores via
+    the shared _SUCCESS-gated walker; re-runs are ledgered no-ops."""
+    import argparse
+    import importlib.util
+    import os
+
+    from db_lsh_spark.operators.text import winnow_fingerprints
+    from db_lsh_spark.streaming.jobs import build_winnow_index_store
+
+    spec = importlib.util.spec_from_file_location(
+        "compact_index",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "compact_index.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    index = docs.where(F.col("doc_id").isin([0, 2]))
+    landed = docs.where(F.col("doc_id").isin([4, 5])).select("doc_id", "text")
+    landing = str(tmp_path / "landing")
+    landed.coalesce(1).write.parquet(os.path.join(landing, "batch-0"))
+
+    sh_store = StageStore(str(tmp_path / "sh"), "simhash64")
+    build_simhash_index_store(spark, index, sh_store)
+    wn_store = StageStore(str(tmp_path / "wn"), "winnow-w8k16")
+    build_winnow_index_store(spark, index, wn_store, w=8, k=16)
+
+    for lane, store, stage in (("simhash", sh_store, "simhash_sigs"),
+                               ("winnow", wn_store, "winnow_fps")):
+        ns = argparse.Namespace(
+            lane=lane, index_dir=store.root, landing=landing,
+            fingerprint=store.fingerprint, dataset_id=None,
+            winnow_w=8, winnow_k=16,
+        )
+        out = job.run(spark, ns)
+        assert out["merged_now"] == 1 and out["pending"] == 0, out
+        out2 = job.run(spark, ns)
+        assert out2["already_ledgered"] == 1 and out2["merged_now"] == 0
+
+    union = docs.where(F.col("doc_id").isin([0, 2, 4, 5]))
+    assert _sigs_key(sh_store.read(spark, "simhash_sigs")) == _sigs_key(
+        simhash_values(union)
+    )
+    got_fps = sorted(map(tuple, wn_store.read(spark, "winnow_fps")
+                         .select("doc_id", "fp").toPandas().values.tolist()))
+    want_fps = sorted(map(tuple, winnow_fingerprints(union, 8, 16)
+                          .select("doc_id", "fp").toPandas().values.tolist()))
+    assert got_fps == want_fps
+
+
 def test_incremental_simhash_requires_index(spark, docs, tmp_path):
     src = str(tmp_path / "s")
     docs.where("doc_id = 1").coalesce(1).write.parquet(src)
