@@ -200,6 +200,23 @@ def test_pipeline_lane_stages_resume(spark, planted, tmp_path):
     assert all(not r.skipped for r in out3.store.results)
 
 
+def test_widening_path_carries_extra_lanes(spark, planted):
+    """target_pairs (the dynamic re-banding budget) and extra_lanes
+    compose: the widening path's signatures stage carries the simhash
+    column too, so both lane stages run unchanged."""
+    from db_lsh_spark.pipeline import run_dedup
+
+    out = run_dedup(
+        spark, _as_files(planted), CFG, checkpoint_root=None,
+        with_lcs=False, target_pairs=3,
+        extra_lanes=("simhash", "winnow"),
+    )
+    m = {r.file_id: r.cluster_id for r in out.clusters.collect()}
+    assert m[0] == m[1] and m[2] == m[3] and m[4] == m[5]
+    assert out.widen_stats is not None
+    assert set(out.lane_pairs) == {"simhash", "winnow"}
+
+
 def test_unknown_lane_rejected(spark, planted):
     from db_lsh_spark.pipeline import run_dedup
 
