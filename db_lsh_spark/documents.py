@@ -220,10 +220,14 @@ def ensemble_near_dup_pairs(
     curation pipeline thresholds on ("drop n_lanes >= 2 pairs, review
     n_lanes == 1").
 
-    Scale shape: each lane keeps its own short-circuits (sha256 rep
-    collapse, capped banded self-joins, bottom-w sketches) — this operator
-    adds one union + one pair-keyed groupBy over lane outputs that are
-    already output-linear. Nothing here re-touches content.
+    Scale shape: each lane keeps its own short-circuits — sha256 rep
+    collapse in the Jaccard and SimHash lanes, bottom-w sketches (and the
+    optional per-fp bucket cap) in the winnow lane; the winnow OPERATOR
+    sketches all docs for oracle parity, while the production path
+    (``pipeline.run_dedup(extra_lanes=...)``) runs its winnow stage on
+    sha256 reps only. This operator adds one union + one pair-keyed
+    groupBy over lane outputs that are already output-linear. Nothing
+    here re-touches content.
     """
     from db_lsh_spark.operators.text import winnow_near_dup_pairs
 
