@@ -208,7 +208,12 @@ def run(spark, args) -> dict:
     # ensemble: all three lanes over the same landing dir, each with its
     # own store/sink/checkpoint subdirectory (stores must not share a
     # root — each records its own index_fingerprint meta); the union
-    # report is the streamed rendition of ensemble_near_dup_pairs
+    # report is the streamed rendition of ensemble_near_dup_pairs.
+    # Dataset identity derived ONCE so the corpus isn't counted per lane
+    if build_from and not args.dataset_id:
+        args.dataset_id = (
+            f"{os.path.abspath(build_from)}:{index_files.count()}"
+        )
     reports = {}
     for sub in ("minhash", "simhash", "winnow"):
         reports[sub] = _run_one_lane(
