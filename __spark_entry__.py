@@ -163,6 +163,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", F.col("n_shingles").cast("long").alias("n_shingles"))
     q["doc_exact_dup_groups"] = lambda s, d: text_ops.exact_dup_groups(_docs(s, d))
 
+    # benchmark decontamination (GPT-3 appendix C 13-gram rule): every
+    # 25th doc_id plays the held-out eval set; flagged training docs +
+    # the surviving keep list. Benchmark grams broadcast; training side
+    # never shuffles (operators/decontam.py).
+    def _decontam_hits(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.decontam import decontam_hits, split_bench
+
+        train, bench = split_bench(_docs(s, d))
+        return decontam_hits(train, bench).orderBy("doc_id")
+
+    q["doc_decontam_hits"] = _decontam_hits
+
+    def _decontam_keep(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.decontam import decontam_keep_list, split_bench
+
+        train, bench = split_bench(_docs(s, d))
+        return decontam_keep_list(train, bench).orderBy("doc_id")
+
+    q["doc_decontam_keep_list"] = _decontam_keep
+
     # the sf fixtures carry no byte-identical documents, making the plain
     # exact-dup check vacuous (0 rows == 0 rows); these two run the same
     # operators over documents ∪ deterministic clones of the first 20 docs
@@ -797,6 +817,33 @@ def oracle_sql() -> dict[str, str]:
                    i -> array_to_string(({toks})[i:i+4], ' ')
                )))::BIGINT AS n_shingles
         FROM documents
+    """
+    from db_lsh_spark.operators.decontam import DECONTAM_BENCH_MOD, DECONTAM_N
+
+    # decontamination twin: identical n-gram generation (1-based clamped
+    # slice == Spark slice(toks, i, n)), identical benchmark split
+    _dc_grams = f"""
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len({toks}) - {DECONTAM_N - 1}, 1) + 1),
+            i -> array_to_string(({toks})[i:i+{DECONTAM_N - 1}], ' ')))) AS gram
+          FROM documents
+        ),
+        bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+        train AS (SELECT * FROM grams WHERE doc_id % {DECONTAM_BENCH_MOD} != 0)
+    """
+    sql["doc_decontam_hits"] = f"""
+        WITH {_dc_grams}
+        SELECT doc_id, count(*)::BIGINT AS n_hit_grams
+        FROM train JOIN bench USING (gram)
+        GROUP BY doc_id ORDER BY doc_id
+    """
+    sql["doc_decontam_keep_list"] = f"""
+        WITH {_dc_grams}
+        SELECT doc_id FROM documents
+        WHERE doc_id % {DECONTAM_BENCH_MOD} != 0
+          AND doc_id NOT IN (SELECT doc_id FROM train JOIN bench USING (gram))
+        ORDER BY doc_id
     """
     sql["doc_exact_dup_groups"] = """
         SELECT md5(text) AS content_md5,

@@ -76,6 +76,7 @@ def main() -> None:
         "doc_winnow_near_dup_pairs",
         "doc_simhash_near_dup_pairs",
         "doc_ensemble_dedup_clusters",
+        "doc_decontam_hits",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
         "emb_knn_l2",

@@ -1,0 +1,82 @@
+"""Benchmark decontamination — the n-gram-overlap rule every large
+training-data pipeline runs before training (GPT-3 appendix C / PaLM:
+drop a training document if it shares any 13-token n-gram with an
+evaluation benchmark).
+
+Spark shape (the 100-TB plan): the benchmark side is tiny relative to the
+corpus (all public eval sets together are well under a gigabyte), so its
+distinct n-gram set is **broadcast**; the training side is scan → JVM
+n-gram generation (``split``/``sequence``/``transform``/``slice`` — pure
+whole-stage codegen, no UDF) → broadcast inner/anti join → partial
+aggregate. The training corpus is NEVER shuffled: the only exchange in the
+plan is the final per-doc count aggregation over the (small) hit set.
+Reference parity: this is a pipeline-lane addition (no reference analogue
+— DB-LSH has no text surface); the join discipline mirrors the engine's
+broadcast-probe ANN lanes (`operators/ann.py`).
+
+Grams are joined as raw strings so the DuckDB oracle can state the
+identical computation; at petabyte scale you would hash both sides to
+64-bit (``xxhash64``) first — same plan, narrower shuffle-free projection.
+
+Documents shorter than ``n`` tokens contribute their full token sequence
+as a single (short) gram: ``slice`` clamps, so a short training document
+is flagged iff its exact text appears as a short benchmark document —
+never by prefix-matching into a longer benchmark gram. The DuckDB twin
+clamps identically (``greatest(len - n + 1, 1)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# the published contamination rule's window (GPT-3 appendix C)
+DECONTAM_N = 13
+# deterministic benchmark split for the oracled driver queries: every
+# 25th doc_id plays the role of the held-out eval set (~4% of the corpus)
+DECONTAM_BENCH_MOD = 25
+
+
+def ngram_set(docs: DataFrame, n: int = DECONTAM_N, text_col: str = "text") -> DataFrame:
+    """Distinct token n-grams per document: (doc_id, gram). Pure JVM —
+    tokenize, slide an index sequence, slice, join. Distinct-per-doc so a
+    gram repeated inside one document counts once (set semantics, matching
+    the oracle's ``list_distinct``)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def decontam_hits(train: DataFrame, bench: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """Contaminated training documents: (doc_id, n_hit_grams) for every
+    training doc sharing >= 1 token n-gram with any benchmark doc.
+    ``n_hit_grams`` counts the doc's distinct overlapping grams — the
+    triage signal (1 shared gram = likely quotation; hundreds = the doc IS
+    the benchmark)."""
+    bench_grams = F.broadcast(ngram_set(bench, n).select("gram").distinct())
+    return (
+        ngram_set(train, n)
+        .join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit_grams"))
+    )
+
+
+def decontam_keep_list(
+    train: DataFrame, bench: DataFrame, n: int = DECONTAM_N
+) -> DataFrame:
+    """Training doc_ids surviving decontamination (no shared n-gram with
+    the benchmark set) — the frame a training run would read. Anti-join
+    against the broadcast benchmark grams; same shuffle-free scan side."""
+    bench_grams = F.broadcast(ngram_set(bench, n).select("gram").distinct())
+    flagged = ngram_set(train, n).join(bench_grams, "gram").select("doc_id").distinct()
+    return train.select("doc_id").join(flagged, "doc_id", "left_anti")
+
+
+def split_bench(docs: DataFrame, mod: int = DECONTAM_BENCH_MOD):
+    """Deterministic (train, bench) split for the driver queries: every
+    ``mod``-th doc_id is 'benchmark'."""
+    is_bench = F.col("doc_id") % mod == 0
+    return docs.where(~is_bench), docs.where(is_bench)

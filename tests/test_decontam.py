@@ -1,0 +1,146 @@
+"""Benchmark decontamination lane (operators/decontam.py): the 13-gram
+overlap rule, planted-contamination semantics, keep-list partition
+property, short-document clamping, broadcast plan shape, and DuckDB twin
+parity on the sf0.001 fixture."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.decontam import (
+    DECONTAM_N,
+    decontam_hits,
+    decontam_keep_list,
+    ngram_set,
+    split_bench,
+)
+
+W13 = " ".join(f"w{i}" for i in range(13))  # one exact 13-gram
+FILLER = " ".join(f"f{i}" for i in range(20))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_13gram_is_flagged_12gram_is_not(spark):
+    bench = _df(spark, [(0, f"{FILLER} {W13} tail tokens here")])
+    # doc 1 embeds the full 13-gram; doc 2 only the first 12 tokens of it
+    w12 = " ".join(W13.split()[:12])
+    train = _df(
+        spark,
+        [
+            (1, f"pre amble {W13} post"),
+            (2, f"pre amble {w12} post"),
+            (3, "completely unrelated content with no overlap at all"),
+        ],
+    )
+    hits = {r.doc_id: r.n_hit_grams for r in decontam_hits(train, bench).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits and 3 not in hits
+    keep = {r.doc_id for r in decontam_keep_list(train, bench).collect()}
+    assert keep == {2, 3}
+
+
+def test_hit_count_counts_distinct_shared_grams(spark):
+    # benchmark is a 15-token run -> a train doc containing the same run
+    # shares 3 distinct 13-grams (positions 1..3)
+    run = " ".join(f"r{i}" for i in range(15))
+    bench = _df(spark, [(0, run)])
+    train = _df(spark, [(1, f"{FILLER} {run}")])
+    [(doc, n)] = [
+        (r.doc_id, r.n_hit_grams) for r in decontam_hits(train, bench).collect()
+    ]
+    assert doc == 1 and n == 3
+
+
+def test_repeated_gram_in_one_doc_counts_once(spark):
+    bench = _df(spark, [(0, W13)])
+    train = _df(spark, [(1, f"{W13} {FILLER} {W13}")])
+    [(_, n)] = [
+        (r.doc_id, r.n_hit_grams) for r in decontam_hits(train, bench).collect()
+    ]
+    # the embedded copies contribute the SAME gram string -> one distinct hit
+    # (plus the grams spanning copy->filler->copy are all distinct misses)
+    assert n == 1
+
+
+def test_short_docs_match_only_exact_full_text(spark):
+    # < n tokens: the whole token sequence is the single gram. A short
+    # train doc equal to a short bench doc is flagged; a short train doc
+    # that is a strict prefix of a LONGER bench doc is not.
+    bench = _df(spark, [(0, "alpha beta gamma"), (25, W13 + " extra")])
+    train = _df(
+        spark,
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, W13)],
+    )
+    flagged = {r.doc_id for r in decontam_hits(train, bench).collect()}
+    # doc 3 has exactly n tokens — a full (not clamped) gram, and that gram
+    # IS one of bench doc 25's 13-grams, so it is correctly flagged
+    assert flagged == {1, 3}
+
+
+def test_keep_list_partitions_training_set(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train, bench = split_bench(docs)
+    hit_ids = {r.doc_id for r in decontam_hits(train, bench).collect()}
+    keep_ids = {r.doc_id for r in decontam_keep_list(train, bench).collect()}
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert hit_ids | keep_ids == train_ids
+    assert hit_ids & keep_ids == set()
+    assert hit_ids, "fixture must make the lane non-vacuous (3 docs at sf0.001)"
+
+
+def test_bench_side_is_broadcast_and_train_scan_unshuffled(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train, bench = split_bench(docs)
+    plan = decontam_hits(train, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # exactly two shuffles, neither touching raw training grams: the
+    # bench-side distinct (tiny, inside the BroadcastExchange subtree) and
+    # the final per-doc aggregation of the hit set. The training branch is
+    # scan -> filter -> generate -> join with no Exchange.
+    n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffle <= 2, plan
+    train_branch = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in train_branch, plan
+
+
+def test_matches_duckdb_twin_on_fixture(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r.doc_id, r.n_hit_grams)
+        for r in entry.queries()["doc_decontam_hits"](spark, sf).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(entry.oracle_sql()["doc_decontam_hits"]).fetchall()
+    assert got == [(int(a), int(b)) for a, b in want]
+    got_keep = [
+        r.doc_id for r in entry.queries()["doc_decontam_keep_list"](spark, sf).collect()
+    ]
+    want_keep = [int(r[0]) for r in con.execute(
+        entry.oracle_sql()["doc_decontam_keep_list"]
+    ).fetchall()]
+    assert got_keep == want_keep
+
+
+def test_ngram_set_clamps_and_dedups(spark):
+    df = _df(spark, [(1, "a b"), (2, " ".join(["x"] * 14))])
+    rows = {(r.doc_id, r.gram) for r in ngram_set(df, n=13).collect()}
+    x13 = " ".join(["x"] * 13)
+    assert rows == {(1, "a b"), (2, x13)}
+
+
+@pytest.mark.parametrize("n", [2, 5, 13])
+def test_gram_count_formula(spark, n):
+    text = " ".join(f"t{i}" for i in range(30))
+    df = _df(spark, [(1, text)])
+    assert ngram_set(df, n=n).count() == 30 - n + 1
