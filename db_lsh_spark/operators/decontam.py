@@ -8,8 +8,11 @@ corpus (all public eval sets together are well under a gigabyte), so its
 distinct n-gram set is **broadcast**; the training side is scan → JVM
 n-gram generation (``split``/``sequence``/``transform``/``slice`` — pure
 whole-stage codegen, no UDF) → broadcast inner/anti join → partial
-aggregate. The training corpus is NEVER shuffled: the only exchange in the
-plan is the final per-doc count aggregation over the (small) hit set.
+aggregate. The exploded training grams are NEVER shuffled: they flow
+straight from generation into the broadcast join, and the only exchanges
+are the tiny bench-side distinct, the final per-doc count aggregation over
+the (small) hit set, and — on single-split small-SF fixtures only — one
+respread of the raw docs so gram generation parallelizes (``_spread``).
 Reference parity: this is a pipeline-lane addition (no reference analogue
 — DB-LSH has no text surface); the join discipline mirrors the engine's
 broadcast-probe ANN lanes (`operators/ann.py`).
@@ -49,6 +52,21 @@ def ngram_set(docs: DataFrame, n: int = DECONTAM_N, text_col: str = "text") -> D
     return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
 
 
+def _spread(train: DataFrame) -> DataFrame:
+    """Gram generation is the lane's only heavy stage and it is
+    embarrassingly parallel, so make sure it actually parallelizes: a
+    small-SF fixture arrives as ONE parquet split and would otherwise run
+    the whole scan→gram→join chain in a single task (measured 3.3x slower
+    at sf0.1). At 100-TB scale the scan arrives with thousands of splits
+    and this guard is a no-op — we only repartition when the input has
+    fewer splits than the session's parallelism, and what shuffles is the
+    raw (small) fixture, never the exploded grams."""
+    target = train.sparkSession.sparkContext.defaultParallelism
+    if train.rdd.getNumPartitions() < target:
+        return train.repartition(target)
+    return train
+
+
 def decontam_hits(train: DataFrame, bench: DataFrame, n: int = DECONTAM_N) -> DataFrame:
     """Contaminated training documents: (doc_id, n_hit_grams) for every
     training doc sharing >= 1 token n-gram with any benchmark doc.
@@ -57,7 +75,7 @@ def decontam_hits(train: DataFrame, bench: DataFrame, n: int = DECONTAM_N) -> Da
     the benchmark)."""
     bench_grams = F.broadcast(ngram_set(bench, n).select("gram").distinct())
     return (
-        ngram_set(train, n)
+        ngram_set(_spread(train), n)
         .join(bench_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hit_grams"))
@@ -71,8 +89,9 @@ def decontam_keep_list(
     the benchmark set) — the frame a training run would read. Anti-join
     against the broadcast benchmark grams; same shuffle-free scan side."""
     bench_grams = F.broadcast(ngram_set(bench, n).select("gram").distinct())
-    flagged = ngram_set(train, n).join(bench_grams, "gram").select("doc_id").distinct()
-    return train.select("doc_id").join(flagged, "doc_id", "left_anti")
+    spread = _spread(train)
+    flagged = ngram_set(spread, n).join(bench_grams, "gram").select("doc_id").distinct()
+    return spread.select("doc_id").join(flagged, "doc_id", "left_anti")
 
 
 def split_bench(docs: DataFrame, mod: int = DECONTAM_BENCH_MOD):

@@ -99,14 +99,18 @@ def test_bench_side_is_broadcast_and_train_scan_unshuffled(spark):
     plan = decontam_hits(train, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    # exactly two shuffles, neither touching raw training grams: the
-    # bench-side distinct (tiny, inside the BroadcastExchange subtree) and
-    # the final per-doc aggregation of the hit set. The training branch is
-    # scan -> filter -> generate -> join with no Exchange.
+    # bounded shuffles, none touching exploded training grams: the
+    # bench-side distinct (tiny, inside the BroadcastExchange subtree), the
+    # final per-doc aggregation of the hit set, and at most one respread of
+    # the RAW fixture docs (the single-split small-SF guard — a no-op on a
+    # many-split production scan). Between the join and the Generate the
+    # training branch carries no Exchange: grams flow straight from
+    # generation into the broadcast join.
     n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert n_shuffle <= 2, plan
+    assert n_shuffle <= 3, plan
     train_branch = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
-    assert "Exchange" not in train_branch, plan
+    pre_generate = train_branch.split("Generate")[0]
+    assert "Exchange" not in pre_generate, plan
 
 
 def test_matches_duckdb_twin_on_fixture(spark):
