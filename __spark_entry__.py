@@ -107,6 +107,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_with_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ heavily repetitive clones of doc_id < 10 at
+    doc_id+2_000_000 (first 10 tokens repeated 6×) — the seeded table for
+    the Gopher dup-5-gram rule, which the raw fixture never trips (the
+    oracle builds the identical CTE via flatten of six list slices)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    rep = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.flatten(F.array_repeat(F.slice(toks, 1, 10), 6)), " ").alias(
+            "text"
+        ),
+    )
+    return docs.unionByName(rep)
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ byte-identical clones of doc_id < 20 at doc_id+1_000_000 —
     the deterministic seeded-duplicates table (oracle builds the same CTE)."""
@@ -199,6 +215,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_lsh_near_dup_pairs_seeded"] = _lsh_pairs_seeded
     q["doc_bpe_token_count"] = lambda s, d: text_ops.bpe_token_count(_docs(s, d))
+
+    # Gopher repetition rules (Rae et al. 2021 table A1, word-n-gram form):
+    # map-only per-doc sort+run-scan kernel, zero shuffle. The flags query
+    # is naturally non-vacuous (2/2/20 docs exceed the top-2-gram threshold
+    # across the sf fixtures); the seeded twin plants 10 heavily repetitive
+    # docs (first 10 tokens ×6) that only the dup-5-gram rule catches.
+    q["doc_repetition_stats"] = lambda s, d: text_ops.repetition_stats(_docs(s, d))
+    q["doc_repetition_flags"] = lambda s, d: text_ops.repetition_flags(_docs(s, d))
+    q["doc_repetition_flags_seeded"] = lambda s, d: text_ops.repetition_flags(
+        _docs_with_repeats(s, d)
+    )
 
     # winnowing substring-dedup lane (VERDICT r04 #2): bottom-8 rolling-
     # window fingerprints → fp equi-join → suffix-array LCS >= 32 verify —
@@ -871,6 +898,61 @@ def oracle_sql() -> dict[str, str]:
                    AS n_bpe_tokens
         FROM documents
     """
+    # Gopher repetition twins: identical clamped gram generation to the
+    # Spark kernel (1-based slice), group-by/max formulation — value-equal
+    # to the sort+run-scan aggregate by construction
+    from db_lsh_spark.operators.text import REP_DUP5_MAX, REP_TOP2_MAX
+
+    def _rep_sql(src: str, preamble: str = "", where: str = "") -> str:
+        return f"""
+        WITH {preamble}rtoks AS (
+          SELECT doc_id, {toks} AS t, len(text) AS nc FROM {src}
+        ),
+        rg2 AS (
+          SELECT doc_id, nc, unnest(list_transform(
+            range(1, greatest(len(t) - 1, 1) + 1),
+            i -> array_to_string(t[i:i+1], ' '))) AS gram
+          FROM rtoks
+        ),
+        rc2 AS (SELECT doc_id, nc, gram, count(*) AS cnt FROM rg2 GROUP BY ALL),
+        rt2 AS (
+          SELECT doc_id, round(max(cnt * len(gram)) * 1.0 / any_value(nc), 6)
+                 AS top2gram_char_frac
+          FROM rc2 GROUP BY doc_id
+        ),
+        rg5 AS (
+          SELECT doc_id, nc, unnest(list_transform(
+            range(1, greatest(len(t) - 4, 1) + 1),
+            i -> array_to_string(t[i:i+4], ' '))) AS gram
+          FROM rtoks
+        ),
+        rc5 AS (SELECT doc_id, nc, gram, count(*) AS cnt FROM rg5 GROUP BY ALL),
+        rd5 AS (
+          SELECT doc_id,
+                 round(coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * len(gram) END), 0)
+                       * 1.0 / any_value(nc), 6) AS dup5gram_char_frac
+          FROM rc5 GROUP BY doc_id
+        )
+        SELECT doc_id, top2gram_char_frac, dup5gram_char_frac
+        FROM rt2 JOIN rd5 USING (doc_id) {where}
+        """
+
+    _rep_where = (
+        f"WHERE top2gram_char_frac > {REP_TOP2_MAX} "
+        f"OR dup5gram_char_frac > {REP_DUP5_MAX}"
+    )
+    _rep_seeded_cte = f"""docs_rep AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id,
+                 array_to_string(flatten([u, u, u, u, u, u]), ' ') AS text
+          FROM (SELECT doc_id, ({toks})[1:10] AS u FROM documents WHERE doc_id < 10)
+        ), """
+    sql["doc_repetition_stats"] = _rep_sql("documents")
+    sql["doc_repetition_flags"] = _rep_sql("documents", where=_rep_where)
+    sql["doc_repetition_flags_seeded"] = _rep_sql(
+        "docs_rep", preamble=_rep_seeded_cte, where=_rep_where
+    )
     def _pairs_sql(src: str, preamble: str = "") -> str:
         return f"""
         WITH {preamble}sh AS (

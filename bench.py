@@ -77,6 +77,7 @@ def main() -> None:
         "doc_simhash_near_dup_pairs",
         "doc_ensemble_dedup_clusters",
         "doc_decontam_hits",
+        "doc_repetition_flags",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
         "emb_knn_l2",

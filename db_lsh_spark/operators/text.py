@@ -633,3 +633,86 @@ def near_dup_pairs_exact(docs: DataFrame, k: int = 5, threshold: float = 0.9) ->
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1). The paper's rules are stated over lines
+# and word n-grams; the single-space-normalized documents table has no
+# line structure, so the two word-n-gram rules carry the lane:
+#   top2gram_char_frac — chars covered by the MOST FREQUENT word 2-gram
+#     (count × gram length) / total chars,
+#   dup5gram_char_frac — chars covered by word 5-grams occurring >= 2
+#     times (Σ count × gram length over duplicated grams) / total chars.
+# Thresholds below flag 2/2/20 docs naturally at sf0.001/0.01/0.1 (the
+# fixture plants no 5-gram repetition — the seeded driver query does).
+REP_TOP2_MAX = 0.25
+REP_DUP5_MAX = 0.10
+
+
+def _gram_run_stats(toks, k: int):
+    """(best, dup) char-coverage stats over the word ``k``-grams of a
+    token array, as ONE whole-stage-codegen expression: generate grams,
+    ``array_sort``, then a single ``aggregate`` pass counting runs of
+    equal grams — O(n log n) per document, NO explode, NO shuffle (the
+    100-TB shape is a map-only scan; the naive per-gram ``filter`` count
+    would be O(n²) on long source files). ``best`` = max over grams of
+    count×len(gram); ``dup`` = Σ count×len(gram) over grams with
+    count >= 2 (accumulated as 2×len when a run reaches 2, +len per
+    further repeat). Docs shorter than ``k`` tokens clamp to one
+    full-text gram, like the decontamination lane."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+        zero.alias("dup"),
+    )
+
+    def merge(st, x):
+        run = F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(st["best"], run * F.length(x)).alias("best"),
+            (
+                st["dup"]
+                + F.when(run == 2, 2 * F.length(x))
+                .when(run > 2, F.length(x))
+                .otherwise(zero)
+            ).alias("dup"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, merge)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition fractions: (doc_id, top2gram_char_frac,
+    dup5gram_char_frac), each rounded to 6 (oracle contract)."""
+    toks = tokens_col(text_col)
+    s2 = _gram_run_stats(toks, 2)
+    s5 = _gram_run_stats(toks, 5)
+    return docs.select(
+        "doc_id",
+        F.round(s2["best"] / F.length(text_col), 6).alias("top2gram_char_frac"),
+        F.round(s5["dup"] / F.length(text_col), 6).alias("dup5gram_char_frac"),
+    )
+
+
+def repetition_flags(
+    docs: DataFrame,
+    max_top2: float = REP_TOP2_MAX,
+    max_dup5: float = REP_DUP5_MAX,
+) -> DataFrame:
+    """The drop side of the Gopher repetition filter: documents whose
+    repetition exceeds EITHER threshold, with the offending stats (the
+    keep side is the anti-set — partition property pinned in tests)."""
+    s = repetition_stats(docs)
+    return s.where(
+        (F.col("top2gram_char_frac") > max_top2)
+        | (F.col("dup5gram_char_frac") > max_dup5)
+    )

@@ -1,0 +1,103 @@
+"""Gopher repetition rules (operators/text.py repetition_*): hand-pinned
+fraction arithmetic, planted-repetition flagging, keep/flag partition
+property, zero-shuffle map-only plan, and DuckDB twin parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from db_lsh_spark.operators.text import (
+    REP_DUP5_MAX,
+    REP_TOP2_MAX,
+    repetition_flags,
+    repetition_stats,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_pinned_fractions(spark):
+    # "ab cd ab cd ab": 2-grams = [ab cd, cd ab, ab cd, cd ab] →
+    # top count 2, gram len 5 → 10/14 chars. 5-grams: one clamped gram
+    # (the whole text, count 1) → dup5 = 0.
+    rows = [(1, "ab cd ab cd ab")]
+    got = repetition_stats(_df(spark, rows)).collect()[0]
+    assert got.top2gram_char_frac == pytest.approx(10 / 14, abs=1e-6)
+    assert got.dup5gram_char_frac == 0.0
+
+
+def test_dup5_counts_all_duplicated_gram_chars(spark):
+    # unit "a b c d e" repeated 3x: 5-grams of the 15-token text include
+    # "a b c d e" exactly 3 times (positions 1,6,11) and every other
+    # 5-gram once... verify against the group-by definition in DuckDB
+    # rather than hand-summing.
+    text = " ".join(["a b c d e"] * 3)
+    got = repetition_stats(_df(spark, [(1, text)])).collect()[0]
+    con = duckdb.connect()
+    exp = con.sql(f"""
+        WITH g AS (
+          SELECT unnest(list_transform(range(1, greatest(len(t)-4,1)+1),
+                 i -> array_to_string(t[i:i+4], ' '))) AS gram
+          FROM (SELECT string_split('{text}', ' ') t)
+        ), c AS (SELECT gram, count(*) cnt FROM g GROUP BY 1)
+        SELECT round(coalesce(sum(CASE WHEN cnt>=2 THEN cnt*len(gram) END),0)
+               * 1.0 / {len(text)}, 6) FROM c
+    """).fetchone()[0]
+    assert got.dup5gram_char_frac == pytest.approx(exp, abs=1e-6)
+    assert got.dup5gram_char_frac > REP_DUP5_MAX  # planted repeat trips the rule
+
+
+def test_flags_and_keeps_partition_the_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    flags = repetition_flags(docs)
+    n_flagged = flags.count()
+    assert 0 < n_flagged < n  # naturally non-vacuous at the default knobs
+    kept = docs.join(flags.select("doc_id"), "doc_id", "left_anti")
+    assert kept.count() + n_flagged == n
+
+
+def test_clean_doc_not_flagged(spark):
+    rows = [(1, "one two three four five six seven eight nine ten")]
+    assert repetition_flags(_df(spark, rows)).count() == 0
+
+
+def test_repetition_stats_plan_is_map_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # per-doc sort+run-scan kernel: a single scan -> project, no Exchange,
+    # no Generate (nothing explodes), no join. (Higher-order functions are
+    # codegen-fallback expressions, so no WholeStageCodegen claim — the
+    # invariant that matters at 100 TB is map-only: zero shuffle.)
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_matches_duckdb_twin_seeded(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    name = "doc_repetition_flags_seeded"
+    sdf = entry.queries()[name](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    ddf = con.sql(entry.oracle_sql()[name]).df()
+    assert len(sdf) == len(ddf) >= 10  # the 10 planted repeats all flagged
+    s = sdf.sort_values("doc_id").reset_index(drop=True)
+    d = ddf.sort_values("doc_id").reset_index(drop=True)
+    assert list(s.doc_id) == list(d.doc_id)
+    assert (s.top2gram_char_frac - d.top2gram_char_frac).abs().max() < 1e-9
+    assert (s.dup5gram_char_frac - d.dup5gram_char_frac).abs().max() < 1e-9
+    planted = s[s.doc_id >= 2_000_000]
+    assert len(planted) == 10
+    assert (planted.dup5gram_char_frac > REP_DUP5_MAX).all()
+
+
+def test_thresholds_exported():
+    assert 0 < REP_DUP5_MAX < REP_TOP2_MAX < 1
