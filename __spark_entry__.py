@@ -123,6 +123,18 @@ def _docs_with_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(rep)
 
 
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ clones of doc_id < 10 at doc_id+3_000_000 with the
+    deterministic planted-PII suffix appended (the raw fixture has zero
+    PII-shaped tokens, measured — the oracle appends the same literal)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(text_ops.PII_SEED_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ byte-identical clones of doc_id < 20 at doc_id+1_000_000 —
     the deterministic seeded-duplicates table (oracle builds the same CTE)."""
@@ -226,6 +238,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_repetition_flags_seeded"] = lambda s, d: text_ops.repetition_flags(
         _docs_with_repeats(s, d)
     )
+
+    # PII redaction — the TRANSFORMATION side of curation (everything else
+    # filters): regexp_count detection stats + the sequentially-scrubbed
+    # corpus with exact per-doc replacement counts. Map-only JVM regex,
+    # zero shuffle; seeded over _docs_with_pii (raw fixture has no PII).
+    q["doc_pii_stats_seeded"] = lambda s, d: text_ops.pii_stats(_docs_with_pii(s, d))
+    q["doc_pii_scrub_seeded"] = lambda s, d: text_ops.pii_scrub(_docs_with_pii(s, d))
 
     # winnowing substring-dedup lane (VERDICT r04 #2): bottom-8 rolling-
     # window fingerprints → fp equi-join → suffix-array LCS >= 32 verify —
@@ -953,6 +972,41 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_repetition_flags_seeded"] = _rep_sql(
         "docs_rep", preamble=_rep_seeded_cte, where=_rep_where
     )
+
+    # PII twins: generated from the SAME PII_PATTERNS tuple the Spark
+    # operator reads (patterns restricted to the Java-regex ∩ RE2 subset);
+    # counts via len(regexp_extract_all), scrub via regexp_replace 'g',
+    # each pattern counted on the text the previous scrubs produced —
+    # identical sequential contract to operators/text.py pii_scrub
+    from db_lsh_spark.operators.text import PII_PATTERNS, PII_SEED_SUFFIX
+
+    _pii_cte = f"""WITH docs_pii AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 3000000 AS doc_id, text || '{PII_SEED_SUFFIX}' AS text
+          FROM documents WHERE doc_id < 10
+        )"""
+    _pii_stats_cols = ",\n               ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    sql["doc_pii_stats_seeded"] = f"""
+        {_pii_cte}
+        SELECT doc_id,
+               {_pii_stats_cols}
+        FROM docs_pii
+    """
+    _scrubbed, _n_red_terms = "text", []
+    for _, pat, token in PII_PATTERNS:
+        _n_red_terms.append(f"len(regexp_extract_all({_scrubbed}, '{pat}'))")
+        _scrubbed = f"regexp_replace({_scrubbed}, '{pat}', '{token}', 'g')"
+    sql["doc_pii_scrub_seeded"] = f"""
+        {_pii_cte}
+        SELECT doc_id,
+               {_scrubbed} AS text,
+               ({" + ".join(_n_red_terms)})::BIGINT AS n_redactions
+        FROM docs_pii
+    """
     def _pairs_sql(src: str, preamble: str = "") -> str:
         return f"""
         WITH {preamble}sh AS (

@@ -716,3 +716,61 @@ def repetition_flags(
         (F.col("top2gram_char_frac") > max_top2)
         | (F.col("dup5gram_char_frac") > max_dup5)
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — the transformation side of curation (the lanes above
+# only FILTER). Emails, IPv4s, and US-style phone numbers are detected
+# with patterns deliberately restricted to the syntax subset Java regex
+# (Spark, JVM codegen) and RE2 (the DuckDB oracle twin) interpret
+# identically: ASCII classes, bounded repetition, \b on ASCII word chars
+# — no lookaround, no backreferences. Scrubbing applies the patterns in
+# the declaration order below (email first, so `a@1.2.3.4` redacts as
+# ONE email, not an email fragment plus an IP) — both engines run the
+# same sequential regexp_replace chain, so order is part of the contract.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+# The deterministic planted-PII suffix for the seeded driver queries (the
+# raw fixture contains zero PII-shaped tokens, measured). One of each
+# pattern, plus `root@192.168.1.1` — NOT an email (the TLD must be
+# alphabetic) so the IP inside survives to the ipv4 pass: pins the
+# sequential-order contract in both engines.
+PII_SEED_SUFFIX = (
+    " contact bob@example.com or 10.0.0.1 or 555-123-4567 or root@192.168.1.1"
+)
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts: (doc_id, n_email, n_ipv4, n_phone).
+    One ``regexp_count`` per pattern — map-only JVM scan, zero shuffle."""
+    return docs.select(
+        "doc_id",
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+    )
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redacted corpus: (doc_id, text, n_redactions) with every PII match
+    replaced by its placeholder token, in PII_PATTERNS order. Each pattern
+    is counted on the text it is actually applied to (post earlier scrubs),
+    so n_redactions is the exact number of replacements made — an IP
+    nested inside an already-redacted email is not double-counted."""
+    scrubbed = F.col(text_col)
+    n_red = F.lit(0)
+    for _, pat, token in PII_PATTERNS:
+        n_red = n_red + F.regexp_count(scrubbed, F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        n_red.cast("long").alias("n_redactions"),
+    )

@@ -1,0 +1,96 @@
+"""PII redaction (operators/text.py pii_stats / pii_scrub): hand-pinned
+match counts on the seed suffix, the sequential-order contract (a phone
+number living inside an email must redact exactly once), NULL propagation,
+DuckDB twin parity on planted docs, and the zero-shuffle map-only plan."""
+
+from __future__ import annotations
+
+import duckdb
+
+from db_lsh_spark.operators.text import (
+    PII_PATTERNS,
+    PII_SEED_SUFFIX,
+    pii_scrub,
+    pii_stats,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_seed_suffix_counts_are_hand_pinned(spark):
+    # bob@example.com → 1 email; 10.0.0.1 and 192.168.1.1 → 2 IPs
+    # (root@192.168.1.1 is NOT an email — numeric TLD); 555-123-4567 → 1.
+    got = pii_stats(_df(spark, [(1, PII_SEED_SUFFIX)])).collect()[0]
+    assert (got.n_email, got.n_ipv4, got.n_phone) == (1, 2, 1)
+
+
+def test_scrub_replaces_and_counts_exactly(spark):
+    got = pii_scrub(_df(spark, [(1, "x " + PII_SEED_SUFFIX)])).collect()[0]
+    assert got.n_redactions == 4
+    for _, _, token in PII_PATTERNS:
+        assert token in got.text
+    for lit in ("bob@example.com", "10.0.0.1", "555-123-4567", "192.168.1.1"):
+        assert lit not in got.text
+
+
+def test_sequential_order_no_double_count(spark):
+    # The local part of an email may BE a phone number: the email pass
+    # consumes it whole, so the phone pass (run on the scrubbed text)
+    # sees nothing — exactly one redaction, not two.
+    got = pii_scrub(_df(spark, [(1, "555-123-4567@example.com")])).collect()[0]
+    assert got.text == "<EMAIL>"
+    assert got.n_redactions == 1
+
+
+def test_null_text_propagates(spark):
+    srow = pii_stats(_df(spark, [(1, None)])).collect()[0]
+    assert srow.n_email is None and srow.n_ipv4 is None and srow.n_phone is None
+    crow = pii_scrub(_df(spark, [(1, None)])).collect()[0]
+    assert crow.text is None and crow.n_redactions is None
+    # DuckDB twin agrees: len(regexp_extract_all(NULL, ...)) IS NULL.
+    con = duckdb.connect()
+    pat = PII_PATTERNS[0][1]
+    assert con.sql(
+        f"SELECT len(regexp_extract_all(NULL::VARCHAR, '{pat}'))"
+    ).fetchone()[0] is None
+
+
+def test_duckdb_twin_parity_on_planted_docs(spark):
+    # A handful of adversarial rows through BOTH engines — the same
+    # sequential regexp_replace chain the driver oracle composes.
+    rows = [
+        (1, "plain text, no pii at all"),
+        (2, PII_SEED_SUFFIX),
+        (3, "a@1.2.3.4 then 8.8.8.8 and a.b@c-d.org"),
+        (4, "call 555.123.4567 or 555-123-4567; v4 at 255.255.255.255"),
+        (5, "x" + PII_SEED_SUFFIX + " tail 1.2.3.4"),
+    ]
+    got = {
+        r.doc_id: (r.text, r.n_redactions)
+        for r in pii_scrub(_df(spark, rows)).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    scrubbed, n_terms = "text", []
+    for _, pat, token in PII_PATTERNS:
+        n_terms.append(f"len(regexp_extract_all({scrubbed}, '{pat}'))")
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
+    for doc_id, text, n_red in con.sql(
+        f"SELECT doc_id, {scrubbed}, {' + '.join(n_terms)} FROM docs"
+    ).fetchall():
+        assert got[doc_id] == (text, n_red), (doc_id, got[doc_id], text)
+
+
+def test_pii_plans_are_map_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (pii_stats(docs), pii_scrub(docs)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan, plan
+        assert "Join" not in plan, plan
