@@ -135,6 +135,20 @@ def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(planted)
 
 
+def _docs_with_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ clones of doc_id < 10 at doc_id+4_000_000 with the
+    deterministic planted-secrets suffix appended (the raw fixture has zero
+    secret-shaped tokens, measured — the oracle appends the same literal)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(text_ops.SECRETS_SEED_SUFFIX)
+        ).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ byte-identical clones of doc_id < 20 at doc_id+1_000_000 —
     the deterministic seeded-duplicates table (oracle builds the same CTE)."""
@@ -245,6 +259,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # zero shuffle; seeded over _docs_with_pii (raw fixture has no PII).
     q["doc_pii_stats_seeded"] = lambda s, d: text_ops.pii_stats(_docs_with_pii(s, d))
     q["doc_pii_scrub_seeded"] = lambda s, d: text_ops.pii_scrub(_docs_with_pii(s, d))
+
+    # Secrets detection/redaction — the code-corpus sibling (The Stack /
+    # BigCode-style secrets scan): AWS key IDs, GitHub PATs, Slack tokens,
+    # PEM private-key headers. Same map-only sequential-regexp contract,
+    # seeded over _docs_with_secrets (raw fixture has no secret shapes).
+    q["doc_secrets_stats_seeded"] = lambda s, d: text_ops.secrets_stats(
+        _docs_with_secrets(s, d)
+    )
+    q["doc_secrets_scrub_seeded"] = lambda s, d: text_ops.secrets_scrub(
+        _docs_with_secrets(s, d)
+    )
 
     # winnowing substring-dedup lane (VERDICT r04 #2): bottom-8 rolling-
     # window fingerprints → fp equi-join → suffix-array LCS >= 32 verify —
@@ -973,40 +998,50 @@ def oracle_sql() -> dict[str, str]:
         "docs_rep", preamble=_rep_seeded_cte, where=_rep_where
     )
 
-    # PII twins: generated from the SAME PII_PATTERNS tuple the Spark
-    # operator reads (patterns restricted to the Java-regex ∩ RE2 subset);
-    # counts via len(regexp_extract_all), scrub via regexp_replace 'g',
-    # each pattern counted on the text the previous scrubs produced —
-    # identical sequential contract to operators/text.py pii_scrub
-    from db_lsh_spark.operators.text import PII_PATTERNS, PII_SEED_SUFFIX
+    # PII + secrets twins: generated from the SAME pattern tuples the
+    # Spark operators read (patterns restricted to the Java-regex ∩ RE2
+    # subset); counts via len(regexp_extract_all), scrub via
+    # regexp_replace 'g', each pattern counted on the text the previous
+    # scrubs produced — identical sequential contract to
+    # operators/text.py _pattern_scrub
+    from db_lsh_spark.operators.text import (
+        PII_PATTERNS,
+        PII_SEED_SUFFIX,
+        SECRET_PATTERNS,
+        SECRETS_SEED_SUFFIX,
+    )
 
-    _pii_cte = f"""WITH docs_pii AS (
+    def _scrub_twins(prefix: str, patterns, suffix: str, id_offset: int):
+        cte = f"""WITH docs_p AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 3000000 AS doc_id, text || '{PII_SEED_SUFFIX}' AS text
+          SELECT doc_id + {id_offset} AS doc_id, text || '{suffix}' AS text
           FROM documents WHERE doc_id < 10
         )"""
-    _pii_stats_cols = ",\n               ".join(
-        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
-    sql["doc_pii_stats_seeded"] = f"""
-        {_pii_cte}
+        stats_cols = ",\n               ".join(
+            f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+            for name, pat, _ in patterns
+        )
+        sql[f"doc_{prefix}_stats_seeded"] = f"""
+        {cte}
         SELECT doc_id,
-               {_pii_stats_cols}
-        FROM docs_pii
-    """
-    _scrubbed, _n_red_terms = "text", []
-    for _, pat, token in PII_PATTERNS:
-        _n_red_terms.append(f"len(regexp_extract_all({_scrubbed}, '{pat}'))")
-        _scrubbed = f"regexp_replace({_scrubbed}, '{pat}', '{token}', 'g')"
-    sql["doc_pii_scrub_seeded"] = f"""
-        {_pii_cte}
+               {stats_cols}
+        FROM docs_p
+        """
+        scrubbed, n_red_terms = "text", []
+        for _, pat, token in patterns:
+            n_red_terms.append(f"len(regexp_extract_all({scrubbed}, '{pat}'))")
+            scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{token}', 'g')"
+        sql[f"doc_{prefix}_scrub_seeded"] = f"""
+        {cte}
         SELECT doc_id,
-               {_scrubbed} AS text,
-               ({" + ".join(_n_red_terms)})::BIGINT AS n_redactions
-        FROM docs_pii
-    """
+               {scrubbed} AS text,
+               ({" + ".join(n_red_terms)})::BIGINT AS n_redactions
+        FROM docs_p
+        """
+
+    _scrub_twins("pii", PII_PATTERNS, PII_SEED_SUFFIX, 3_000_000)
+    _scrub_twins("secrets", SECRET_PATTERNS, SECRETS_SEED_SUFFIX, 4_000_000)
     def _pairs_sql(src: str, preamble: str = "") -> str:
         return f"""
         WITH {preamble}sh AS (
