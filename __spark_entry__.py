@@ -149,6 +149,18 @@ def _docs_with_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(planted)
 
 
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ clones of doc_id < 10 at doc_id+5_000_000 with the
+    deterministic planted-URL suffix appended (the raw fixture has zero
+    URL-shaped tokens, measured — the oracle appends the same literal)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(text_ops.URL_SEED_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ byte-identical clones of doc_id < 20 at doc_id+1_000_000 —
     the deterministic seeded-duplicates table (oracle builds the same CTE)."""
@@ -269,6 +281,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["doc_secrets_scrub_seeded"] = lambda s, d: text_ops.secrets_scrub(
         _docs_with_secrets(s, d)
+    )
+
+    # URL census + domain blocklist — the C4/RefinedWeb URL-filter step:
+    # corpus-wide domain counts (one partial-agg shuffle), drop-side flags
+    # and keep list (map-only, in-plan literal blocklist). Seeded over
+    # _docs_with_urls (raw fixture has no URL shapes).
+    q["doc_url_domain_counts_seeded"] = lambda s, d: text_ops.url_domain_counts(
+        _docs_with_urls(s, d)
+    )
+    q["doc_url_blocklist_flags_seeded"] = (
+        lambda s, d: text_ops.url_blocklist_flags(_docs_with_urls(s, d))
+    )
+    q["doc_url_blocklist_keep_seeded"] = (
+        lambda s, d: text_ops.url_blocklist_keep(_docs_with_urls(s, d))
     )
 
     # winnowing substring-dedup lane (VERDICT r04 #2): bottom-8 rolling-
@@ -1042,6 +1068,51 @@ def oracle_sql() -> dict[str, str]:
 
     _scrub_twins("pii", PII_PATTERNS, PII_SEED_SUFFIX, 3_000_000)
     _scrub_twins("secrets", SECRET_PATTERNS, SECRETS_SEED_SUFFIX, 4_000_000)
+
+    # URL twins: same planted CTE; extraction via regexp_extract_all
+    # (group 0 in both engines), domains lowercased through the same
+    # capture pattern, blocklist as the same literal IN-list
+    from db_lsh_spark.operators.text import (
+        URL_BLOCKLIST_DEFAULT,
+        URL_DOMAIN_PATTERN,
+        URL_PATTERN,
+        URL_SEED_SUFFIX,
+    )
+
+    _url_cte = f"""WITH docs_u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 5000000 AS doc_id, text || '{URL_SEED_SUFFIX}' AS text
+          FROM documents WHERE doc_id < 10
+        )"""
+    _blocked_in = ", ".join(f"'{d}'" for d in URL_BLOCKLIST_DEFAULT)
+    _doms_expr = (
+        f"list_transform(regexp_extract_all(text, '{URL_PATTERN}'), "
+        f"u -> lower(regexp_extract(u, '{URL_DOMAIN_PATTERN}', 1)))"
+    )
+    _blocked_expr = f"list_filter({_doms_expr}, d -> d IN ({_blocked_in}))"
+    sql["doc_url_domain_counts_seeded"] = f"""
+        {_url_cte}
+        SELECT domain,
+               count(*)::BIGINT AS n_urls,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM (SELECT doc_id, unnest({_doms_expr}) AS domain FROM docs_u)
+        GROUP BY domain
+    """
+    sql["doc_url_blocklist_flags_seeded"] = f"""
+        {_url_cte}
+        SELECT doc_id, n_urls, n_blocked_urls FROM (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{URL_PATTERN}'))::BIGINT AS n_urls,
+                 len({_blocked_expr})::BIGINT AS n_blocked_urls
+          FROM docs_u
+        ) WHERE n_blocked_urls > 0
+    """
+    sql["doc_url_blocklist_keep_seeded"] = f"""
+        {_url_cte}
+        SELECT doc_id FROM docs_u
+        WHERE text IS NULL OR len({_blocked_expr}) = 0
+    """
     def _pairs_sql(src: str, preamble: str = "") -> str:
         return f"""
         WITH {preamble}sh AS (

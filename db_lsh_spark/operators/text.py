@@ -816,6 +816,88 @@ SECRETS_SEED_SUFFIX = (
 )
 
 
+# --------------------------------------------------------------------------
+# URL extraction + domain blocklist — the C4/RefinedWeb-style URL filter
+# step. The URL shape is deliberately conservative and stays in the
+# Java-regex ∩ RE2 subset (explicit ASCII classes, no \s, no lookaround):
+# scheme, a dot-dash hostname, optional port, optional path of URL-safe
+# chars. The hostname class excludes ':' and '/', so the domain falls out
+# of one capture group with no port/path stripping.
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?::\d{1,5})?(?:/[A-Za-z0-9._%#?&=~/+-]*)?"
+URL_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+# Deterministic planted-URL suffix for the seeded driver queries (the raw
+# fixture contains zero URL-shaped tokens, measured). Mixed-case host pins
+# the lowercasing contract; one blocked domain; a bare scheme-less token
+# (`www.nourl.example`) that must NOT match.
+URL_SEED_SUFFIX = (
+    " see https://Sub.Example.COM/Path?q=1 and http://blocked.example.net/x"
+    " also https://ok.example.org:8080/a/b.html plus www.nourl.example"
+)
+
+# Default blocklist for the seeded queries — tiny by construction; a
+# production blocklist (millions of domains) becomes a broadcast semi-join
+# on the exploded domain frame instead of the in-plan literal set.
+URL_BLOCKLIST_DEFAULT = ("blocked.example.net", "tracker.example.org")
+
+
+def _url_domains(docs: DataFrame, text_col: str):
+    """Column expression: lowercased domain of every URL in the text, as
+    an array (map-only; one regexp_extract_all + per-element extract)."""
+    # idx=0: Spark's regexp_extract_all defaults to capture group 1, and
+    # URL_PATTERN deliberately has only non-capturing groups
+    return F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0),
+        lambda u: F.lower(F.regexp_extract(u, URL_DOMAIN_PATTERN, 1)),
+    )
+
+
+def url_domain_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide URL census: (domain, n_urls, n_docs). Extraction is
+    map-only; the only shuffle is the final partial-aggregated groupBy on
+    domain — the 100-TB shape (domains ≪ URLs after map-side combine)."""
+    doms = docs.select(
+        "doc_id", F.explode(_url_domains(docs, text_col)).alias("domain")
+    )
+    return doms.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+
+
+def url_blocklist_flags(
+    docs: DataFrame,
+    blocked: tuple[str, ...] = URL_BLOCKLIST_DEFAULT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop side of the URL filter: (doc_id, n_urls, n_blocked_urls) for
+    documents containing at least one URL on a blocked domain. Map-only:
+    the blocklist is an in-plan literal set (small-list regime; a
+    million-domain list would broadcast-semi-join the exploded frame)."""
+    doms = _url_domains(docs, text_col)
+    blocked_col = F.filter(doms, lambda d: d.isin(*blocked))
+    return docs.select(
+        "doc_id",
+        F.size(doms).cast("long").alias("n_urls"),
+        F.size(blocked_col).cast("long").alias("n_blocked_urls"),
+    ).where(F.col("n_blocked_urls") > 0)
+
+
+def url_blocklist_keep(
+    docs: DataFrame,
+    blocked: tuple[str, ...] = URL_BLOCKLIST_DEFAULT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep side: doc_ids with zero blocked-domain URLs (the anti-set of
+    ``url_blocklist_flags`` — partition property pinned in tests).
+    NULL text is kept: a missing document is not evidence of a bad URL."""
+    doms = _url_domains(docs, text_col)
+    n_blocked = F.size(F.filter(doms, lambda d: d.isin(*blocked)))
+    return docs.where((F.col(text_col).isNull()) | (n_blocked == 0)).select(
+        "doc_id"
+    )
+
+
 def secrets_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document secret-token counts:
     (doc_id, n_aws_key, n_github_pat, n_slack_token, n_pem_header)."""

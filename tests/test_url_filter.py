@@ -1,0 +1,106 @@
+"""URL census + domain blocklist (operators/text.py url_*): hand-pinned
+domain counts on the seed suffix, lowercasing, scheme-less non-match,
+flags/keep partition property with NULL text, DuckDB twin parity on
+adversarial URL shapes, and the map-only plan for the filter side."""
+
+from __future__ import annotations
+
+import duckdb
+
+from db_lsh_spark.operators.text import (
+    URL_BLOCKLIST_DEFAULT,
+    URL_DOMAIN_PATTERN,
+    URL_PATTERN,
+    URL_SEED_SUFFIX,
+    url_blocklist_flags,
+    url_blocklist_keep,
+    url_domain_counts,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_seed_suffix_census_hand_pinned(spark):
+    got = {
+        r.domain: (r.n_urls, r.n_docs)
+        for r in url_domain_counts(_df(spark, [(1, URL_SEED_SUFFIX)])).collect()
+    }
+    # Sub.Example.COM lowercased; the scheme-less www.nourl.example absent.
+    assert got == {
+        "sub.example.com": (1, 1),
+        "blocked.example.net": (1, 1),
+        "ok.example.org": (1, 1),
+    }
+
+
+def test_flags_and_keep_partition_the_corpus(spark):
+    rows = [
+        (1, URL_SEED_SUFFIX),                  # one blocked URL → flagged
+        (2, "clean https://fine.example.io/x"),
+        (3, None),                             # NULL text → kept
+        (4, "no urls at all"),
+        (5, "http://blocked.example.net/a http://blocked.example.net/b"),
+    ]
+    docs = _df(spark, rows)
+    flagged = {r.doc_id for r in url_blocklist_flags(docs).collect()}
+    kept = {r.doc_id for r in url_blocklist_keep(docs).collect()}
+    assert flagged == {1, 5}
+    assert kept == {2, 3, 4}
+    assert flagged | kept == {1, 2, 3, 4, 5} and not flagged & kept
+
+
+def test_blocked_url_counts(spark):
+    rows = [(5, "http://blocked.example.net/a x http://blocked.example.net/b")]
+    r = url_blocklist_flags(_df(spark, rows)).collect()[0]
+    assert (r.n_urls, r.n_blocked_urls) == (2, 2)
+
+
+def test_duckdb_twin_parity_adversarial(spark):
+    rows = [
+        (1, "ports https://ok.example.org:8080/a and bare http://host"),
+        (2, "trail https://a.example.com/x. then (https://b.example.com/y)"),
+        (3, "case HTTPS is not a scheme-match? https://MiXeD.Example.ORG/Z"),
+        (4, "comma https://c.example.com/p,q stops at the comma"),
+        (5, "no urls"),
+    ]
+    docs = _df(spark, rows)
+    got = {
+        r.domain: (r.n_urls, r.n_docs)
+        for r in url_domain_counts(docs).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    exp = {
+        d: (nu, nd)
+        for d, nu, nd in con.sql(f"""
+            SELECT domain, count(*), count(DISTINCT doc_id)
+            FROM (SELECT doc_id, unnest(list_transform(
+                    regexp_extract_all(text, '{URL_PATTERN}'),
+                    u -> lower(regexp_extract(u, '{URL_DOMAIN_PATTERN}', 1))))
+                  AS domain FROM docs)
+            GROUP BY domain
+        """).fetchall()
+    }
+    assert got == exp
+    # sanity on the shapes themselves: port host captured without port,
+    # uppercase scheme NOT matched (pattern is case-sensitive lowercase)
+    assert "ok.example.org" in got and "host" in got
+    assert "mixed.example.org" in got
+
+
+def test_filter_plans_are_map_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (
+        url_blocklist_flags(docs, URL_BLOCKLIST_DEFAULT),
+        url_blocklist_keep(docs, URL_BLOCKLIST_DEFAULT),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Generate" not in plan, plan
+        assert "Join" not in plan, plan
