@@ -161,6 +161,16 @@ def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(planted)
 
 
+def _docs_for_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the secrets-planted clones (+4M) ∪ the URL-planted
+    clones (+5M) — the curation-funnel input, making every funnel stage
+    non-vacuous (quality/repetition/decontam trip naturally; secrets and
+    URL shapes exist only in the planted clones)."""
+    return _docs_with_secrets(spark, sf_dir).unionByName(
+        _docs_with_urls(spark, sf_dir).where(F.col("doc_id") >= 5_000_000)
+    )
+
+
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ byte-identical clones of doc_id < 20 at doc_id+1_000_000 —
     the deterministic seeded-duplicates table (oracle builds the same CTE)."""
@@ -296,6 +306,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_url_blocklist_keep_seeded"] = (
         lambda s, d: text_ops.url_blocklist_keep(_docs_with_urls(s, d))
     )
+
+    # The curation funnel — the full per-document filter chain (quality →
+    # repetition → secrets → url_blocklist → decontam) as one map-only
+    # pass + the decontam broadcast join, with sequential first-stage
+    # attribution and a schema-stable 6-row census. Seeded over the union
+    # of the secrets- and URL-planted clone tables.
+    def _funnel_split(s: SparkSession, d: str):
+        from db_lsh_spark.operators.decontam import split_bench
+
+        return split_bench(_docs_for_funnel(s, d))
+
+    def _curation_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.curation import curation_census
+
+        return curation_census(*_funnel_split(s, d))
+
+    def _curation_keep(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.curation import curation_keep_list
+
+        return curation_keep_list(*_funnel_split(s, d))
+
+    q["doc_curation_census_seeded"] = _curation_census
+    q["doc_curation_keep_list_seeded"] = _curation_keep
 
     # winnowing substring-dedup lane (VERDICT r04 #2): bottom-8 rolling-
     # window fingerprints → fp equi-join → suffix-array LCS >= 32 verify —
@@ -1112,6 +1145,79 @@ def oracle_sql() -> dict[str, str]:
         {_url_cte}
         SELECT doc_id FROM docs_u
         WHERE text IS NULL OR len({_blocked_expr}) = 0
+    """
+
+    # Curation-funnel twins: the five filter lanes' SQL composed verbatim
+    # (quality expr, the _rep_sql fraction subquery, the secrets count
+    # sum, the URL blocked-domain filter, the 13-gram decontam join) with
+    # the SAME sequential first-stage CASE attribution as
+    # operators/curation.py
+    from db_lsh_spark.operators.curation import (
+        CURATION_MIN_QUALITY,
+        CURATION_STAGES,
+    )
+
+    _q_expr = (
+        f"round(least(1.0, len({toks})::DOUBLE / 100.0)"
+        f" * (len(list_distinct({toks}))::DOUBLE / len({toks})), 6)"
+    )
+    _sec_sum = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _t in SECRET_PATTERNS
+    )
+    _fun_cte = f"""WITH docs_c AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 4000000 AS doc_id, text || '{SECRETS_SEED_SUFFIX}' AS text
+          FROM documents WHERE doc_id < 10
+          UNION ALL
+          SELECT doc_id + 5000000 AS doc_id, text || '{URL_SEED_SUFFIX}' AS text
+          FROM documents WHERE doc_id < 10
+        ),
+        train0 AS (SELECT * FROM docs_c WHERE doc_id % {DECONTAM_BENCH_MOD} != 0),
+        fgrams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len({toks}) - {DECONTAM_N - 1}, 1) + 1),
+            i -> array_to_string(({toks})[i:i+{DECONTAM_N - 1}], ' ')))) AS gram
+          FROM docs_c
+        ),
+        fbench AS (SELECT DISTINCT gram FROM fgrams
+                   WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+        fdec AS (SELECT DISTINCT doc_id FROM fgrams JOIN fbench USING (gram)
+                 WHERE doc_id % {DECONTAM_BENCH_MOD} != 0),
+        frep AS (SELECT * FROM ({_rep_sql("train0")})),
+        fflags AS (
+          SELECT t.doc_id,
+            coalesce({_q_expr} < {CURATION_MIN_QUALITY}, false) AS f1,
+            (coalesce(r.top2gram_char_frac > {REP_TOP2_MAX}, false)
+             OR coalesce(r.dup5gram_char_frac > {REP_DUP5_MAX}, false)) AS f2,
+            coalesce(({_sec_sum}) > 0, false) AS f3,
+            coalesce(len({_blocked_expr}) > 0, false) AS f4,
+            t.doc_id IN (SELECT doc_id FROM fdec) AS f5
+          FROM train0 t LEFT JOIN frep r USING (doc_id)
+        ),
+        fstaged AS (
+          SELECT doc_id, CASE WHEN f1 THEN 1 WHEN f2 THEN 2 WHEN f3 THEN 3
+                              WHEN f4 THEN 4 WHEN f5 THEN 5 END AS stage_idx
+          FROM fflags
+        )"""
+    _stage_vals = ", ".join(
+        f"({i}, '{s}')" for i, s in CURATION_STAGES
+    ) + f", ({len(CURATION_STAGES) + 1}, 'kept')"
+    sql["doc_curation_census_seeded"] = f"""
+        {_fun_cte}
+        SELECT stage_idx::BIGINT AS stage_idx, s.stage,
+               ((SELECT count(*) FROM train0)
+                - coalesce(sum(c.n_dropped) OVER (ORDER BY stage_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0))::BIGINT AS n_in,
+               coalesce(c.n_dropped, 0)::BIGINT AS n_dropped
+        FROM (VALUES {_stage_vals}) s(stage_idx, stage)
+        LEFT JOIN (SELECT stage_idx, count(*) AS n_dropped FROM fstaged
+                   WHERE stage_idx IS NOT NULL GROUP BY 1) c USING (stage_idx)
+    """
+    sql["doc_curation_keep_list_seeded"] = f"""
+        {_fun_cte}
+        SELECT doc_id FROM fstaged WHERE stage_idx IS NULL
     """
     def _pairs_sql(src: str, preamble: str = "") -> str:
         return f"""

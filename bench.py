@@ -78,6 +78,10 @@ def main() -> None:
         "doc_ensemble_dedup_clusters",
         "doc_decontam_hits",
         "doc_repetition_flags",
+        "doc_pii_scrub_seeded",
+        "doc_secrets_scrub_seeded",
+        "doc_url_domain_counts_seeded",
+        "doc_curation_census_seeded",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
         "emb_knn_l2",

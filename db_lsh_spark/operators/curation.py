@@ -1,0 +1,173 @@
+"""The curation funnel — the full filter chain a training-data pipeline
+runs over a raw corpus, as ONE operator with a per-stage drop census:
+
+    quality → repetition → secrets → url_blocklist → decontam → kept
+
+Stage semantics are SEQUENTIAL: a document is attributed to the FIRST
+stage that trips (a secret-bearing doc that is also contaminated counts
+under `secrets`, not `decontam`), so the census rows sum to the corpus
+and the funnel reads top-to-bottom the way curation reports do
+(RefinedWeb fig. 2, Dolma's per-filter attrition tables).
+
+Spark shape (the 100-TB plan): every stage except decontamination is a
+COLUMN EXPRESSION — the five flags are computed in one map-only pass over
+the corpus scan (quality + Gopher repetition reuse the codegen kernels
+from ``operators/text.py``; secrets and URL are JVM regexp counts).
+Decontamination is the existing broadcast-gram join; only its (small) hit
+doc_id set is joined back, broadcast, so the corpus itself is NEVER
+shuffled. The census aggregates the slim (doc_id, stage_idx) frame — one
+partial-aggregated groupBy on a 6-value key.
+
+Dedup is deliberately NOT a funnel stage: it is pairwise/global (its own
+oracled pipeline — ``documents.dedup_clusters`` + keep-list selection);
+the funnel covers the per-document filters that precede it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from db_lsh_spark.operators.decontam import DECONTAM_N, ngram_set
+from db_lsh_spark.operators.text import (
+    REP_DUP5_MAX,
+    REP_TOP2_MAX,
+    SECRET_PATTERNS,
+    URL_BLOCKLIST_DEFAULT,
+    _gram_run_stats,
+    _url_domains,
+    tokens_col,
+)
+
+# drops ~1-2% of the synthetic fixture naturally (p1 of the quality
+# score is ~0.09 at every sf — measured); real pipelines tune this
+CURATION_MIN_QUALITY = 0.10
+
+# (stage_idx, stage) in funnel order; 'kept' closes the census
+CURATION_STAGES = (
+    (1, "quality"),
+    (2, "repetition"),
+    (3, "secrets"),
+    (4, "url_blocklist"),
+    (5, "decontam"),
+)
+
+
+def _decontam_flagged(train: DataFrame, bench: DataFrame, n: int) -> DataFrame:
+    """Distinct contaminated train doc_ids (the 13-gram overlap rule) —
+    assumed small relative to the corpus (same regime as the decontam
+    lane's final aggregation), so callers broadcast it."""
+    bench_grams = F.broadcast(ngram_set(bench, n).select("gram").distinct())
+    return (
+        ngram_set(train, n)
+        .join(bench_grams, "gram")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def curation_flags(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    min_quality: float = CURATION_MIN_QUALITY,
+    max_top2: float = REP_TOP2_MAX,
+    max_dup5: float = REP_DUP5_MAX,
+    blocked: tuple[str, ...] = URL_BLOCKLIST_DEFAULT,
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """Dropped documents with first-tripped-stage attribution:
+    (doc_id, stage_idx, stage). Every flag NULL-safe (a NULL/missing
+    signal never drops a doc — filters need positive evidence)."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    quality = F.round(
+        F.least(F.lit(1.0), n_tok / 100.0)
+        * (F.size(F.array_distinct(toks)) / n_tok),
+        6,
+    )
+    s2 = _gram_run_stats(toks, 2)
+    s5 = _gram_run_stats(toks, 5)
+    nc = F.length(text_col)
+    top2 = F.round(s2["best"] / nc, 6)
+    dup5 = F.round(s5["dup"] / nc, 6)
+    n_secrets = None
+    for _, pat, _tok in SECRET_PATTERNS:
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        n_secrets = c if n_secrets is None else n_secrets + c
+    n_blocked = F.size(F.filter(_url_domains(train, text_col), lambda d: d.isin(*blocked)))
+
+    def _safe(cond):
+        return F.coalesce(cond, F.lit(False))
+
+    base = train.select(
+        "doc_id",
+        _safe(quality < min_quality).alias("f_quality"),
+        (_safe(top2 > max_top2) | _safe(dup5 > max_dup5)).alias("f_rep"),
+        _safe(n_secrets > 0).alias("f_secrets"),
+        _safe(n_blocked > 0).alias("f_url"),
+    )
+    dec = _decontam_flagged(train, bench, n).withColumn("f_dec", F.lit(True))
+    flags = base.join(F.broadcast(dec), "doc_id", "left")
+    stage_idx = (
+        F.when(F.col("f_quality"), F.lit(1))
+        .when(F.col("f_rep"), F.lit(2))
+        .when(F.col("f_secrets"), F.lit(3))
+        .when(F.col("f_url"), F.lit(4))
+        .when(F.coalesce(F.col("f_dec"), F.lit(False)), F.lit(5))
+    )
+    stage_name = F.element_at(
+        F.array(*[F.lit(s) for _, s in CURATION_STAGES]), F.col("stage_idx")
+    )
+    return (
+        flags.select("doc_id", stage_idx.alias("stage_idx"))
+        .where(F.col("stage_idx").isNotNull())
+        .select(
+            "doc_id",
+            F.col("stage_idx").cast("long").alias("stage_idx"),
+            stage_name.alias("stage"),
+        )
+    )
+
+
+def curation_keep_list(train: DataFrame, bench: DataFrame, **knobs) -> DataFrame:
+    """Survivors of the whole funnel: (doc_id) — the frame the dedup
+    pipeline (and ultimately training) reads."""
+    flagged = curation_flags(train, bench, **knobs).select("doc_id")
+    return train.select("doc_id").join(flagged, "doc_id", "left_anti")
+
+
+def curation_census(train: DataFrame, bench: DataFrame, **knobs) -> DataFrame:
+    """The funnel report: (stage_idx, stage, n_in, n_dropped) — one row
+    per stage in order plus a closing ('kept', survivors, 0) row. n_in of
+    stage i is the survivor count entering it; rows are schema-stable
+    (all six always present, zero-filled). The heavy input is reduced to
+    a ≤6-row frame before the window runs — driver-side cost is nil."""
+    spark = train.sparkSession
+    dropped = (
+        curation_flags(train, bench, **knobs)
+        .groupBy("stage_idx", "stage")
+        .agg(F.count("*").cast("long").alias("n_dropped"))
+    )
+    stages = spark.createDataFrame(
+        list(CURATION_STAGES) + [(len(CURATION_STAGES) + 1, "kept")],
+        "stage_idx int, stage string",
+    )
+    total = train.agg(F.count("*").cast("long").alias("n_total"))
+    w = (
+        Window.orderBy("stage_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        stages.join(dropped.drop("stage"), "stage_idx", "left")
+        .na.fill({"n_dropped": 0})
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("stage_idx").cast("long").alias("stage_idx"),
+            "stage",
+            (F.col("n_total") - F.coalesce(F.sum("n_dropped").over(w), F.lit(0)))
+            .cast("long")
+            .alias("n_in"),
+            F.col("n_dropped"),
+        )
+    )

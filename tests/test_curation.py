@@ -1,0 +1,103 @@
+"""Curation funnel (operators/curation.py): sequential first-stage
+attribution, census arithmetic (n_in chains, drops + kept == corpus),
+NULL-text keep contract, flags/keep partition, and the plan shape (one
+broadcast join for decontam, no sort-merge join, no cartesian)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.curation import (
+    CURATION_STAGES,
+    curation_census,
+    curation_flags,
+    curation_keep_list,
+)
+from db_lsh_spark.operators.text import SECRETS_SEED_SUFFIX, URL_SEED_SUFFIX
+
+BASE = " ".join(f"tok{i}" for i in range(120))          # quality 1.0, no repeats
+CONTAM = " ".join(f"bench{i}" for i in range(13))       # one full 13-gram
+
+
+def _split(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return (
+        docs.where(F.col("doc_id") % 25 != 0),
+        docs.where(F.col("doc_id") % 25 == 0),
+    )
+
+
+def _fixture(spark):
+    return _split(
+        spark,
+        [
+            (1, BASE),                                   # clean → kept
+            (2, "tiny doc"),                             # quality
+            (3, " ".join(["spam ham"] * 40)),            # ttr 0.025 → quality FIRST (sequential)
+            (4, BASE + SECRETS_SEED_SUFFIX),             # secrets
+            (5, BASE + URL_SEED_SUFFIX),                 # url_blocklist
+            (6, None),                                   # NULL → kept
+            (25, CONTAM),                                # bench doc (excluded)
+            (7, BASE + " " + CONTAM),                    # decontam
+            (8, BASE + " " + SECRETS_SEED_SUFFIX + " " + CONTAM),  # secrets BEFORE decontam
+        ],
+    )
+
+
+def test_first_stage_attribution(spark):
+    train, bench = _fixture(spark)
+    got = {r.doc_id: r.stage for r in curation_flags(train, bench).collect()}
+    assert got == {
+        2: "quality",
+        3: "quality",          # low-ttr spam trips quality before repetition
+        4: "secrets",
+        5: "url_blocklist",
+        7: "decontam",
+        8: "secrets",          # sequential: secrets outranks decontam
+    }
+
+
+def test_census_arithmetic(spark):
+    train, bench = _fixture(spark)
+    rows = {r.stage: r for r in curation_census(train, bench).collect()}
+    assert set(rows) == {s for _, s in CURATION_STAGES} | {"kept"}
+    n_total = train.count()
+    assert rows["quality"].n_in == n_total
+    # n_in chains: each stage's n_in = previous n_in - previous drops
+    ordered = [rows[s] for _, s in CURATION_STAGES] + [rows["kept"]]
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur.n_in == prev.n_in - prev.n_dropped
+    assert rows["kept"].n_dropped == 0
+    assert sum(r.n_dropped for r in ordered) + rows["kept"].n_in == n_total
+
+
+def test_keep_list_partitions_train(spark):
+    train, bench = _fixture(spark)
+    kept = {r.doc_id for r in curation_keep_list(train, bench).collect()}
+    flagged = {r.doc_id for r in curation_flags(train, bench).collect()}
+    assert kept == {1, 6}                      # clean + NULL text
+    all_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    assert kept | flagged == all_ids and not kept & flagged
+
+
+def test_repetition_attribution_when_quality_passes(spark):
+    # high-ttr text with one heavy repeated 5-gram unit: passes quality,
+    # trips repetition (the planted unit mirrors the seeded driver table)
+    unit = " ".join(f"w{i}" for i in range(10))
+    text = " ".join([unit] * 6) + " " + BASE
+    train, bench = _split(spark, [(1, text), (25, CONTAM)])
+    got = curation_flags(train, bench).collect()
+    assert [(r.doc_id, r.stage) for r in got] == [(1, "repetition")]
+
+
+def test_plan_one_broadcast_join_no_smj(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    plan = (
+        curation_flags(train, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan   # decontam hits + gram join
+    assert "SortMergeJoin" not in plan, plan   # corpus never shuffled for a join
+    assert "Cartesian" not in plan, plan
