@@ -67,7 +67,7 @@ def _decontam_flagged(train: DataFrame, bench: DataFrame, n: int) -> DataFrame:
 
 def curation_flags(
     train: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None,
     *,
     min_quality: float = CURATION_MIN_QUALITY,
     max_top2: float = REP_TOP2_MAX,
@@ -78,7 +78,9 @@ def curation_flags(
 ) -> DataFrame:
     """Dropped documents with first-tripped-stage attribution:
     (doc_id, stage_idx, stage). Every flag NULL-safe (a NULL/missing
-    signal never drops a doc — filters need positive evidence)."""
+    signal never drops a doc — filters need positive evidence).
+    ``bench=None`` skips decontamination (no benchmark corpus provided;
+    the census keeps its schema-stable decontam row with zero drops)."""
     toks = tokens_col(text_col)
     n_tok = F.size(toks)
     quality = F.round(
@@ -107,8 +109,13 @@ def curation_flags(
         _safe(n_secrets > 0).alias("f_secrets"),
         _safe(n_blocked > 0).alias("f_url"),
     )
-    dec = _decontam_flagged(train, bench, n).withColumn("f_dec", F.lit(True))
-    flags = base.join(F.broadcast(dec), "doc_id", "left")
+    if bench is None:
+        flags = base.withColumn("f_dec", F.lit(False))
+    else:
+        dec = _decontam_flagged(train, bench, n).withColumn(
+            "f_dec", F.lit(True)
+        )
+        flags = base.join(F.broadcast(dec), "doc_id", "left")
     stage_idx = (
         F.when(F.col("f_quality"), F.lit(1))
         .when(F.col("f_rep"), F.lit(2))
@@ -137,29 +144,26 @@ def curation_keep_list(train: DataFrame, bench: DataFrame, **knobs) -> DataFrame
     return train.select("doc_id").join(flagged, "doc_id", "left_anti")
 
 
-def curation_census(train: DataFrame, bench: DataFrame, **knobs) -> DataFrame:
-    """The funnel report: (stage_idx, stage, n_in, n_dropped) — one row
-    per stage in order plus a closing ('kept', survivors, 0) row. n_in of
-    stage i is the survivor count entering it; rows are schema-stable
-    (all six always present, zero-filled). The heavy input is reduced to
-    a ≤6-row frame before the window runs — driver-side cost is nil."""
-    spark = train.sparkSession
-    dropped = (
-        curation_flags(train, bench, **knobs)
-        .groupBy("stage_idx", "stage")
-        .agg(F.count("*").cast("long").alias("n_dropped"))
+def census_from_flags(
+    flagged: DataFrame, total: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Funnel census from an (already materialized) flags frame plus a
+    one-row (n_total) frame — lets the pipeline reuse its checkpointed
+    flags stage instead of recomputing the filter pass."""
+    spark = flagged.sparkSession
+    dropped = flagged.groupBy("stage_idx").agg(
+        F.count("*").cast("long").alias("n_dropped")
     )
     stages = spark.createDataFrame(
         list(CURATION_STAGES) + [(len(CURATION_STAGES) + 1, "kept")],
         "stage_idx int, stage string",
     )
-    total = train.agg(F.count("*").cast("long").alias("n_total"))
     w = (
         Window.orderBy("stage_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        stages.join(dropped.drop("stage"), "stage_idx", "left")
+        stages.join(dropped, "stage_idx", "left")
         .na.fill({"n_dropped": 0})
         .crossJoin(F.broadcast(total))
         .select(
@@ -171,3 +175,13 @@ def curation_census(train: DataFrame, bench: DataFrame, **knobs) -> DataFrame:
             F.col("n_dropped"),
         )
     )
+
+
+def curation_census(train: DataFrame, bench: DataFrame | None, **knobs) -> DataFrame:
+    """The funnel report: (stage_idx, stage, n_in, n_dropped) — one row
+    per stage in order plus a closing ('kept', survivors, 0) row. n_in of
+    stage i is the survivor count entering it; rows are schema-stable
+    (all six always present, zero-filled). The heavy input is reduced to
+    a ≤6-row frame before the window runs — driver-side cost is nil."""
+    total = train.agg(F.count("*").cast("long").alias("n_total"))
+    return census_from_flags(curation_flags(train, bench, **knobs), total)

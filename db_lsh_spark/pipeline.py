@@ -49,6 +49,8 @@ class DedupOutput:
     store: StageStore | None
     widen_stats: list[dict] | None = None  # per-round stats (target_pairs mode)
     lane_pairs: dict[str, DataFrame] | None = None  # extra-lane edge sources
+    curation_flags: DataFrame | None = None   # (file_id, stage_idx, stage)
+    curation_census: DataFrame | None = None  # funnel report (curate=True)
 
 
 # extra detector lanes run_dedup can fold into the cluster edge union, with
@@ -72,6 +74,9 @@ def run_dedup(
     target_pairs: int | None = None,
     extra_lanes: tuple[str, ...] = (),
     lane_cfg: dict | None = None,
+    curate: bool = False,
+    curate_bench: DataFrame | None = None,
+    curate_opts: dict | None = None,
 ) -> DedupOutput:
     """Run the full pipeline. With ``checkpoint_root`` set, every stage is
     materialized + manifest-gated (resume-from-checkpoint); without it the
@@ -89,6 +94,18 @@ def run_dedup(
     checkpointed — as lineage rows under ``stage_metrics/pairs_widening``
     (one row per round: partition_id = round index, rows_out = cumulative
     candidate pairs).
+
+    ``curate=True`` runs the curation funnel (``operators/curation.py``)
+    as a checkpointed pre-stage over the INGESTED corpus: the flags frame
+    (file_id, stage_idx, stage) is materialized, flagged files are
+    anti-joined out before any signature work, and the six-row census is
+    exposed as ``DedupOutput.curation_census``. ``curate_bench`` supplies
+    the decontamination corpus (any frame with a ``content`` or ``text``
+    column); without it the decontam stage is schema-present with zero
+    drops. ``curate_opts`` passes funnel knobs (min_quality, max_top2,
+    max_dup5, blocked, n); knobs + bench presence join the checkpoint
+    fingerprint (bench CONTENT, like the corpus itself, is assumed fixed
+    per checkpoint root — the StageStore contract).
 
     ``extra_lanes`` folds additional detector families into the cluster
     edge union as first-class checkpointed stages (the production face of
@@ -132,6 +149,21 @@ def run_dedup(
             f"-h{lc['simhash_max_hamming']}b{lc['simhash_bands']}"
             f"w{lc['winnow_w']}l{lc['winnow_min_lcs']}"
         )
+    copts: dict = {}
+    if curate:
+        copts = dict(curate_opts or ())
+        bad_c = set(copts) - {"min_quality", "max_top2", "max_dup5", "blocked", "n"}
+        if bad_c:
+            raise ValueError(
+                f"unknown curate_opts keys {sorted(bad_c)}; choose from "
+                "['blocked', 'max_dup5', 'max_top2', 'min_quality', 'n']"
+            )
+        import hashlib as _hl
+
+        _ckey = repr(sorted(copts.items())) + f"|bench={curate_bench is not None}"
+        fp += "-curate" + _hl.md5(_ckey.encode()).hexdigest()[:8]
+    elif curate_bench is not None or curate_opts:
+        raise ValueError("curate_bench/curate_opts require curate=True")
     store = StageStore(checkpoint_root, fp) if checkpoint_root else None
 
     def gate(name: str, builder, **kw) -> DataFrame:
@@ -147,6 +179,45 @@ def run_dedup(
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if files_ids.rdd.getNumPartitions() < max(2, target // 2):
         files_ids = files_ids.repartition(target, "file_id")
+
+    # ---- curation funnel pre-stage (filters BEFORE any signature work) ----
+    curation_flags_df: DataFrame | None = None
+    curation_census_df: DataFrame | None = None
+    if curate:
+        from db_lsh_spark.operators.curation import (
+            census_from_flags,
+            curation_flags as _funnel_flags,
+        )
+
+        def build_curation() -> DataFrame:
+            docs = files_ids.select(
+                F.col("file_id").alias("doc_id"),
+                F.col("content").alias("text"),
+            )
+            bench_docs = None
+            if curate_bench is not None:
+                btext = (
+                    "content" if "content" in curate_bench.columns else "text"
+                )
+                # bench doc ids are never read downstream (only the gram
+                # set is), so a synthetic id satisfies the column contract
+                bench_docs = curate_bench.select(
+                    F.monotonically_increasing_id().alias("doc_id"),
+                    F.col(btext).alias("text"),
+                )
+            return _funnel_flags(docs, bench_docs, **copts).select(
+                F.col("doc_id").alias("file_id"), "stage_idx", "stage"
+            )
+
+        curation_flags_df = gate("curation_flags", build_curation)
+        curation_census_df = census_from_flags(
+            curation_flags_df,
+            files_ids.agg(F.count("*").cast("long").alias("n_total")),
+        )
+        files_ids = files_ids.join(
+            curation_flags_df.select("file_id"), "file_id", "left_anti"
+        )
+
     fi_slim = files_ids.select("file_id", "sha256", "content")
 
     # Dataflow shaped so CONTENTS ARE NEVER SHUFFLED (measured 3x on the
@@ -337,6 +408,8 @@ def run_dedup(
         store=store,
         widen_stats=widen_stats,
         lane_pairs=lane_pairs or None,
+        curation_flags=curation_flags_df,
+        curation_census=curation_census_df,
     )
 
 

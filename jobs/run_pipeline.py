@@ -78,6 +78,18 @@ def main(argv: list[str] | None = None) -> None:
                         "kept_file_id for every dropped file; keeper = "
                         "longest content, tie-break min file_id) plus a "
                         "savings census in the summary")
+    p.add_argument("--curate", action="store_true",
+                   help="run the curation funnel (quality -> repetition -> "
+                        "secrets -> url_blocklist -> decontam) as a "
+                        "checkpointed pre-stage; flagged files never reach "
+                        "signature work. Writes <output>/curation_flags and "
+                        "<output>/curation_census")
+    p.add_argument("--curate-bench", default=None,
+                   help="parquet dir of the decontamination benchmark corpus "
+                        "(any table with a content/text column); omit to "
+                        "skip the decontam stage (census row stays, 0 drops)")
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="curation quality threshold override")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -122,9 +134,32 @@ def main(argv: list[str] | None = None) -> None:
     extra_lanes = tuple(
         s.strip() for s in args.lanes.split(",") if s.strip()
     )
+    if (args.curate_bench or args.min_quality is not None) and not args.curate:
+        raise SystemExit("--curate-bench/--min-quality require --curate")
+    curate_bench = (
+        spark.read.parquet(args.curate_bench) if args.curate_bench else None
+    )
+    curate_opts = (
+        {"min_quality": args.min_quality} if args.min_quality is not None else None
+    )
     out = run_dedup(spark, files, cfg, checkpoint_root=args.checkpoint,
                     with_lcs=args.with_lcs, target_pairs=target_pairs,
-                    extra_lanes=extra_lanes)
+                    extra_lanes=extra_lanes, curate=args.curate,
+                    curate_bench=curate_bench, curate_opts=curate_opts)
+    curation_report: dict | None = None
+    if args.curate:
+        out.curation_flags.write.mode("overwrite").parquet(
+            f"{args.output}/curation_flags"
+        )
+        out.curation_census.write.mode("overwrite").parquet(
+            f"{args.output}/curation_census"
+        )
+        curation_report = {
+            r["stage"]: {"n_in": r["n_in"], "n_dropped": r["n_dropped"]}
+            for r in spark.read.parquet(
+                f"{args.output}/curation_census"
+            ).collect()
+        }
     out.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     out.pairs.write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
     # count what was just written — a slim parquet scan, not a re-execution
@@ -210,6 +245,7 @@ def main(argv: list[str] | None = None) -> None:
         "widening_rounds": out.widen_stats,
         "repo_report": repo_report,
         "keep_list": keep_report,
+        "curation": curation_report,
     }
     print(json.dumps(summary))
     spark.stop()

@@ -90,6 +90,97 @@ def test_repetition_attribution_when_quality_passes(spark):
     assert [(r.doc_id, r.stage) for r in got] == [(1, "repetition")]
 
 
+def _files_df(spark):
+    """files corpus for the pipeline pre-stage: two near-dup pairs, a
+    secret-bearing clone that WOULD join cluster A if curation didn't run
+    first, and a low-quality junk file."""
+    a = BASE + " shared tail of the pair body"
+    rows = [
+        (0, "r0", "a.txt", "c0", "txt", a),
+        (1, "r0", "b.txt", "c0", "txt", a + " tiny-edit"),
+        (2, "r1", "c.txt", "c0", "txt", a + " " + SECRETS_SEED_SUFFIX),
+        (3, "r1", "junk.txt", "c0", "txt", "tiny doc"),
+        (4, "r2", "solo.txt", "c0", "txt",
+         " ".join(f"solo{i}" for i in range(130))),
+    ]
+    return spark.createDataFrame(
+        rows, "file_id long, repo string, path string, commit string, "
+              "lang string, content string"
+    )
+
+
+def test_run_dedup_curate_prestage(spark, tmp_path):
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+
+    files = _files_df(spark)
+    ck = str(tmp_path / "ck")
+    out = run_dedup(spark, files, DedupConfig(), checkpoint_root=ck,
+                    with_lcs=False, curate=True)
+    flags = {r.file_id: r.stage for r in out.curation_flags.collect()}
+    assert flags == {2: "secrets", 3: "quality"}
+    cluster_ids = {r.file_id for r in out.clusters.collect()}
+    assert cluster_ids == {0, 1, 4}            # flagged files never clustered
+    census = {r.stage: r for r in out.curation_census.collect()}
+    assert census["quality"].n_in == 5
+    assert census["kept"].n_in == 3
+    assert census["decontam"].n_dropped == 0   # bench=None: row present, 0
+
+    # clusters equal a run over the pre-filtered corpus (equivalence)
+    manual = run_dedup(
+        spark, files.where(~F.col("file_id").isin(2, 3)),
+        DedupConfig(), with_lcs=False,
+    )
+    assert sorted(
+        map(tuple, out.clusters.select("file_id", "cluster_id").collect())
+    ) == sorted(
+        map(tuple, manual.clusters.select("file_id", "cluster_id").collect())
+    )
+
+    # resume: the second run skips every stage including curation_flags
+    again = run_dedup(spark, files, DedupConfig(), checkpoint_root=ck,
+                      with_lcs=False, curate=True)
+    assert all(r.skipped for r in again.store.results)
+    assert "curation_flags" in [r.name for r in again.store.results]
+
+    # a curated and an uncurated run must never share checkpoints
+    plain = run_dedup(spark, files, DedupConfig(), checkpoint_root=ck,
+                      with_lcs=False)
+    assert plain.store.fingerprint != out.store.fingerprint
+    assert {r.file_id for r in plain.clusters.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_run_dedup_curate_with_bench(spark):
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+
+    files = _files_df(spark)
+    contaminated = files.union(
+        spark.createDataFrame(
+            [(5, "r3", "eval.txt", "c0", "txt", BASE + " " + CONTAM)],
+            files.schema,
+        )
+    )
+    bench = spark.createDataFrame([(CONTAM,)], "content string")
+    out = run_dedup(spark, contaminated, DedupConfig(), with_lcs=False,
+                    curate=True, curate_bench=bench)
+    flags = {r.file_id: r.stage for r in out.curation_flags.collect()}
+    assert flags[5] == "decontam"
+
+
+def test_curate_opts_validation(spark):
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+    import pytest
+
+    files = _files_df(spark)
+    with pytest.raises(ValueError, match="curate_opts"):
+        run_dedup(spark, files, DedupConfig(), curate=True,
+                  curate_opts={"bogus": 1})
+    with pytest.raises(ValueError, match="require curate=True"):
+        run_dedup(spark, files, DedupConfig(), curate_opts={"min_quality": 0.5})
+
+
 def test_plan_one_broadcast_join_no_smj(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     train = docs.where(F.col("doc_id") % 25 != 0)
