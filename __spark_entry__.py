@@ -33,6 +33,12 @@ WINNOW_MIN_LCS = 32  # verified shared-substring length (codepoints)
 SIMHASH_MAX_HAMMING = 3  # near-dup Hamming radius over 64-bit SimHash
 SIMHASH_BANDS = 4        # 4 x 16-bit bands: recall 1 for Hamming <= 3 (pigeonhole)
 ANN_CFG = AnnConfig(k=10, n_queries=20)
+# deterministic sampling / corpus-mixing lane (operators/sampling.py) —
+# constants shared verbatim by queries() and oracle_sql()
+SAMPLE_FRACTION, SAMPLE_SEED = 0.25, 7
+STRAT_FRACTIONS, STRAT_SEED = {"de": 0.9, "en": 0.1, "zh": 0.6}, 11
+EXACT_K, EXACT_SEED = 12, 5
+MIX_WEIGHTS, MIX_TOTAL, MIX_SEED = {"src0": 0.5, "src1": 0.3, "src2": 0.2}, 30, 9
 # the reference's own metric (util.h:205-212): E2LSH p-stable buckets at
 # window w=1.0 (projections of unit vectors are N(0,1)), probe radius 1 —
 # recall 1.0 vs exact L2 at both sf fixtures (verified by kernel simulation
@@ -775,6 +781,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_hourly"] = _events
+
+    # Deterministic sampling / corpus mixing (operators/sampling.py):
+    # seeded 60-bit md5 key, integer-threshold predicates (no float ever
+    # enters a comparison), so every query below has an EXACT SQL twin.
+    def _hash_sample(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.sampling import hash_sample
+
+        return hash_sample(_docs(s, d), SAMPLE_FRACTION, seed=SAMPLE_SEED).select(
+            "doc_id", "lang"
+        )
+
+    def _strat_sample(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(
+            _docs(s, d), STRAT_FRACTIONS, strata_col="lang", seed=STRAT_SEED
+        ).select("doc_id", "lang")
+
+    def _exact_sample(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.sampling import exact_stratified_sample
+
+        return exact_stratified_sample(
+            _docs(s, d), EXACT_K, strata_col="lang", seed=EXACT_SEED
+        ).select("doc_id", "lang")
+
+    def _corpus_mix(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.sampling import corpus_mix
+
+        return corpus_mix(
+            _docs(s, d), MIX_WEIGHTS, MIX_TOTAL, strata_col="source", seed=MIX_SEED
+        ).select("doc_id", "source")
+
+    def _mix_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.sampling import mix_census
+
+        return mix_census(
+            _docs(s, d), MIX_WEIGHTS, MIX_TOTAL, strata_col="source", seed=MIX_SEED
+        )
+
+    q["doc_hash_sample_seeded"] = _hash_sample
+    q["doc_stratified_sample_seeded"] = _strat_sample
+    q["doc_exact_stratified_sample"] = _exact_sample
+    q["doc_corpus_mix"] = _corpus_mix
+    q["doc_corpus_mix_census"] = _mix_census
 
     return q
 
@@ -1737,5 +1787,67 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 4) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """
+
+    # Sampling / corpus-mixing twins: the seeded 60-bit md5 key stated in
+    # DuckDB SQL, thresholds precomputed as INTEGERS by the same
+    # fraction_threshold / largest-remainder arithmetic the operators use
+    # — bit-exact cross-engine by construction.
+    from db_lsh_spark.operators.sampling import (
+        _largest_remainder,
+        fraction_threshold,
+    )
+
+    def _h_sql(seed: int) -> str:
+        return (
+            f"CAST(concat('0x', substr(md5(concat('{seed}:', "
+            "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+
+    sql["doc_hash_sample_seeded"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_h_sql(SAMPLE_SEED)} < {fraction_threshold(SAMPLE_FRACTION)}
+    """
+    _strat_case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {fraction_threshold(f)}"
+        for s, f in sorted(STRAT_FRACTIONS.items())
+    ) + " END"
+    sql["doc_stratified_sample_seeded"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_h_sql(STRAT_SEED)} < {_strat_case}
+    """
+    sql["doc_exact_stratified_sample"] = f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_h_sql(EXACT_SEED)}, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {EXACT_K}
+    """
+    _mix_ks = _largest_remainder(MIX_WEIGHTS, MIX_TOTAL)
+    _req_vals = ", ".join(f"('{s}', {k})" for s, k in sorted(_mix_ks.items()))
+    sql["doc_corpus_mix"] = f"""
+        WITH req(source, requested) AS (VALUES {_req_vals})
+        SELECT doc_id, source FROM (
+            SELECT d.doc_id, d.source, r.requested,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY {_h_sql(MIX_SEED)}, d.doc_id
+                   ) AS rn
+            FROM documents d JOIN req r USING (source)
+        ) WHERE rn <= requested
+    """
+    sql["doc_corpus_mix_census"] = f"""
+        WITH req(source, requested) AS (VALUES {_req_vals}),
+        avail AS (
+            SELECT source, count(*)::INTEGER AS available FROM documents
+            WHERE source IN (SELECT source FROM req) GROUP BY 1
+        )
+        SELECT r.source, r.requested::INTEGER AS requested,
+               least(r.requested, coalesce(a.available, 0))::INTEGER AS achieved,
+               coalesce(a.available, 0)::INTEGER AS available
+        FROM req r LEFT JOIN avail a USING (source)
     """
     return sql

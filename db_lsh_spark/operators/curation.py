@@ -162,18 +162,29 @@ def census_from_flags(
         Window.orderBy("stage_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # no join with the one-row total (a crossJoin — or a constant-key
+    # equi-join Catalyst folds back into one — plans a BNLJ and breaks the
+    # repo-wide "no cartesian in any driver query" invariant): the total
+    # enters as a stage-0 pseudo-row carrying -n_total, so the cumulative
+    # window yields n_in = n_total - drops-before directly
+    pseudo = total.select(
+        F.lit(0).alias("stage_idx"),
+        F.lit("_total").alias("stage"),
+        (-F.col("n_total")).cast("long").alias("n_dropped"),
+    )
     return (
         stages.join(dropped, "stage_idx", "left")
         .na.fill({"n_dropped": 0})
-        .crossJoin(F.broadcast(total))
+        .unionByName(pseudo)
         .select(
             F.col("stage_idx").cast("long").alias("stage_idx"),
             "stage",
-            (F.col("n_total") - F.coalesce(F.sum("n_dropped").over(w), F.lit(0)))
+            (-F.coalesce(F.sum("n_dropped").over(w), F.lit(0)))
             .cast("long")
             .alias("n_in"),
             F.col("n_dropped"),
         )
+        .where(F.col("stage_idx") > 0)
     )
 
 

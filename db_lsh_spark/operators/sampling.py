@@ -1,0 +1,302 @@
+"""Deterministic corpus sampling and mixing — the composition step every
+large training-data pipeline runs after curation and dedup (pick an exact
+per-language / per-source document budget, mix sources at target weights,
+stay bit-reproducible across runs, retries, and engines).
+
+The sampling key is a seeded 60-bit integer hash of the document id
+(``conv(substr(md5('<seed>:' || id), 1, 15), 16, 10)``) — the same
+cross-engine md5 idiom the fingerprint lane uses, chosen because Spark and
+DuckDB state it identically, so every query here has an exact SQL twin.
+All comparisons are **integer** comparisons against precomputed integer
+thresholds: no floating point ever enters a predicate, so results are
+bit-stable regardless of engine, platform, or evaluation order.
+
+Spark shapes (the 100-TB plan):
+
+* ``hash_sample`` / ``stratified_sample`` — pure map-only filters
+  (``h < threshold``); no shuffle, no count pass, no state. Threshold
+  sampling is retry-stable (a row's fate is a pure function of its id and
+  the seed) and **monotone in the fraction**: the 10% sample is a subset
+  of the 20% sample at the same seed, which is what lets a pipeline grow
+  a corpus budget without resampling from scratch.
+* ``exact_stratified_sample`` — exactly ``min(k, N)`` documents per
+  stratum, defined as the k smallest ``(h, id)`` pairs. Never a full
+  sort: because ``h`` is uniform, the k-th smallest key concentrates at
+  ``k/N * 2^60``, so one count pass fixes a candidate threshold with a
+  Chernoff margin, a map-only filter keeps ~k + O(sqrt(k)) candidates per
+  stratum, and the exact window ranking runs on that small set only. The
+  margin is a *performance* hint, not a correctness assumption: a
+  post-filter census verifies every stratum yielded enough candidates and
+  doubles the margin otherwise (the same adaptive-widening discipline as
+  the LSH pipeline; escalation terminates at threshold = 2^60 = keep
+  all). Strata cardinality bounds the one driver collect (languages /
+  sources / shards — thousands, not billions; documented like the CC
+  edge gate).
+* ``corpus_mix`` / ``mix_census`` — weighted composition: target counts
+  via largest-remainder apportionment (sums to exactly ``total``), then
+  ``exact_stratified_sample``; the census reports requested vs achieved
+  vs available per source so under-supplied sources fail loudly, never
+  silently.
+
+Reference parity: pipeline-lane addition (DB-LSH has no corpus-sampling
+surface); the deterministic-hash discipline mirrors the engine's seeded
+LSH families (`functions/hashing.py`).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SAMPLE_HASH_BITS = 60
+_HASH_SPAN = 1 << SAMPLE_HASH_BITS
+
+
+def sample_hash60(id_col: str = "doc_id", seed: int = 0):
+    """Seeded 60-bit uniform integer key, identical in Spark and DuckDB:
+    ``CAST(concat('0x', substr(md5(concat('<seed>:', CAST(id AS VARCHAR))),
+    1, 15)) AS BIGINT)`` is the DuckDB twin. 15 hex digits keep the value
+    inside a signed 64-bit integer in both engines."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{int(seed)}:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
+def fraction_threshold(fraction: float) -> int:
+    """The integer threshold equivalent to keeping ``fraction`` of the
+    hash space — computed once in Python so no float reaches a predicate."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return min(_HASH_SPAN, int(round(fraction * _HASH_SPAN)))
+
+
+def hash_sample(
+    docs: DataFrame,
+    fraction: float,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a document iff its seeded hash falls below ``fraction`` of the
+    hash space. Map-only; deterministic per (seed, id); monotone in
+    ``fraction`` at fixed seed (smaller samples nest inside larger)."""
+    return docs.where(
+        sample_hash60(id_col, seed) < F.lit(fraction_threshold(fraction))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum threshold sampling: keep a document iff its stratum is
+    listed and its hash clears that stratum's fraction. The fraction map
+    is an in-plan literal CASE (map-only, no join) — the same discipline
+    as the URL blocklist; a million-stratum map would become a broadcast
+    join on the same key, same plan shape. Unlisted strata (including
+    NULL) are dropped: allocation is explicit."""
+    if not fractions:
+        raise ValueError("fractions must name at least one stratum")
+    thresholds = {s: fraction_threshold(f) for s, f in fractions.items()}
+    return docs.where(sample_hash60(id_col, seed) < _int_map_expr(strata_col, thresholds))
+
+
+def _largest_remainder(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Apportion ``total`` across strata proportionally to ``weights`` so
+    the counts sum to exactly ``total`` (largest-remainder / Hamilton
+    method; ties broken by stratum name for determinism)."""
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and sum > 0")
+    quotas = {s: total * w / wsum for s, w in weights.items()}
+    counts = {s: int(math.floor(q)) for s, q in quotas.items()}
+    leftover = total - sum(counts.values())
+    by_rem = sorted(
+        quotas, key=lambda s: (-(quotas[s] - counts[s]), s)
+    )
+    for s in by_rem[:leftover]:
+        counts[s] += 1
+    return counts
+
+
+def exact_stratified_sample(
+    docs: DataFrame,
+    k: int | dict[str, int],
+    strata_col: str = "lang",
+    seed: int = 0,
+    id_col: str = "doc_id",
+    *,
+    margin_scale: float = 1.0,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """EXACTLY ``min(k, N_stratum)`` documents per stratum — the k
+    smallest ``(hash, id)`` pairs, so the result is a deterministic
+    function of (corpus, seed, k) and equals the SQL twin
+    ``row_number() OVER (PARTITION BY stratum ORDER BY h, id) <= k``.
+
+    Plan: one count pass per stratum (aggregate, collected — strata
+    cardinality is the documented driver bound), then a map-only
+    candidate filter at threshold ``(k + 6*sqrt(k) + 64) / N * 2^60``
+    (Chernoff margin over the uniform hash), then the exact window rank
+    over the ~k-sized candidate set only. A census re-count verifies
+    every stratum produced >= min(k, N) candidates and doubles the margin
+    otherwise — the margin is performance tuning, never a correctness
+    assumption. ``margin_scale`` exists for tests to force escalation.
+
+    With dict ``k``, strata not listed are dropped (explicit allocation,
+    like ``stratified_sample``); with scalar ``k`` every stratum in the
+    data participates (a NULL stratum is its own group, as in SQL)."""
+    ks: dict[str, int] | None = dict(k) if isinstance(k, dict) else None
+    if ks is not None:
+        if any(v < 0 for v in ks.values()):
+            raise ValueError("per-stratum k must be >= 0")
+        docs = docs.where(F.col(strata_col).isin(list(ks)))
+    elif k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+
+    h = sample_hash60(id_col, seed).alias("_h")
+    hashed = docs.withColumn("_h", h)
+    sizes = {
+        r["s"]: r["n"]
+        for r in hashed.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    need = {
+        s: min(ks[s] if ks is not None else int(k), n) for s, n in sizes.items()
+    }
+
+    scale = float(margin_scale)
+    for _ in range(max_rounds):
+        thresholds = {}
+        for s, n in sizes.items():
+            if need[s] == 0:
+                thresholds[s] = 0
+            elif need[s] >= n:
+                thresholds[s] = _HASH_SPAN
+            else:
+                margin = scale * (6.0 * math.sqrt(need[s]) + 64.0)
+                thresholds[s] = min(
+                    _HASH_SPAN,
+                    int(math.ceil((need[s] + margin) / n * _HASH_SPAN)),
+                )
+        if not thresholds:  # empty input
+            return docs.limit(0)
+        texpr = None
+        for s in sorted(thresholds, key=lambda x: (x is None, x)):
+            cond = (
+                F.col(strata_col).isNull() if s is None else F.col(strata_col) == s
+            )
+            texpr = (
+                F.when(cond, F.lit(thresholds[s]))
+                if texpr is None
+                else texpr.when(cond, F.lit(thresholds[s]))
+            )
+        cand = hashed.where(F.col("_h") < texpr)
+        got = {
+            r["s"]: r["n"]
+            for r in cand.groupBy(F.col(strata_col).alias("s"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        if all(got.get(s, 0) >= need[s] for s in need):
+            w = Window.partitionBy(strata_col).orderBy("_h", id_col)
+            return (
+                cand.withColumn("_rn", F.row_number().over(w))
+                .where(
+                    F.col("_rn")
+                    <= (
+                        F.lit(int(k))
+                        if ks is None
+                        else _int_map_expr(strata_col, ks)
+                    )
+                )
+                .drop("_h", "_rn")
+            )
+        scale *= 2.0
+    raise RuntimeError(
+        "exact_stratified_sample did not converge — margin escalation "
+        f"exhausted after {max_rounds} rounds (should be unreachable: the "
+        "threshold reaches the full hash span first)"
+    )
+
+
+def _int_map_expr(strata_col: str, values: dict[str, int]):
+    """stratum -> integer literal as one CASE expression."""
+    expr = None
+    for s, v in sorted(values.items()):
+        expr = (
+            F.when(F.col(strata_col) == s, F.lit(int(v)))
+            if expr is None
+            else expr.when(F.col(strata_col) == s, F.lit(int(v)))
+        )
+    return expr
+
+
+def corpus_mix(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    strata_col: str = "source",
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted corpus composition: apportion ``total`` documents across
+    sources by ``weights`` (largest-remainder, sums to exactly ``total``)
+    and take each source's exact deterministic sample. A source with
+    fewer documents than its request yields everything it has — see
+    ``mix_census`` for the loud report."""
+    ks = _largest_remainder(weights, total)
+    return exact_stratified_sample(
+        docs, ks, strata_col=strata_col, seed=seed, id_col=id_col
+    )
+
+
+def mix_census(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    strata_col: str = "source",
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per requested source: (source, requested, achieved,
+    available). ``achieved`` is counted from the ACTUAL mix frame (so the
+    census exercises the sampler, not the arithmetic); a shortfall
+    (achieved < requested) means the source ran dry — the caller decides
+    whether that is fatal. Output is a <=|sources|-row frame."""
+    ks = _largest_remainder(weights, total)
+    spark = docs.sparkSession
+    req = spark.createDataFrame(
+        sorted(ks.items()), f"{strata_col} string, requested int"
+    )
+    achieved = (
+        corpus_mix(docs, weights, total, strata_col, seed, id_col)
+        .groupBy(strata_col)
+        .agg(F.count("*").cast("int").alias("achieved"))
+    )
+    available = (
+        docs.where(F.col(strata_col).isin(list(ks)))
+        .groupBy(strata_col)
+        .agg(F.count("*").cast("int").alias("available"))
+    )
+    return (
+        req.join(achieved, strata_col, "left")
+        .join(available, strata_col, "left")
+        .na.fill({"achieved": 0, "available": 0})
+        .select(strata_col, "requested", "achieved", "available")
+    )

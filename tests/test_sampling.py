@@ -1,0 +1,204 @@
+"""Deterministic sampling / corpus mixing (`operators/sampling.py`):
+cross-engine hash parity, threshold-sample nesting, exact-k equivalence to
+the brute-force definition, forced margin escalation, mixing census."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.sampling import (
+    _largest_remainder,
+    corpus_mix,
+    exact_stratified_sample,
+    fraction_threshold,
+    hash_sample,
+    mix_census,
+    sample_hash60,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_h(doc_id: int, seed: int) -> int:
+    return int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16)
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_parity_python_duckdb_spark(spark):
+    rows = (
+        _docs(spark)
+        .select("doc_id", sample_hash60("doc_id", 7).alias("h"))
+        .limit(50)
+        .collect()
+    )
+    assert rows and all(r.h == _py_h(r.doc_id, 7) for r in rows)
+
+    import duckdb
+
+    con = duckdb.connect()
+    ddf = con.sql(
+        "SELECT doc_id, CAST(concat('0x', substr(md5(concat('7:', "
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h "
+        f"FROM '{SF}/documents.parquet'"
+    ).df()
+    duck = dict(zip(ddf.doc_id, ddf.h))
+    assert all(duck[r.doc_id] == r.h for r in rows)
+
+
+def test_hash_sample_deterministic_nested_seeded(spark):
+    docs = _docs(spark)
+    s10 = {r.doc_id for r in hash_sample(docs, 0.10, seed=3).select("doc_id").collect()}
+    s10b = {r.doc_id for r in hash_sample(docs, 0.10, seed=3).select("doc_id").collect()}
+    s25 = {r.doc_id for r in hash_sample(docs, 0.25, seed=3).select("doc_id").collect()}
+    other = {r.doc_id for r in hash_sample(docs, 0.10, seed=4).select("doc_id").collect()}
+    assert s10 == s10b                    # deterministic
+    assert s10 <= s25                     # monotone nesting at fixed seed
+    assert s10 != other                   # seed matters
+    n = docs.count()
+    assert 0 < len(s10) < n
+    # exactly the docs whose hash clears the threshold (brute force)
+    t = fraction_threshold(0.10)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    assert s10 == {i for i in ids if _py_h(i, 3) < t}
+
+
+def test_fraction_bounds():
+    with pytest.raises(ValueError):
+        fraction_threshold(-0.1)
+    with pytest.raises(ValueError):
+        fraction_threshold(1.1)
+    assert fraction_threshold(0.0) == 0
+    assert fraction_threshold(1.0) == 1 << 60
+
+
+def test_stratified_sample_matches_brute_force(spark):
+    docs = _docs(spark)
+    fr = {"en": 0.1, "zh": 0.6}
+    got = {
+        (r.doc_id, r.lang)
+        for r in stratified_sample(docs, fr, seed=11).select("doc_id", "lang").collect()
+    }
+    rows = docs.select("doc_id", "lang").collect()
+    want = {
+        (r.doc_id, r.lang)
+        for r in rows
+        if r.lang in fr and _py_h(r.doc_id, 11) < fraction_threshold(fr[r.lang])
+    }
+    assert got == want
+    assert {g[1] for g in got} <= {"en", "zh"}  # unlisted strata dropped
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {})
+
+
+def _brute_exact(rows, k_for, seed):
+    """k smallest (h, id) per stratum, straight from the definition."""
+    by = {}
+    for r in rows:
+        by.setdefault(r.lang, []).append(r.doc_id)
+    out = set()
+    for lang, ids in by.items():
+        kk = k_for(lang)
+        if kk is None:
+            continue
+        ids.sort(key=lambda i: (_py_h(i, seed), i))
+        out |= {(i, lang) for i in ids[:kk]}
+    return out
+
+
+@pytest.mark.parametrize("margin_scale", [1.0, 1e-9])
+def test_exact_stratified_sample_scalar_k(spark, margin_scale):
+    # margin_scale=1e-9 forces the escalation loop (thresholds start far
+    # too tight); the result must be identical either way.
+    docs = _docs(spark)
+    got = exact_stratified_sample(
+        docs, 7, strata_col="lang", seed=5, margin_scale=margin_scale
+    )
+    got_set = {(r.doc_id, r.lang) for r in got.select("doc_id", "lang").collect()}
+    rows = docs.select("doc_id", "lang").collect()
+    assert got_set == _brute_exact(rows, lambda _: 7, 5)
+    assert set(got.columns) == set(docs.columns)  # helper cols dropped
+    per = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 7 for v in per.values())
+
+
+def test_exact_stratified_sample_dict_k_and_oversize(spark):
+    docs = _docs(spark)
+    avail = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    big = max(avail.values()) + 100
+    ks = {"en": 3, "zh": big, "de": 0}
+    got = exact_stratified_sample(docs, ks, strata_col="lang", seed=2)
+    per = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per.get("en") == 3
+    assert per.get("zh") == avail["zh"]          # clamped to available
+    assert "de" not in per and "fr" not in per   # k=0 and unlisted dropped
+    rows = docs.select("doc_id", "lang").collect()
+    want = _brute_exact(rows, lambda s: ks.get(s), 2) - {
+        p for p in _brute_exact(rows, lambda s: ks.get(s), 2) if p[1] == "de"
+    }
+    assert {(r.doc_id, r.lang) for r in got.select("doc_id", "lang").collect()} == want
+
+
+def test_exact_sample_null_stratum_scalar_k(spark):
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else f"g{i % 2}") for i in range(30)],
+        "doc_id long, lang string",
+    )
+    got = exact_stratified_sample(df, 4, strata_col="lang", seed=1)
+    per = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {None: 4, "g0": 4, "g1": 4}
+
+
+def test_largest_remainder():
+    assert _largest_remainder({"a": 1, "b": 1, "c": 1}, 10) == {"a": 4, "b": 3, "c": 3}
+    # quotas 3.5/1.75/1.75: remainders .75 beat .5, so b and c round up
+    assert _largest_remainder({"a": 0.5, "b": 0.25, "c": 0.25}, 7) == {
+        "a": 3, "b": 2, "c": 2,
+    }
+    assert _largest_remainder({"a": 2.0}, 0) == {"a": 0}
+    with pytest.raises(ValueError):
+        _largest_remainder({"a": -1.0, "b": 2.0}, 5)
+    with pytest.raises(ValueError):
+        _largest_remainder({"a": 0.0}, 5)
+
+
+def test_corpus_mix_and_census(spark):
+    docs = _docs(spark)
+    # src0 gets a request far beyond its supply -> loud shortfall row
+    weights = {"src0": 0.9, "src1": 0.1}
+    total = 60
+    census = {
+        r.source: r
+        for r in mix_census(docs, weights, total, strata_col="source", seed=9).collect()
+    }
+    assert census["src0"].requested == 54
+    assert census["src1"].requested == 6
+    assert census["src0"].achieved == census["src0"].available < 54
+    assert census["src1"].achieved == 6
+    mixed = corpus_mix(docs, weights, total, strata_col="source", seed=9)
+    per = {r.source: r.n for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {s: census[s].achieved for s in census}
+    # deterministic end to end
+    again = corpus_mix(docs, weights, total, strata_col="source", seed=9)
+    assert sorted(r.doc_id for r in mixed.select("doc_id").collect()) == sorted(
+        r.doc_id for r in again.select("doc_id").collect()
+    )
+
+
+def test_hash_sample_plan_is_map_only(spark):
+    docs = _docs(spark)
+    plan = hash_sample(docs, 0.2, seed=1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    plan2 = (
+        stratified_sample(docs, {"en": 0.2}, seed=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan2
