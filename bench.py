@@ -82,6 +82,8 @@ def main() -> None:
         "doc_secrets_scrub_seeded",
         "doc_url_domain_counts_seeded",
         "doc_curation_census_seeded",
+        "doc_exact_stratified_sample",
+        "doc_corpus_mix",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
         "emb_knn_l2",
