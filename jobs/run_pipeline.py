@@ -90,6 +90,25 @@ def main(argv: list[str] | None = None) -> None:
                         "skip the decontam stage (census row stays, 0 drops)")
     p.add_argument("--min-quality", type=float, default=None,
                    help="curation quality threshold override")
+    p.add_argument("--sample-fraction", type=float, default=None,
+                   help="after dedup (and --keep-list, when set), keep a "
+                        "deterministic seeded hash sample of the surviving "
+                        "file ids — the training-corpus composition step. "
+                        "Writes <output>/sample (file_id) + a census in the "
+                        "summary. Map-only; same (seed, id) always lands on "
+                        "the same side, and smaller fractions nest inside "
+                        "larger ones")
+    p.add_argument("--sample-strata", default=None,
+                   help="per-stratum fractions 'py=0.5,js=0.1' over "
+                        "--sample-strata-col instead of one global "
+                        "--sample-fraction (mutually exclusive with it); "
+                        "unlisted strata are dropped — allocation is "
+                        "explicit. Requires the strata column on the input "
+                        "table")
+    p.add_argument("--sample-strata-col", default="lang",
+                   help="input column the --sample-strata fractions key on")
+    p.add_argument("--sample-seed", type=int, default=None,
+                   help="sampling seed (defaults to --seed)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -136,6 +155,30 @@ def main(argv: list[str] | None = None) -> None:
     )
     if (args.curate_bench or args.min_quality is not None) and not args.curate:
         raise SystemExit("--curate-bench/--min-quality require --curate")
+    if args.sample_fraction is not None and args.sample_strata:
+        raise SystemExit(
+            "--sample-fraction and --sample-strata are mutually exclusive"
+        )
+    sample_strata: dict[str, float] | None = None
+    if args.sample_strata:
+        try:
+            sample_strata = {
+                k.strip(): float(v)
+                for k, v in (
+                    kv.split("=", 1) for kv in args.sample_strata.split(",")
+                )
+            }
+        except ValueError as exc:
+            raise SystemExit(
+                f"bad --sample-strata (want 'py=0.5,js=0.1'): {exc}"
+            )
+        missing_s = {"file_id", args.sample_strata_col} - set(files.columns)
+        if missing_s:
+            raise SystemExit(
+                f"--sample-strata needs columns {sorted(missing_s)} on the "
+                f"input table (found: {files.columns}); failing before the "
+                "dedup run, not after it"
+            )
     curate_bench = (
         spark.read.parquet(args.curate_bench) if args.curate_bench else None
     )
@@ -229,6 +272,53 @@ def main(argv: list[str] | None = None) -> None:
             "chars_dropped_frac": sav["chars_dropped_frac"],
             "keep_list_sec": round(time.monotonic() - t_keep, 2),
         }
+    sample_report: dict | None = None
+    if args.sample_fraction is not None or sample_strata:
+        from db_lsh_spark.operators.sampling import (
+            hash_sample,
+            stratified_sample,
+        )
+
+        t_samp = time.monotonic()
+        seed = args.sample_seed if args.sample_seed is not None else args.seed
+        # survivor base: every id that reached clustering (curation-flagged
+        # files never got here) minus the keep-list drops when requested —
+        # slim parquet read-backs, same rationale as the other post-stages
+        survivors = spark.read.parquet(f"{args.output}/clusters").select(
+            "file_id"
+        )
+        if args.keep_list:
+            drops = spark.read.parquet(f"{args.output}/keep_list").select(
+                "file_id"
+            )
+            survivors = survivors.join(drops, "file_id", "left_anti")
+        n_survivors = survivors.count()
+        if sample_strata:
+            # strata live on the input table; the ids match because the
+            # strata path requires input-supplied file_id (checked above)
+            sampled = stratified_sample(
+                survivors.join(
+                    files.select("file_id", args.sample_strata_col),
+                    "file_id",
+                ),
+                sample_strata,
+                strata_col=args.sample_strata_col,
+                seed=seed,
+                id_col="file_id",
+            ).select("file_id")
+        else:
+            sampled = hash_sample(
+                survivors, args.sample_fraction, seed=seed, id_col="file_id"
+            )
+        sampled.write.mode("overwrite").parquet(f"{args.output}/sample")
+        sample_report = {
+            "n_survivors": n_survivors,
+            "n_sampled": spark.read.parquet(f"{args.output}/sample").count(),
+            "fraction": args.sample_fraction,
+            "strata": sample_strata,
+            "seed": seed,
+            "sample_sec": round(time.monotonic() - t_samp, 2),
+        }
     summary = {
         "n_files": n_files,
         "n_dup_assignments": n_dup,
@@ -246,6 +336,7 @@ def main(argv: list[str] | None = None) -> None:
         "repo_report": repo_report,
         "keep_list": keep_report,
         "curation": curation_report,
+        "sample": sample_report,
     }
     print(json.dumps(summary))
     spark.stop()

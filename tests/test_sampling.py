@@ -202,3 +202,112 @@ def test_hash_sample_plan_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan2
+
+
+# ---- pipeline composition: curate/dedup/keep-list -> sample (--sample-*) ----
+
+
+def _job_corpus() -> "pd.DataFrame":
+    """10 planted near-identical py pairs (keep-list drops one of each),
+    5 unique js files, 1 go file (unlisted stratum — must never be
+    sampled). Fully deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i:04d}" for i in range(600)]
+    rows, fid = [], 0
+    for p in range(10):
+        a = [vocab[i] for i in rng.integers(0, 600, 140)]
+        b = list(a)
+        b[0] = "edited"
+        for text in (" ".join(a), " ".join(a) + " tail", " ".join(b))[:2]:
+            rows.append((fid, f"r{p}", f"f{fid}.py", "c0", "py", text))
+            fid += 1
+    for j in range(5):
+        rows.append((fid, "rjs", f"u{j}.js", "c0", "js",
+                     " ".join(vocab[i] for i in rng.integers(0, 600, 140))))
+        fid += 1
+    rows.append((fid, "rgo", "x.go", "c0", "go",
+                 " ".join(vocab[i] for i in rng.integers(0, 600, 140))))
+    return pd.DataFrame(
+        rows, columns=["file_id", "repo", "path", "commit", "lang", "content"]
+    )
+
+
+def test_spark_submit_sample_after_keep_list(tmp_path):
+    """The literal composition invocation: dedup -> --keep-list ->
+    --sample-strata. The written sample must equal a pure-Python
+    recomputation of the seeded hash rule over (survivors ∩ listed
+    strata) — determinism across processes is the whole contract."""
+    import json as _json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.operators.sampling import fraction_threshold
+    from db_lsh_spark.session import package_zip
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    _job_corpus().to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(repo, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out,
+            "--keep-list",
+            "--sample-strata", "py=0.6,js=0.4", "--sample-seed", "11",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=repo,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = _json.loads(lines[-1])
+
+    clusters = pd.read_parquet(f"{out}/clusters")
+    drops = pd.read_parquet(f"{out}/keep_list")
+    sample = set(pd.read_parquet(f"{out}/sample").file_id)
+    survivors = set(clusters.file_id) - set(drops.file_id)
+
+    rep = summary["sample"]
+    assert rep["n_survivors"] == len(survivors) == 16  # 26 - 10 dropped
+    assert rep["n_sampled"] == len(sample)
+    assert rep["strata"] == {"py": 0.6, "js": 0.4} and rep["seed"] == 11
+
+    # pure-Python twin of the in-job rule
+    lang = dict(zip(_job_corpus().file_id, _job_corpus().lang))
+    thr = {s: fraction_threshold(f) for s, f in rep["strata"].items()}
+    expect = {
+        fid for fid in survivors
+        if lang[fid] in thr and _py_h(fid, 11) < thr[lang[fid]]
+    }
+    assert sample == expect and expect  # non-vacuous
+    assert all(lang[fid] != "go" for fid in sample)  # unlisted stratum out
+
+
+def test_sample_flag_validation(spark, tmp_path):
+    """--sample-fraction and --sample-strata are mutually exclusive, and
+    the strata path demands its column up front."""
+    import os
+
+    from jobs.run_pipeline import main
+
+    corpus = str(tmp_path / "c")
+    os.makedirs(corpus)
+    _job_corpus().drop(columns=["lang"]).to_parquet(
+        f"{corpus}/files.parquet", index=False
+    )
+    base = ["--input", corpus, "--output", str(tmp_path / "o")]
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(base + ["--sample-fraction", "0.5", "--sample-strata", "py=1"])
+    with pytest.raises(SystemExit, match="--sample-strata needs columns"):
+        main(base + ["--sample-strata", "py=1"])
+    with pytest.raises(SystemExit, match="bad --sample-strata"):
+        main(base + ["--sample-strata", "py=half"])
