@@ -109,6 +109,19 @@ def main(argv: list[str] | None = None) -> None:
                    help="input column the --sample-strata fractions key on")
     p.add_argument("--sample-seed", type=int, default=None,
                    help="sampling seed (defaults to --seed)")
+    p.add_argument("--mix-total", type=int, default=None,
+                   help="exact-count corpus composition over the survivors "
+                        "instead of threshold sampling: apportion this many "
+                        "files across --mix-weights sources (largest-"
+                        "remainder, sums exactly) and take each source's "
+                        "exact deterministic sample. Writes <output>/sample "
+                        "plus <output>/mix_census (requested/achieved/"
+                        "available per source — a dry source reports loudly, "
+                        "never silently). Mutually exclusive with the "
+                        "--sample-* predicates; strata column from "
+                        "--sample-strata-col, seed from --sample-seed")
+    p.add_argument("--mix-weights", default=None,
+                   help="per-source weights 'py=0.7,js=0.3' for --mix-total")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -155,29 +168,43 @@ def main(argv: list[str] | None = None) -> None:
     )
     if (args.curate_bench or args.min_quality is not None) and not args.curate:
         raise SystemExit("--curate-bench/--min-quality require --curate")
-    if args.sample_fraction is not None and args.sample_strata:
-        raise SystemExit(
-            "--sample-fraction and --sample-strata are mutually exclusive"
+    if (
+        sum(
+            x is not None
+            for x in (args.sample_fraction, args.sample_strata, args.mix_total)
         )
-    sample_strata: dict[str, float] | None = None
-    if args.sample_strata:
+        > 1
+    ):
+        raise SystemExit(
+            "--sample-fraction, --sample-strata and --mix-total are "
+            "mutually exclusive"
+        )
+    if (args.mix_total is None) != (args.mix_weights is None):
+        raise SystemExit("--mix-total and --mix-weights go together")
+
+    def _parse_weights(flag: str, raw: str) -> dict[str, float]:
         try:
-            sample_strata = {
+            return {
                 k.strip(): float(v)
-                for k, v in (
-                    kv.split("=", 1) for kv in args.sample_strata.split(",")
-                )
+                for k, v in (kv.split("=", 1) for kv in raw.split(","))
             }
         except ValueError as exc:
-            raise SystemExit(
-                f"bad --sample-strata (want 'py=0.5,js=0.1'): {exc}"
-            )
+            raise SystemExit(f"bad {flag} (want 'py=0.5,js=0.1'): {exc}")
+
+    sample_strata: dict[str, float] | None = None
+    if args.sample_strata:
+        sample_strata = _parse_weights("--sample-strata", args.sample_strata)
+    mix_weights: dict[str, float] | None = None
+    if args.mix_weights is not None:
+        mix_weights = _parse_weights("--mix-weights", args.mix_weights)
+    if sample_strata or mix_weights:
         missing_s = {"file_id", args.sample_strata_col} - set(files.columns)
         if missing_s:
             raise SystemExit(
-                f"--sample-strata needs columns {sorted(missing_s)} on the "
-                f"input table (found: {files.columns}); failing before the "
-                "dedup run, not after it"
+                f"stratified sampling/mixing needs columns "
+                f"{sorted(missing_s)} on the input table (found: "
+                f"{files.columns}); failing before the dedup run, not "
+                "after it"
             )
     curate_bench = (
         spark.read.parquet(args.curate_bench) if args.curate_bench else None
@@ -273,9 +300,11 @@ def main(argv: list[str] | None = None) -> None:
             "keep_list_sec": round(time.monotonic() - t_keep, 2),
         }
     sample_report: dict | None = None
-    if args.sample_fraction is not None or sample_strata:
+    if args.sample_fraction is not None or sample_strata or mix_weights:
         from db_lsh_spark.operators.sampling import (
+            corpus_mix,
             hash_sample,
+            mix_census,
             stratified_sample,
         )
 
@@ -293,9 +322,33 @@ def main(argv: list[str] | None = None) -> None:
             )
             survivors = survivors.join(drops, "file_id", "left_anti")
         n_survivors = survivors.count()
-        if sample_strata:
+        census_rows: list[dict] | None = None
+        if mix_weights:
             # strata live on the input table; the ids match because the
             # strata path requires input-supplied file_id (checked above)
+            strat = survivors.join(
+                files.select("file_id", args.sample_strata_col), "file_id"
+            )
+            sampled = corpus_mix(
+                strat, mix_weights, args.mix_total,
+                strata_col=args.sample_strata_col, seed=seed,
+                id_col="file_id",
+            ).select("file_id")
+            census = mix_census(
+                strat, mix_weights, args.mix_total,
+                strata_col=args.sample_strata_col, seed=seed,
+                id_col="file_id",
+            )
+            census.write.mode("overwrite").parquet(
+                f"{args.output}/mix_census"
+            )
+            census_rows = [
+                r.asDict()
+                for r in spark.read.parquet(
+                    f"{args.output}/mix_census"
+                ).collect()
+            ]
+        elif sample_strata:
             sampled = stratified_sample(
                 survivors.join(
                     files.select("file_id", args.sample_strata_col),
@@ -316,6 +369,9 @@ def main(argv: list[str] | None = None) -> None:
             "n_sampled": spark.read.parquet(f"{args.output}/sample").count(),
             "fraction": args.sample_fraction,
             "strata": sample_strata,
+            "mix_total": args.mix_total,
+            "mix_weights": mix_weights,
+            "mix_census": census_rows,
             "seed": seed,
             "sample_sec": round(time.monotonic() - t_samp, 2),
         }

@@ -307,7 +307,68 @@ def test_sample_flag_validation(spark, tmp_path):
     base = ["--input", corpus, "--output", str(tmp_path / "o")]
     with pytest.raises(SystemExit, match="mutually exclusive"):
         main(base + ["--sample-fraction", "0.5", "--sample-strata", "py=1"])
-    with pytest.raises(SystemExit, match="--sample-strata needs columns"):
+    with pytest.raises(SystemExit, match="needs columns"):
         main(base + ["--sample-strata", "py=1"])
     with pytest.raises(SystemExit, match="bad --sample-strata"):
         main(base + ["--sample-strata", "py=half"])
+    with pytest.raises(SystemExit, match="go together"):
+        main(base + ["--mix-total", "10"])
+
+
+def test_spark_submit_mix_total(tmp_path):
+    """Exact-count composition through the job: --mix-total/--mix-weights
+    over the dedup survivors. The written sample must equal the
+    pure-Python k-smallest-(hash,id)-per-source rule, and the census must
+    reconcile requested == achieved (no source runs dry here)."""
+    import json as _json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.operators.sampling import _largest_remainder
+    from db_lsh_spark.session import package_zip
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    df = _job_corpus()
+    df.to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(repo, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out,
+            "--mix-total", "10", "--mix-weights", "py=0.7,js=0.3",
+            "--sample-seed", "5",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=repo,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    rep = _json.loads(lines[-1])["sample"]
+
+    sample = set(pd.read_parquet(f"{out}/sample").file_id)
+    census = {
+        r["lang"]: r
+        for r in pd.read_parquet(f"{out}/mix_census").to_dict("records")
+    }
+    ks = _largest_remainder({"py": 0.7, "js": 0.3}, 10)
+    assert ks == {"py": 7, "js": 3}
+    # both sources have enough survivors -> achieved == requested exactly
+    for src, k in ks.items():
+        assert census[src]["requested"] == census[src]["achieved"] == k
+    assert rep["n_sampled"] == len(sample) == 10
+    assert rep["mix_census"] is not None and len(rep["mix_census"]) == 2
+
+    # pure-Python twin: k smallest (hash, id) per source over survivors
+    # (no --keep-list -> every clustered file survives)
+    expect: set[int] = set()
+    for src, k in ks.items():
+        ids = df[df.lang == src].file_id.tolist()
+        expect |= set(sorted(ids, key=lambda i: (_py_h(i, 5), i))[:k])
+    assert sample == expect
