@@ -1,0 +1,114 @@
+"""Capstone composition test: ONE spark-submit invocation with every
+opt-in stage of the training-data funnel on — --curate, --lanes
+simhash,winnow, --keep-list, --sample-fraction — over one corpus, with
+the reports reconciling against each other and the written artifacts."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+
+import numpy as np
+import pandas as pd
+
+from db_lsh_spark.operators.sampling import fraction_threshold
+from db_lsh_spark.operators.text import SECRETS_SEED_SUFFIX
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus() -> pd.DataFrame:
+    """12 near-dup py pairs (keep-list drops one of each), one
+    secret-bearing clone of pair 0 (curation must intercept it BEFORE it
+    joins that cluster), one junk file (quality), 6 unique js files."""
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i:04d}" for i in range(700)]
+    rows, fid = [], 0
+    for p in range(12):
+        a = " ".join(vocab[i] for i in rng.integers(0, 700, 140))
+        for text in (a, a + " tail-edit"):
+            rows.append((fid, f"r{p}", f"f{fid}.py", "c0", "py", text))
+            fid += 1
+        if p == 0:
+            rows.append((fid, "rs", "leak.py", "c0", "py",
+                         a + " " + SECRETS_SEED_SUFFIX))
+            fid += 1
+    rows.append((fid, "rj", "junk.py", "c0", "py", "tiny doc"))
+    fid += 1
+    for j in range(6):
+        rows.append((fid, "rjs", f"u{j}.js", "c0", "js",
+                     " ".join(vocab[i] for i in rng.integers(0, 700, 140))))
+        fid += 1
+    return pd.DataFrame(
+        rows, columns=["file_id", "repo", "path", "commit", "lang", "content"]
+    )
+
+
+def test_spark_submit_full_funnel(tmp_path):
+    from db_lsh_spark.session import package_zip
+
+    df = _corpus()
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    df.to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out, "--checkpoint", ck,
+            "--curate", "--lanes", "simhash,winnow",
+            "--keep-list", "--sample-fraction", "0.5",
+            "--sample-seed", "9",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+
+    # every opt-in report present
+    cur, keep, samp = (
+        summary["curation"], summary["keep_list"], summary["sample"]
+    )
+    assert cur and keep and samp
+    stage_names = [s["name"] for s in summary["stages"]]
+    assert {"curation_flags", "simhash_pairs", "winnow_pairs"} <= set(
+        stage_names
+    )
+
+    n_input = len(df)
+    flags = pd.read_parquet(f"{out}/curation_flags")
+    clusters = pd.read_parquet(f"{out}/clusters")
+    drops = pd.read_parquet(f"{out}/keep_list")
+    sample = set(pd.read_parquet(f"{out}/sample").file_id)
+
+    # curation intercepted exactly the secret clone and the junk file,
+    # BEFORE signatures: neither id ever appears in the cluster table
+    assert dict(zip(flags.file_id, flags.stage)) == {
+        2: "secrets", 25: "quality"
+    }
+    assert set(flags.file_id).isdisjoint(set(clusters.file_id))
+    assert cur["quality"]["n_in"] == n_input
+    assert cur["kept"]["n_in"] == len(clusters) == n_input - len(flags)
+
+    # keep-list: every size-k cluster drops k-1 (here: 12 pairs -> 12)
+    sizes = clusters.groupby("cluster_id").size()
+    assert keep["n_dropped"] == len(drops) == int((sizes - 1).sum()) == 12
+
+    # sample: the seeded threshold rule over survivors, recomputed in
+    # pure Python — cross-process determinism is the contract
+    survivors = set(clusters.file_id) - set(drops.file_id)
+    thr = fraction_threshold(0.5)
+    expect = {
+        fid for fid in survivors
+        if int(hashlib.md5(f"9:{fid}".encode()).hexdigest()[:15], 16) < thr
+    }
+    assert samp["n_survivors"] == len(survivors)
+    assert sample == expect and expect
