@@ -39,6 +39,9 @@ SAMPLE_FRACTION, SAMPLE_SEED = 0.25, 7
 STRAT_FRACTIONS, STRAT_SEED = {"de": 0.9, "en": 0.1, "zh": 0.6}, 11
 EXACT_K, EXACT_SEED = 12, 5
 MIX_WEIGHTS, MIX_TOTAL, MIX_SEED = {"src0": 0.5, "src1": 0.3, "src2": 0.2}, 30, 9
+# composed funnel -> sample query (curation keep list piped into the
+# seeded threshold sample — the jobs/run_pipeline.py composition contract)
+FUNNEL_SAMPLE_FRACTION, FUNNEL_SAMPLE_SEED = 0.5, 9
 # the reference's own metric (util.h:205-212): E2LSH p-stable buckets at
 # window w=1.0 (projections of unit vectors are N(0,1)), probe radius 1 —
 # recall 1.0 vs exact L2 at both sf fixtures (verified by kernel simulation
@@ -333,8 +336,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return curation_keep_list(*_funnel_split(s, d))
 
+    def _funnel_sample(s: SparkSession, d: str) -> DataFrame:
+        # the composition contract run_pipeline --curate --sample-fraction
+        # executes: funnel survivors piped into the seeded threshold sample
+        from db_lsh_spark.operators.curation import curation_keep_list
+        from db_lsh_spark.operators.sampling import hash_sample
+
+        return hash_sample(
+            curation_keep_list(*_funnel_split(s, d)),
+            FUNNEL_SAMPLE_FRACTION,
+            seed=FUNNEL_SAMPLE_SEED,
+        )
+
     q["doc_curation_census_seeded"] = _curation_census
     q["doc_curation_keep_list_seeded"] = _curation_keep
+    q["doc_funnel_sample_seeded"] = _funnel_sample
 
     # winnowing substring-dedup lane (VERDICT r04 #2): bottom-8 rolling-
     # window fingerprints → fp equi-join → suffix-array LCS >= 32 verify —
@@ -1268,6 +1284,18 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_curation_keep_list_seeded"] = f"""
         {_fun_cte}
         SELECT doc_id FROM fstaged WHERE stage_idx IS NULL
+    """
+    from db_lsh_spark.operators.sampling import (
+        fraction_threshold as _fthr,
+    )
+
+    sql["doc_funnel_sample_seeded"] = f"""
+        {_fun_cte}
+        SELECT doc_id FROM fstaged
+        WHERE stage_idx IS NULL
+          AND CAST(concat('0x', substr(md5(concat('{FUNNEL_SAMPLE_SEED}:',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+              < {_fthr(FUNNEL_SAMPLE_FRACTION)}
     """
     def _pairs_sql(src: str, preamble: str = "") -> str:
         return f"""
