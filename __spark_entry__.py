@@ -42,6 +42,9 @@ MIX_WEIGHTS, MIX_TOTAL, MIX_SEED = {"src0": 0.5, "src1": 0.3, "src2": 0.2}, 30, 
 # composed funnel -> sample query (curation keep list piped into the
 # seeded threshold sample — the jobs/run_pipeline.py composition contract)
 FUNNEL_SAMPLE_FRACTION, FUNNEL_SAMPLE_SEED = 0.5, 9
+# token-budget composition: per-language token budgets (real mixes are
+# specified in tokens, not documents); weight = whitespace token count
+BUDGET_MIX, BUDGET_SEED = {"en": 2000, "de": 500}, 13
 # the reference's own metric (util.h:205-212): E2LSH p-stable buckets at
 # window w=1.0 (projections of unit vectors are N(0,1)), probe radius 1 —
 # recall 1.0 vs exact L2 at both sf fixtures (verified by kernel simulation
@@ -836,11 +839,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), MIX_WEIGHTS, MIX_TOTAL, strata_col="source", seed=MIX_SEED
         )
 
+    def _budget_mix(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.sampling import token_budget_mix
+        from db_lsh_spark.operators.text import tokens_col
+
+        docs = _docs(s, d).withColumn(
+            "n_tokens",
+            F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                F.size(tokens_col())
+            ),
+        )
+        return token_budget_mix(docs, BUDGET_MIX, seed=BUDGET_SEED).select(
+            "doc_id", "lang"
+        )
+
     q["doc_hash_sample_seeded"] = _hash_sample
     q["doc_stratified_sample_seeded"] = _strat_sample
     q["doc_exact_stratified_sample"] = _exact_sample
     q["doc_corpus_mix"] = _corpus_mix
     q["doc_corpus_mix_census"] = _mix_census
+    q["doc_token_budget_mix"] = _budget_mix
 
     return q
 
@@ -1877,5 +1895,19 @@ def oracle_sql() -> dict[str, str]:
                least(r.requested, coalesce(a.available, 0))::INTEGER AS achieved,
                coalesce(a.available, 0)::INTEGER AS available
         FROM req r LEFT JOIN avail a USING (source)
+    """
+    _budget_case = "CASE lang " + " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in sorted(BUDGET_MIX.items())
+    ) + " END"
+    _budget_in = ", ".join(f"'{s}'" for s in sorted(BUDGET_MIX))
+    sql["doc_token_budget_mix"] = f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   sum(coalesce(len(string_split(text, ' ')), 0)) OVER (
+                       PARTITION BY lang
+                       ORDER BY {_h_sql(BUDGET_SEED)}, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents WHERE lang IN ({_budget_in})
+        ) WHERE cum <= {_budget_case}
     """
     return sql

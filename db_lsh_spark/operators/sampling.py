@@ -300,3 +300,124 @@ def mix_census(
         .na.fill({"achieved": 0, "available": 0})
         .select(strata_col, "requested", "achieved", "available")
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    weight_col: str = "n_tokens",
+    seed: int = 0,
+    id_col: str = "doc_id",
+    *,
+    margin_scale: float = 1.0,
+    max_rounds: int = 48,
+) -> DataFrame:
+    """Deterministic TOKEN-budget composition — real training mixes are
+    specified in tokens, not documents ("keep 200B tokens of python").
+    Within each listed stratum, order documents by ``(hash, id)`` and
+    keep the maximal prefix whose INCLUSIVE cumulative ``weight_col``
+    stays <= that stratum's budget. Exactly the SQL twin::
+
+        sum(w) OVER (PARTITION BY s ORDER BY h, id
+                     ROWS UNBOUNDED PRECEDING) <= budget
+
+    so the result is a pure function of (corpus, seed, budgets), and is
+    **monotone in the budget**: a larger budget keeps a superset (the
+    kept set is a prefix of a fixed order) — a pipeline can grow a token
+    target without resampling. Unlisted strata (incl. NULL) are dropped;
+    NULL weights count 0 (SQL SUM semantics); budgets must be >= 0.
+
+    Plan (the 100-TB shape, mirroring ``exact_stratified_sample``): one
+    partial-agg pass per stratum gives (n, total_weight); strata whose
+    total fits the budget are kept WHOLESALE (map-only, no window); for
+    the rest, the cutoff hash concentrates at ``budget/total * 2^60``,
+    so a Chernoff-margin candidate threshold + map-only filter bounds
+    the set the exact window cumsum runs over. The margin is performance,
+    never correctness: the gate demands each partial stratum's candidate
+    weight EXCEEDS its budget (the true cutoff then lies strictly inside
+    the candidate prefix) and doubles the margin otherwise; escalation
+    terminates at threshold = 2^60. The one driver collect is strata-
+    cardinality-sized, like the sampler's."""
+    if any(b < 0 for b in budgets.values()):
+        raise ValueError("budgets must be >= 0")
+    if not budgets:
+        raise ValueError("budgets must name at least one stratum")
+    docs = docs.where(F.col(strata_col).isin(list(budgets)))
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    hashed = docs.withColumn("_h", sample_hash60(id_col, seed)).withColumn(
+        "_w", w
+    )
+    stats = {
+        r["s"]: (r["n"], r["tw"])
+        for r in hashed.groupBy(F.col(strata_col).alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_w").cast("long").alias("tw"),
+        )
+        .collect()
+    }
+    full = [s for s, (n, tw) in stats.items() if tw <= budgets[s]]
+    partial = {s: v for s, v in stats.items() if s not in full}
+
+    kept_full = hashed.where(F.col(strata_col).isin(full)) if full else None
+    if not partial:
+        return kept_full.drop("_h", "_w") if kept_full is not None else (
+            docs.limit(0)
+        )
+
+    scale = float(margin_scale)
+    for _ in range(max_rounds):
+        thresholds = {}
+        for s, (n, tw) in partial.items():
+            b = budgets[s]
+            # expected kept docs ~ b/avg_w = b*n/tw; margin in doc space,
+            # mapped to hash space by /n (same shape as the k-sampler)
+            exp_docs = b * n / tw if tw else float(n)
+            margin = scale * (6.0 * math.sqrt(max(exp_docs, 1.0)) + 64.0)
+            thresholds[s] = min(
+                _HASH_SPAN, int(math.ceil((exp_docs + margin) / n * _HASH_SPAN))
+            )
+        texpr = _int_map_expr(strata_col, thresholds)
+        cand = hashed.where(
+            F.col(strata_col).isin(list(partial)) & (F.col("_h") < texpr)
+        )
+        got = {
+            r["s"]: (r["n"], r["tw"])
+            for r in cand.groupBy(F.col(strata_col).alias("s"))
+            .agg(F.count("*").alias("n"), F.sum("_w").cast("long").alias("tw"))
+            .collect()
+        }
+        # exactness gate: the candidate prefix must contain the true
+        # cutoff — either its weight already exceeds the budget, or it
+        # is the whole stratum
+        if all(
+            got.get(s, (0, 0))[1] > budgets[s]
+            or got.get(s, (0, 0))[0] >= partial[s][0]
+            for s in partial
+        ):
+            win = (
+                Window.partitionBy(strata_col)
+                .orderBy("_h", id_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            kept_partial = (
+                cand.withColumn("_cum", F.sum("_w").over(win))
+                .where(F.col("_cum") <= _int_map_expr(strata_col, budgets))
+                .drop("_cum")
+            )
+            out = (
+                kept_partial
+                if kept_full is None
+                else kept_full.unionByName(kept_partial)
+            )
+            return out.drop("_h", "_w")
+        # a sub-unit starting scale (test knob) jumps straight back to the
+        # standard margin before doubling — doubling from epsilon would
+        # burn rounds without moving the threshold
+        scale = scale * 2.0 if scale >= 1.0 else 1.0
+    raise RuntimeError(
+        "token_budget_mix did not converge — margin escalation exhausted "
+        f"after {max_rounds} rounds (should be unreachable: the threshold "
+        "reaches the full hash span first)"
+    )

@@ -372,3 +372,137 @@ def test_spark_submit_mix_total(tmp_path):
         ids = df[df.lang == src].file_id.tolist()
         expect |= set(sorted(ids, key=lambda i: (_py_h(i, 5), i))[:k])
     assert sample == expect
+
+
+# ---- token-budget composition (token_budget_mix) ----
+
+
+def _weighted_docs(spark):
+    from db_lsh_spark.operators.text import tokens_col
+
+    return _docs(spark).withColumn(
+        "n_tokens",
+        F.when(F.col("text").isNull(), 0).otherwise(F.size(tokens_col())),
+    )
+
+
+def _brute_budget(spark, docs, budgets, seed):
+    """The plain full-window definition the scalable plan must equal."""
+    from pyspark.sql import Window
+
+    from db_lsh_spark.operators.sampling import sample_hash60
+
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bexpr = None
+    for s, b in sorted(budgets.items()):
+        bexpr = (
+            F.when(F.col("lang") == s, F.lit(b))
+            if bexpr is None
+            else bexpr.when(F.col("lang") == s, F.lit(b))
+        )
+    return {
+        r.doc_id
+        for r in docs.where(F.col("lang").isin(list(budgets)))
+        .withColumn("_h", sample_hash60("doc_id", seed))
+        .withColumn("_cum", F.sum("n_tokens").over(win))
+        .where(F.col("_cum") <= bexpr)
+        .select("doc_id")
+        .collect()
+    }
+
+
+def test_token_budget_mix_equals_bruteforce(spark):
+    from db_lsh_spark.operators.sampling import token_budget_mix
+
+    docs = _weighted_docs(spark)
+    budgets = {"en": 2000, "de": 500}
+    got = {
+        r.doc_id
+        for r in token_budget_mix(docs, budgets, seed=13)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == _brute_budget(spark, docs, budgets, 13) and got
+
+
+def test_token_budget_mix_monotone_and_wholesale(spark):
+    from db_lsh_spark.operators.sampling import token_budget_mix
+
+    docs = _weighted_docs(spark)
+    small = {
+        r.doc_id
+        for r in token_budget_mix(docs, {"en": 800}, seed=3).collect()
+    }
+    big = {
+        r.doc_id
+        for r in token_budget_mix(docs, {"en": 5000}, seed=3).collect()
+    }
+    assert small < big  # prefix property: strictly nested here
+
+    total = docs.where("lang = 'en'").agg(F.sum("n_tokens")).collect()[0][0]
+    everything = {
+        r.doc_id
+        for r in token_budget_mix(
+            docs, {"en": int(total)}, seed=3
+        ).collect()
+    }
+    n_en = docs.where("lang = 'en'").count()
+    assert len(everything) == n_en  # budget == total -> keep all, no window
+
+
+def test_token_budget_mix_forced_escalation(spark):
+    from db_lsh_spark.operators.sampling import token_budget_mix
+
+    docs = _weighted_docs(spark)
+    budgets = {"en": 2000, "zh": 1200}
+    a = {
+        r.doc_id
+        for r in token_budget_mix(docs, budgets, seed=13).collect()
+    }
+    b = {
+        r.doc_id
+        for r in token_budget_mix(
+            docs, budgets, seed=13, margin_scale=1e-9
+        ).collect()
+    }
+    assert a == b == _brute_budget(spark, docs, budgets, 13)
+
+
+def test_token_budget_mix_edges(spark):
+    from db_lsh_spark.operators.sampling import token_budget_mix
+
+    docs = _weighted_docs(spark)
+    # zero budget: only a (possibly empty) zero-weight prefix survives
+    z = token_budget_mix(docs, {"en": 0}, seed=1).collect()
+    assert z == _brute_budget(
+        spark, docs, {"en": 0}, 1
+    ) == set() or {r.doc_id for r in z} == _brute_budget(
+        spark, docs, {"en": 0}, 1
+    )
+    # NULL weight counts zero (SQL SUM semantics)
+    nulled = docs.withColumn(
+        "n_tokens",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("n_tokens")
+        ),
+    )
+    zeroed = nulled.na.fill({"n_tokens": 0})
+    got_null = {
+        r.doc_id
+        for r in token_budget_mix(nulled, {"de": 900}, seed=5).collect()
+    }
+    got_zero = {
+        r.doc_id
+        for r in token_budget_mix(zeroed, {"de": 900}, seed=5).collect()
+    }
+    assert got_null == got_zero and got_null
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        token_budget_mix(docs, {"en": -1})
+    with _pytest.raises(ValueError, match="at least one"):
+        token_budget_mix(docs, {})
