@@ -122,6 +122,17 @@ def main(argv: list[str] | None = None) -> None:
                         "--sample-strata-col, seed from --sample-seed")
     p.add_argument("--mix-weights", default=None,
                    help="per-source weights 'py=0.7,js=0.3' for --mix-total")
+    p.add_argument("--mix-token-budgets", default=None,
+                   help="TOKEN-budget composition over the survivors — how "
+                        "real training mixes are specified: absolute "
+                        "whitespace-token budgets per source "
+                        "('py=50000,js=20000'); keeps each source's maximal "
+                        "seeded-order prefix whose cumulative token count "
+                        "fits its budget (monotone in the budget). Mutually "
+                        "exclusive with the other sample/mix flags; strata "
+                        "column from --sample-strata-col, seed from "
+                        "--sample-seed. Reports kept docs + kept tokens vs "
+                        "budget per source in the summary")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -171,13 +182,18 @@ def main(argv: list[str] | None = None) -> None:
     if (
         sum(
             x is not None
-            for x in (args.sample_fraction, args.sample_strata, args.mix_total)
+            for x in (
+                args.sample_fraction,
+                args.sample_strata,
+                args.mix_total,
+                args.mix_token_budgets,
+            )
         )
         > 1
     ):
         raise SystemExit(
-            "--sample-fraction, --sample-strata and --mix-total are "
-            "mutually exclusive"
+            "--sample-fraction, --sample-strata, --mix-total and "
+            "--mix-token-budgets are mutually exclusive"
         )
     if (args.mix_total is None) != (args.mix_weights is None):
         raise SystemExit("--mix-total and --mix-weights go together")
@@ -197,7 +213,15 @@ def main(argv: list[str] | None = None) -> None:
     mix_weights: dict[str, float] | None = None
     if args.mix_weights is not None:
         mix_weights = _parse_weights("--mix-weights", args.mix_weights)
-    if sample_strata or mix_weights:
+    token_budgets: dict[str, int] | None = None
+    if args.mix_token_budgets is not None:
+        token_budgets = {
+            s: int(b)
+            for s, b in _parse_weights(
+                "--mix-token-budgets", args.mix_token_budgets
+            ).items()
+        }
+    if sample_strata or mix_weights or token_budgets:
         missing_s = {"file_id", args.sample_strata_col} - set(files.columns)
         if missing_s:
             raise SystemExit(
@@ -300,12 +324,18 @@ def main(argv: list[str] | None = None) -> None:
             "keep_list_sec": round(time.monotonic() - t_keep, 2),
         }
     sample_report: dict | None = None
-    if args.sample_fraction is not None or sample_strata or mix_weights:
+    if (
+        args.sample_fraction is not None
+        or sample_strata
+        or mix_weights
+        or token_budgets
+    ):
         from db_lsh_spark.operators.sampling import (
             corpus_mix,
             hash_sample,
             mix_census,
             stratified_sample,
+            token_budget_mix,
         )
 
         t_samp = time.monotonic()
@@ -323,7 +353,47 @@ def main(argv: list[str] | None = None) -> None:
             survivors = survivors.join(drops, "file_id", "left_anti")
         n_survivors = survivors.count()
         census_rows: list[dict] | None = None
-        if mix_weights:
+        budget_report: dict | None = None
+        if token_budgets:
+            from pyspark.sql import functions as F
+
+            strat = survivors.join(
+                files.select(
+                    "file_id",
+                    args.sample_strata_col,
+                    F.when(F.col("content").isNull(), F.lit(0))
+                    .otherwise(F.size(F.split(F.col("content"), " ")))
+                    .alias("n_tokens"),
+                ),
+                "file_id",
+            )
+            sampled = token_budget_mix(
+                strat, token_budgets, strata_col=args.sample_strata_col,
+                weight_col="n_tokens", seed=seed, id_col="file_id",
+            )
+            # kept docs + kept tokens vs budget, counted from the kept
+            # frame itself before the slim projection
+            budget_report = {
+                r["s"]: {
+                    "budget": token_budgets[r["s"]],
+                    "kept_docs": r["n"],
+                    "kept_tokens": r["t"],
+                }
+                for r in sampled.groupBy(
+                    F.col(args.sample_strata_col).alias("s")
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("n_tokens").cast("long").alias("t"),
+                )
+                .collect()
+            }
+            for s, b in token_budgets.items():
+                budget_report.setdefault(
+                    s, {"budget": b, "kept_docs": 0, "kept_tokens": 0}
+                )
+            sampled = sampled.select("file_id")
+        elif mix_weights:
             # strata live on the input table; the ids match because the
             # strata path requires input-supplied file_id (checked above)
             strat = survivors.join(
@@ -372,6 +442,7 @@ def main(argv: list[str] | None = None) -> None:
             "mix_total": args.mix_total,
             "mix_weights": mix_weights,
             "mix_census": census_rows,
+            "token_budgets": budget_report,
             "seed": seed,
             "sample_sec": round(time.monotonic() - t_samp, 2),
         }

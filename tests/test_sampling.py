@@ -506,3 +506,64 @@ def test_token_budget_mix_edges(spark):
         token_budget_mix(docs, {"en": -1})
     with _pytest.raises(ValueError, match="at least one"):
         token_budget_mix(docs, {})
+
+
+def test_spark_submit_token_budget_mix(tmp_path):
+    """Token-budget composition through the job: the written sample must
+    equal the pure-Python maximal-prefix-under-budget rule, and the
+    summary must reconcile kept docs + kept tokens per source."""
+    import json as _json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    df = _job_corpus()
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    df.to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    budgets = {"py": 1000, "js": 300}
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(repo, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out,
+            "--mix-token-budgets", "py=1000,js=300", "--sample-seed", "7",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=repo,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    rep = _json.loads(lines[-1])["sample"]
+    sample = set(pd.read_parquet(f"{out}/sample").file_id)
+
+    # pure-Python twin: per source, walk (hash, id) order accumulating
+    # whitespace token counts; keep while the inclusive sum fits
+    tok = {r.file_id: len(r.content.split(" ")) for r in df.itertuples()}
+    expect, kept_tok = set(), {s: 0 for s in budgets}
+    for src, b in budgets.items():
+        ids = sorted(
+            df[df.lang == src].file_id, key=lambda i: (_py_h(i, 7), i)
+        )
+        cum = 0
+        for i in ids:
+            cum += tok[i]
+            if cum > b:
+                break
+            expect.add(i)
+            kept_tok[src] += tok[i]
+    assert sample == expect and expect
+    for src, b in budgets.items():
+        r = rep["token_budgets"][src]
+        assert r["budget"] == b
+        assert r["kept_tokens"] == kept_tok[src] <= b
+        assert r["kept_docs"] == sum(
+            1 for i in expect if df[df.file_id == i].lang.iloc[0] == src
+        )
