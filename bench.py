@@ -84,6 +84,7 @@ def main() -> None:
         "doc_curation_census_seeded",
         "doc_exact_stratified_sample",
         "doc_corpus_mix",
+        "doc_token_budget_mix",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
         "emb_knn_l2",
