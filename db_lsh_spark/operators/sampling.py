@@ -141,7 +141,7 @@ def exact_stratified_sample(
     id_col: str = "doc_id",
     *,
     margin_scale: float = 1.0,
-    max_rounds: int = 8,
+    max_rounds: int = 48,
 ) -> DataFrame:
     """EXACTLY ``min(k, N_stratum)`` documents per stratum — the k
     smallest ``(hash, id)`` pairs, so the result is a deterministic
@@ -227,7 +227,10 @@ def exact_stratified_sample(
                 )
                 .drop("_h", "_rn")
             )
-        scale *= 2.0
+        # a sub-unit starting scale (test knob) jumps straight back to the
+        # standard margin before doubling — doubling from epsilon would
+        # burn rounds without moving the threshold
+        scale = scale * 2.0 if scale >= 1.0 else 1.0
     raise RuntimeError(
         "exact_stratified_sample did not converge — margin escalation "
         f"exhausted after {max_rounds} rounds (should be unreachable: the "
