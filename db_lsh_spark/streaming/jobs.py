@@ -1259,3 +1259,67 @@ def compact_winnow_index_from_landing(
         lambda df, d: compact_winnow_index(spark, store, df, w=w, k=k,
                                            merge_id=d),
     )
+
+
+def incremental_curation_query(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    bench: DataFrame | None,
+    out_dir: str,
+    checkpoint_dir: str,
+    **knobs,
+) -> StreamingQuery:
+    """Filter-on-INGEST: the curation funnel (quality → repetition →
+    secrets → url_blocklist → decontam, ``operators/curation.py``)
+    applied per micro-batch as documents land, so flagged files never
+    reach storage the dedup pipeline would later have to anti-join
+    against. The funnel is STATELESS — a document's fate is a pure
+    function of its own text and the static benchmark gram set — so
+    stream output equals the batch operator over the union of batches by
+    construction (tested), and no streaming state accumulates.
+
+    Per batch: flags (doc_id, stage_idx, stage, batch_id) land in
+    ``out_dir/flags/batch-N`` and survivors (doc_id, batch_id) in
+    ``out_dir/keep/batch-N`` — the same overwrite-per-deterministic-
+    directory idempotent sink as the dedup lanes (at-least-once replay
+    rewrites identical rows; offsets checkpoint ⇒ exactly-once across
+    restarts). ``bench=None`` skips decontamination, like the batch
+    operator; ``knobs`` pass through to ``curation_flags``."""
+    from db_lsh_spark.operators.curation import curation_flags
+
+    if bench is not None:
+        # any frame with a text/content column works; bench ids are never
+        # read downstream (only the gram set is) — same normalization as
+        # run_dedup(curate_bench=...)
+        btext = "text" if "text" in bench.columns else "content"
+        bench = bench.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col(btext).alias("text"),
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # one row per doc_id within the batch (same contract as the dedup
+        # lanes: duplicate landings in one trigger resolve deterministically)
+        docs = batch_df.groupBy("doc_id").agg(F.max("text").alias("text"))
+        flags = curation_flags(docs, bench, **knobs).persist()
+        try:
+            (flags.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet(f"{out_dir}/flags/batch-{batch_id}"))
+            keep = docs.select("doc_id").join(
+                flags.select("doc_id"), "doc_id", "left_anti"
+            )
+            (keep.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet(f"{out_dir}/keep/batch-{batch_id}"))
+        finally:
+            flags.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

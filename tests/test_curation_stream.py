@@ -1,0 +1,111 @@
+"""Streaming curation (filter-on-ingest): the funnel applied per
+micro-batch must equal the batch operator over the union of batches —
+the lane is stateless by construction — with the dedup lanes' idempotent
+exactly-once sink contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.streaming.jobs import incremental_curation_query
+from tests.test_curation import BASE, CONTAM
+from db_lsh_spark.operators.text import SECRETS_SEED_SUFFIX, URL_SEED_SUFFIX
+
+
+def _doc_rows():
+    return [
+        (1, BASE),                                  # kept
+        (2, "tiny doc"),                            # quality
+        (4, BASE + SECRETS_SEED_SUFFIX),            # secrets
+        (5, BASE + URL_SEED_SUFFIX),                # url_blocklist
+        (6, None),                                  # NULL -> kept
+        (7, BASE + " " + CONTAM),                   # decontam
+        (8, " ".join(f"solo{i}" for i in range(130))),  # kept
+    ]
+
+
+def test_stream_equals_batch_and_restart_idempotent(spark, tmp_path):
+    import pandas as pd
+
+    rows = _doc_rows()
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    # two landing files -> two micro-batches (maxFilesPerTrigger=1)
+    pd.DataFrame(rows[:4], columns=["doc_id", "text"]).to_parquet(
+        f"{src}/a.parquet", index=False
+    )
+    pd.DataFrame(rows[4:], columns=["doc_id", "text"]).to_parquet(
+        f"{src}/b.parquet", index=False
+    )
+    bench = spark.createDataFrame([(CONTAM,)], "text string")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = incremental_curation_query(spark, stream, bench, out, ck)
+        q.awaitTermination(600)
+
+    run()
+    flags = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/flags")
+    )
+    keep = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/keep")
+    )
+    got_flags = {(r.doc_id, r.stage) for r in flags.collect()}
+
+    # batch twin over the union of both landings
+    from db_lsh_spark.operators.curation import curation_flags
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench_b = spark.createDataFrame([(0, CONTAM)], "doc_id long, text string")
+    want_flags = {
+        (r.doc_id, r.stage) for r in curation_flags(docs, bench_b).collect()
+    }
+    assert got_flags == want_flags
+    assert {r.doc_id for r in keep.collect()} == {1, 6, 8}
+    # flags ∪ keep partition the landed ids, batch attribution disjoint
+    assert {f[0] for f in got_flags} | {r.doc_id for r in keep.collect()} == {
+        r[0] for r in rows
+    }
+
+    # restart with the same checkpoint: offsets drained -> no new batches,
+    # outputs unchanged (exactly-once)
+    before = sorted(os.listdir(f"{out}/flags"))
+    run()
+    assert sorted(os.listdir(f"{out}/flags")) == before
+    again = {
+        (r.doc_id, r.stage)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/flags")
+        .collect()
+    }
+    assert again == want_flags
+
+
+def test_stream_without_bench_keeps_decontam_doc(spark, tmp_path):
+    import pandas as pd
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    pd.DataFrame(
+        [(7, BASE + " " + CONTAM)], columns=["doc_id", "text"]
+    ).to_parquet(f"{src}/a.parquet", index=False)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = incremental_curation_query(spark, stream, None, out, ck)
+    q.awaitTermination(600)
+    keep = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/keep")
+    )
+    assert {r.doc_id for r in keep.collect()} == {7}  # no bench -> kept
