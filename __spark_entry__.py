@@ -45,6 +45,11 @@ FUNNEL_SAMPLE_FRACTION, FUNNEL_SAMPLE_SEED = 0.5, 9
 # token-budget composition: per-language token budgets (real mixes are
 # specified in tokens, not documents); weight = whitespace token count
 BUDGET_MIX, BUDGET_SEED = {"en": 2000, "de": 500}, 13
+# sequence packing (operators/packing.py): fixed-token-length training
+# sequences over the seeded corpus order; 128 at sf0.01 (~54-token docs)
+# packs 2-3 docs per sequence with frequent boundary crossings and a
+# dropped partial tail — every branch of the slicing arithmetic exercised
+PACK_SEQ_LEN, PACK_SEED = 128, 17
 # the reference's own metric (util.h:205-212): E2LSH p-stable buckets at
 # window w=1.0 (projections of unit vectors are N(0,1)), probe radius 1 —
 # recall 1.0 vs exact L2 at both sf fixtures (verified by kernel simulation
@@ -853,12 +858,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang"
         )
 
+    def _seq_pack(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.packing import pack_sequences
+        from db_lsh_spark.operators.text import tokens_col
+
+        docs = _docs(s, d).withColumn(
+            "n_tokens",
+            F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                F.size(tokens_col())
+            ),
+        )
+        return pack_sequences(docs, PACK_SEQ_LEN, seed=PACK_SEED)
+
+    def _seq_pack_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.packing import pack_census
+        from db_lsh_spark.operators.text import tokens_col
+
+        docs = _docs(s, d).withColumn(
+            "n_tokens",
+            F.when(F.col("text").isNull(), F.lit(0)).otherwise(
+                F.size(tokens_col())
+            ),
+        )
+        return pack_census(docs, PACK_SEQ_LEN, seed=PACK_SEED)
+
     q["doc_hash_sample_seeded"] = _hash_sample
     q["doc_stratified_sample_seeded"] = _strat_sample
     q["doc_exact_stratified_sample"] = _exact_sample
     q["doc_corpus_mix"] = _corpus_mix
     q["doc_corpus_mix_census"] = _mix_census
     q["doc_token_budget_mix"] = _budget_mix
+    q["doc_sequence_pack"] = _seq_pack
+    q["doc_sequence_pack_census"] = _seq_pack_census
 
     return q
 
@@ -1909,5 +1940,44 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS cum
             FROM documents WHERE lang IN ({_budget_in})
         ) WHERE cum <= {_budget_case}
+    """
+    _L = PACK_SEQ_LEN
+    sql["doc_sequence_pack"] = f"""
+        WITH base AS (
+            SELECT doc_id, {_h_sql(PACK_SEED)} AS h,
+                   len(string_split(text, ' '))::BIGINT AS w
+            FROM documents
+            WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+        ), cum AS (
+            SELECT doc_id, w,
+                   sum(w) OVER (ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+            FROM base
+        ), tot AS (SELECT sum(w)::BIGINT AS total FROM base),
+        sp AS (
+            SELECT doc_id, (e - w)::BIGINT AS s, e,
+                   unnest(generate_series((e - w) // {_L}, (e - 1) // {_L}))::BIGINT
+                       AS seq_id
+            FROM cum
+        )
+        SELECT doc_id, seq_id,
+               greatest(s - seq_id * {_L}, 0)::BIGINT AS seq_pos,
+               greatest(seq_id * {_L} - s, 0)::BIGINT AS doc_off,
+               (least(e, (seq_id + 1) * {_L})
+                - greatest(s, seq_id * {_L}))::BIGINT AS span_tokens
+        FROM sp, tot
+        WHERE NOT (total % {_L} != 0 AND seq_id = total // {_L})
+    """
+    sql["doc_sequence_pack_census"] = f"""
+        WITH base AS (
+            SELECT len(string_split(text, ' '))::BIGINT AS w FROM documents
+            WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+        )
+        SELECT count(*)::BIGINT AS n_docs,
+               coalesce(sum(w), 0)::BIGINT AS total_tokens,
+               coalesce(sum(w) // {_L}, 0)::BIGINT AS n_sequences,
+               coalesce(sum(w) - (sum(w) // {_L}) * {_L}, 0)::BIGINT
+                   AS dropped_tokens
+        FROM base
     """
     return sql

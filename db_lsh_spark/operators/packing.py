@@ -1,0 +1,216 @@
+"""Sequence packing — assigning curated documents to fixed-token-length
+training sequences, the step that turns a composed corpus into model
+input (every LLM training pipeline runs it; at 100 TB it is a full pass
+over the corpus, so its plan shape matters as much as dedup's).
+
+Semantics (deterministic, integer-only, so an exact DuckDB twin exists):
+
+* Order the corpus by the seeded 60-bit hash ``(h, id)`` — the same
+  cross-engine key the sampling lane uses (`sampling.sample_hash60`).
+  This IS the "global shuffle" training pipelines need: seeded,
+  bit-reproducible, independent of partitioning and retries.
+* Concatenate the documents' token streams in that order; training
+  sequence ``s`` covers global token indices ``[s*L, (s+1)*L)``.
+* A document whose tokens occupy global ``[start, end)`` is assigned to
+  every sequence its span intersects — one output row per (doc,
+  sequence) with the slice geometry (offset within the sequence, offset
+  within the doc, slice length), which is exactly what a sharded
+  tokenizer worker needs to materialize sequence ``s`` without reading
+  any other sequence's docs.
+* ``drop_last`` removes the final partial sequence (the standard
+  training convention) — decided from the corpus total, never from a
+  per-partition view.
+
+Spark shape (the 100-TB plan): a distributed two-level prefix sum, no
+global single-partition window anywhere —
+
+1. bucket = top ``log2(n_buckets)`` bits of the uniform hash — a pure
+   map-side function of the row (NOT ``spark_partition_id()``, which is
+   retry/layout-dependent); buckets are balanced because ``h`` is
+   uniform.
+2. per-bucket token totals: one partial-aggregated ``groupBy`` over
+   ``n_buckets`` groups; the driver collect is bounded by ``n_buckets``
+   (thousands at most — same bounded-collect contract as the sampler's
+   strata census).
+3. within-bucket running sum: a window PARTITIONED BY bucket (each
+   window group is ~N/n_buckets rows — no "move all data to one
+   partition" plan), plus the bucket's prefix offset as an in-plan
+   literal map. ``global_cum = bucket_offset + within_bucket_cum``.
+4. span → sequence ids via integer ``DIV`` and an exploded
+   ``sequence(first_seq, last_seq)`` — rows only multiply for docs that
+   actually cross sequence boundaries (≈ n_docs + total_tokens/L rows).
+
+All arithmetic is 64-bit integer (token counts; ``h < 2^60``): no float
+ever enters the ordering or the slicing, so Spark and DuckDB agree
+bit-for-bit.
+
+Reference parity: pipeline-lane addition (DB-LSH has no training-side
+surface); the seeded-hash ordering discipline mirrors the engine's LSH
+families (`functions/hashing.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .sampling import SAMPLE_HASH_BITS, sample_hash60
+
+
+def _bucket_col(n_buckets: int):
+    """Deterministic balanced bucket = top bits of the uniform hash."""
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = SAMPLE_HASH_BITS - (n_buckets.bit_length() - 1)
+    return F.shiftright(F.col("h"), shift).alias("bucket")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    n_buckets: int = 64,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Assign each document to the fixed-length training sequences its
+    token span intersects, in seeded deterministic corpus order.
+
+    Returns one row per (document, sequence) intersection:
+    ``(doc_id, seq_id, seq_pos, doc_off, span_tokens)`` — the slice of
+    sequence ``seq_id`` starting at in-sequence offset ``seq_pos`` is
+    tokens ``[doc_off, doc_off + span_tokens)`` of ``doc_id``.
+
+    Documents with NULL or non-positive ``weight_col`` contribute no
+    tokens and are excluded by contract (same NULL discipline as the
+    token-budget mix). The output is a pure function of (doc ids,
+    weights, seed, seq_len) — independent of partitioning, bucket count,
+    and retries.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    L = int(seq_len)
+
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            sample_hash60(id_col, seed).alias("h"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("w").isNotNull() & (F.col("w") > 0))
+        .select("doc_id", "h", "w", _bucket_col(n_buckets))
+    )
+
+    # Per-bucket totals -> prefix offsets. Driver collect bounded by
+    # n_buckets (the explicit small-collect contract; see module doc).
+    totals = {
+        int(r["bucket"]): int(r["tot"])
+        for r in base.groupBy("bucket").agg(F.sum("w").alias("tot")).collect()
+    }
+    offsets: dict[int, int] = {}
+    running = 0
+    for b in sorted(totals):
+        offsets[b] = running
+        running += totals[b]
+    total_tokens = running
+    if total_tokens == 0:
+        return base.select(
+            F.col("doc_id"),
+            F.lit(None).cast("long").alias("seq_id"),
+            F.lit(None).cast("long").alias("seq_pos"),
+            F.lit(None).cast("long").alias("doc_off"),
+            F.lit(None).cast("long").alias("span_tokens"),
+        ).where(F.lit(False))
+
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(v) for b in sorted(offsets) for v in (b, offsets[b])]
+            ),
+            F.col("bucket"),
+        )
+        if offsets
+        else F.lit(0)
+    )
+
+    w_bucket = Window.partitionBy("bucket").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spans = base.select(
+        "doc_id",
+        "w",
+        (off_expr + F.sum("w").over(w_bucket)).alias("cend"),
+    ).select(
+        "doc_id",
+        "w",
+        (F.col("cend") - F.col("w")).alias("s"),
+        F.col("cend").alias("e"),
+    )
+
+    out = (
+        spans.select(
+            "doc_id",
+            "s",
+            "e",
+            F.explode(
+                F.sequence(F.expr(f"s DIV {L}"), F.expr(f"(e - 1) DIV {L}"))
+            ).alias("seq_id"),
+        )
+        .select(
+            "doc_id",
+            "seq_id",
+            F.greatest(F.col("s") - F.col("seq_id") * L, F.lit(0).cast("long")).alias(
+                "seq_pos"
+            ),
+            F.greatest(F.col("seq_id") * L - F.col("s"), F.lit(0).cast("long")).alias(
+                "doc_off"
+            ),
+            (
+                F.least(F.col("e"), (F.col("seq_id") + 1) * L)
+                - F.greatest(F.col("s"), F.col("seq_id") * L)
+            ).alias("span_tokens"),
+        )
+    )
+    if drop_last and total_tokens % L != 0:
+        out = out.where(F.col("seq_id") != F.lit(total_tokens // L))
+    return out
+
+
+def pack_census(
+    docs: DataFrame,
+    seq_len: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    drop_last: bool = True,
+) -> DataFrame:
+    """One-row packing report: documents packed, corpus tokens, full
+    sequences produced, and tokens dropped with the partial tail (0 when
+    ``drop_last`` is False or the corpus divides evenly) — the loud
+    census the mix/sample lanes established. Pure aggregation (one
+    partial-aggregated pass; no window, no explode)."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    L = int(seq_len)
+    base = docs.select(F.col(id_col), F.col(weight_col).cast("long").alias("w")).where(
+        F.col("w").isNotNull() & (F.col("w") > 0)
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("w").alias("total_tokens")
+    )
+    n_seq = (
+        F.expr(f"total_tokens DIV {L}")
+        if drop_last
+        else F.expr(f"(total_tokens + {L - 1}) DIV {L}")
+    )
+    dropped = (
+        F.col("total_tokens") - F.expr(f"total_tokens DIV {L}") * L
+        if drop_last
+        else F.lit(0).cast("long")
+    )
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.coalesce(F.col("total_tokens"), F.lit(0)).cast("long").alias("total_tokens"),
+        F.coalesce(n_seq, F.lit(0)).cast("long").alias("n_sequences"),
+        F.coalesce(dropped, F.lit(0)).cast("long").alias("dropped_tokens"),
+    )

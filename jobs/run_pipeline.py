@@ -133,6 +133,20 @@ def main(argv: list[str] | None = None) -> None:
                         "column from --sample-strata-col, seed from "
                         "--sample-seed. Reports kept docs + kept tokens vs "
                         "budget per source in the summary")
+    p.add_argument("--pack-seq-len", type=int, default=None,
+                   help="pack the FINAL composed corpus (the sample/mix "
+                        "output when one ran, else the keep-list survivors, "
+                        "else every clustered file) into fixed-token-length "
+                        "training sequences in seeded corpus order, writing "
+                        "<output>/sequences — one row per (file, sequence) "
+                        "slice: seq_id, in-sequence offset, in-file offset, "
+                        "span — plus a docs/tokens/sequences census in the "
+                        "summary; weight = whitespace token count of content")
+    p.add_argument("--pack-seed", type=int, default=None,
+                   help="seed for the packing order (default: --seed)")
+    p.add_argument("--pack-keep-partial", action="store_true",
+                   help="keep the final partial sequence instead of "
+                        "dropping it (training convention drops it)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -197,6 +211,14 @@ def main(argv: list[str] | None = None) -> None:
         )
     if (args.mix_total is None) != (args.mix_weights is None):
         raise SystemExit("--mix-total and --mix-weights go together")
+    if (
+        args.pack_seed is not None or args.pack_keep_partial
+    ) and args.pack_seq_len is None:
+        raise SystemExit(
+            "--pack-seed/--pack-keep-partial require --pack-seq-len"
+        )
+    if args.pack_seq_len is not None and args.pack_seq_len < 1:
+        raise SystemExit("--pack-seq-len must be >= 1")
 
     def _parse_weights(flag: str, raw: str) -> dict[str, float]:
         try:
@@ -446,6 +468,63 @@ def main(argv: list[str] | None = None) -> None:
             "seed": seed,
             "sample_sec": round(time.monotonic() - t_samp, 2),
         }
+    pack_report: dict | None = None
+    if args.pack_seq_len is not None:
+        from pyspark.sql import functions as F
+
+        from db_lsh_spark.operators.packing import pack_census, pack_sequences
+
+        t_pack = time.monotonic()
+        pseed = args.pack_seed if args.pack_seed is not None else args.seed
+        # the packing base is whatever the funnel composed last — slim
+        # parquet read-backs of just-written artifacts, same rationale as
+        # the other post-stages
+        if sample_report is not None:
+            base_ids = spark.read.parquet(f"{args.output}/sample").select(
+                "file_id"
+            )
+        else:
+            base_ids = spark.read.parquet(f"{args.output}/clusters").select(
+                "file_id"
+            )
+            if args.keep_list:
+                base_ids = base_ids.join(
+                    spark.read.parquet(f"{args.output}/keep_list").select(
+                        "file_id"
+                    ),
+                    "file_id",
+                    "left_anti",
+                )
+        weighted = base_ids.join(
+            files.select(
+                "file_id",
+                F.when(F.col("content").isNull(), F.lit(0))
+                .otherwise(F.size(F.split(F.col("content"), " ")))
+                .alias("n_tokens"),
+            ),
+            "file_id",
+        )
+        seqs = pack_sequences(
+            weighted, args.pack_seq_len, seed=pseed, id_col="file_id",
+            drop_last=not args.pack_keep_partial,
+        ).withColumnRenamed("doc_id", "file_id")
+        seqs.write.mode("overwrite").parquet(f"{args.output}/sequences")
+        crow = pack_census(
+            weighted, args.pack_seq_len, seed=pseed, id_col="file_id",
+            drop_last=not args.pack_keep_partial,
+        ).collect()[0]
+        pack_report = {
+            "seq_len": args.pack_seq_len,
+            "seed": pseed,
+            "n_docs": crow["n_docs"],
+            "total_tokens": crow["total_tokens"],
+            "n_sequences": crow["n_sequences"],
+            "dropped_tokens": crow["dropped_tokens"],
+            "n_assignments": spark.read.parquet(
+                f"{args.output}/sequences"
+            ).count(),
+            "pack_sec": round(time.monotonic() - t_pack, 2),
+        }
     summary = {
         "n_files": n_files,
         "n_dup_assignments": n_dup,
@@ -464,6 +543,7 @@ def main(argv: list[str] | None = None) -> None:
         "keep_list": keep_report,
         "curation": curation_report,
         "sample": sample_report,
+        "pack": pack_report,
     }
     print(json.dumps(summary))
     spark.stop()

@@ -1,0 +1,208 @@
+"""Sequence packing (operators/packing.py): brute-force equality against
+a pure-Python recomputation of the rule, boundary/edge pins, bucket-count
+invariance (the distributed prefix sum is layout-independent), drop_last
+semantics, the census, and the plan shape (every window is partitioned —
+no move-everything-to-one-partition plan)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.packing import pack_census, pack_sequences
+
+
+def _h60(doc_id, seed: int) -> int:
+    return int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16)
+
+
+def _brute_pack(rows, seq_len, seed, drop_last=True):
+    """rows: (doc_id, n_tokens). The rule, restated independently:
+    seeded (hash, id) order, concatenate, sequence s = tokens
+    [s*L, (s+1)*L), one row per intersecting (doc, seq)."""
+    live = [(d, w) for d, w in rows if w is not None and w > 0]
+    live.sort(key=lambda r: (_h60(r[0], seed), r[0]))
+    total = sum(w for _, w in live)
+    out = []
+    pos = 0
+    for d, w in live:
+        s, e = pos, pos + w
+        for seq in range(s // seq_len, (e - 1) // seq_len + 1):
+            lo, hi = max(s, seq * seq_len), min(e, (seq + 1) * seq_len)
+            out.append((d, seq, lo - seq * seq_len, lo - s, hi - lo))
+        pos = e
+    if drop_last and total % seq_len != 0:
+        out = [r for r in out if r[1] != total // seq_len]
+    return sorted(out)
+
+
+def _collect(df):
+    return sorted(
+        (r["doc_id"], r["seq_id"], r["seq_pos"], r["doc_off"], r["span_tokens"])
+        for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    # ids chosen plain; weights span 1..120 so some docs cross several
+    # 32-token sequences and some sequences hold several docs; one NULL
+    # and one zero weight exercise the exclusion contract
+    rows = [(i, (7 * i * i + 3 * i) % 120 + 1) for i in range(60)]
+    rows += [(1000, None), (1001, 0), (2000, 5)]  # the 5 breaks %32 == 0
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: long")
+    return rows, df
+
+
+def test_brute_force_equality(spark, weighted):
+    rows, df = weighted
+    got = _collect(pack_sequences(df, 32, seed=3, n_buckets=8))
+    assert got == _brute_pack(rows, 32, 3)
+
+
+def test_slices_reassemble_every_doc_and_sequence(spark, weighted):
+    """The output is a valid packing: per doc the slices cover
+    [0, n_tokens) without gap/overlap (modulo a dropped tail), and per
+    kept sequence the slices cover exactly [0, L)."""
+    rows, df = weighted
+    L = 32
+    out = _collect(pack_sequences(df, L, seed=3, n_buckets=8, drop_last=True))
+    by_seq: dict[int, list] = {}
+    for d, seq, seq_pos, doc_off, span in out:
+        assert span >= 1
+        by_seq.setdefault(seq, []).append((seq_pos, span))
+    assert by_seq, "fixture must produce sequences"
+    assert sorted(by_seq) == list(range(len(by_seq)))  # dense ids from 0
+    for seq, slices in by_seq.items():
+        slices.sort()
+        cur = 0
+        for seq_pos, span in slices:
+            assert seq_pos == cur
+            cur += span
+        assert cur == L  # kept sequences are exactly full
+
+
+def test_bucket_count_invariance(spark, weighted):
+    _, df = weighted
+    a = _collect(pack_sequences(df, 48, seed=5, n_buckets=1))
+    b = _collect(pack_sequences(df, 48, seed=5, n_buckets=64))
+    c = _collect(pack_sequences(df.repartition(13), 48, seed=5, n_buckets=8))
+    assert a == b == c
+
+
+def test_drop_last_false_keeps_partial_tail(spark, weighted):
+    rows, df = weighted
+    keep = _collect(pack_sequences(df, 32, seed=3, n_buckets=8, drop_last=False))
+    assert keep == _brute_pack(rows, 32, 3, drop_last=False)
+    total = sum(w for _, w in rows if w)
+    assert total % 32 != 0, "fixture must have a partial tail"
+    tail = [r for r in keep if r[1] == total // 32]
+    assert tail and sum(r[4] for r in tail) == total % 32
+
+
+def test_census(spark, weighted):
+    rows, df = weighted
+    total = sum(w for _, w in rows if w)
+    row = pack_census(df, 32, seed=3).collect()[0]
+    assert row["n_docs"] == sum(1 for _, w in rows if w)
+    assert row["total_tokens"] == total
+    assert row["n_sequences"] == total // 32
+    assert row["dropped_tokens"] == total % 32
+    row2 = pack_census(df, 32, seed=3, drop_last=False).collect()[0]
+    assert row2["n_sequences"] == (total + 31) // 32
+    assert row2["dropped_tokens"] == 0
+
+
+def test_empty_and_validation(spark):
+    df = spark.createDataFrame([(1, 0), (2, None)], "doc_id: long, n_tokens: long")
+    assert pack_sequences(df, 16).count() == 0
+    row = pack_census(df, 16).collect()[0]
+    assert (row["n_docs"], row["total_tokens"], row["n_sequences"]) == (0, 0, 0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, 16, n_buckets=3)
+
+
+def test_spark_submit_pack_stage(tmp_path):
+    """Production path: run_pipeline --pack-seq-len packs the composed
+    corpus (here: the post-sample survivors), and the written
+    <output>/sequences equals a pure-Python recomputation of the rule
+    over the written sample — cross-process determinism, the same
+    contract the sample/mix e2e tests pin."""
+    import json
+    import os
+    import subprocess
+
+    import numpy as np
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i:04d}" for i in range(500)]
+    rows = []
+    for fid in range(40):
+        text = " ".join(vocab[i] for i in rng.integers(0, 500, 20 + 3 * fid))
+        rows.append((fid, f"r{fid % 5}", f"f{fid}.py", "c0", "py", text))
+    df = pd.DataFrame(
+        rows, columns=["file_id", "repo", "path", "commit", "lang", "content"]
+    )
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    df.to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(repo, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out,
+            "--sample-fraction", "0.6", "--sample-seed", "4",
+            "--pack-seq-len", "96", "--pack-seed", "21",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=repo,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    pack = summary["pack"]
+    assert pack and pack["seq_len"] == 96 and pack["seed"] == 21
+
+    sample = set(pd.read_parquet(f"{out}/sample").file_id)
+    weights = [
+        (fid, len(df.content[df.file_id == fid].iloc[0].split(" ")))
+        for fid in sorted(sample)
+    ]
+    expect = _brute_pack(weights, 96, 21)
+    got = sorted(
+        (r.file_id, r.seq_id, r.seq_pos, r.doc_off, r.span_tokens)
+        for r in pd.read_parquet(f"{out}/sequences").itertuples()
+    )
+    assert got == expect and got
+    total = sum(w for _, w in weights)
+    assert pack["n_docs"] == len(weights)
+    assert pack["total_tokens"] == total
+    assert pack["n_sequences"] == total // 96
+    assert pack["dropped_tokens"] == total % 96
+    assert pack["n_assignments"] == len(expect)
+
+
+def test_plan_every_window_partitioned(spark, weighted):
+    """The 100-TB shape: the running sum must be a window PARTITIONED BY
+    bucket — a global unpartitioned window would serialize the corpus
+    through one task."""
+    _, df = weighted
+    plan = (
+        pack_sequences(df, 32, seed=3, n_buckets=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower():
+            assert "bucket" in line.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
