@@ -50,6 +50,10 @@ BUDGET_MIX, BUDGET_SEED = {"en": 2000, "de": 500}, 13
 # packs 2-3 docs per sequence with frequent boundary crossings and a
 # dropped partial tail — every branch of the slicing arithmetic exercised
 PACK_SEQ_LEN, PACK_SEED = 128, 17
+# leakage-safe train/holdout split (operators/splits.py): assignment unit
+# is the dedup CLUSTER (total assignment incl. singletons), so near-dups
+# never straddle the boundary; seeded md5-threshold on cluster_id
+SPLIT_FRACTION, SPLIT_SEED = 0.25, 19
 # the reference's own metric (util.h:205-212): E2LSH p-stable buckets at
 # window w=1.0 (projections of unit vectors are N(0,1)), probe radius 1 —
 # recall 1.0 vs exact L2 at both sf fixtures (verified by kernel simulation
@@ -448,6 +452,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_dedup_clusters"] = _dedup_clusters
+
+    # ---- leakage-safe train/holdout split (operators/splits.py) ----
+    # the unit of assignment is the cluster: all members of a near-dup
+    # cluster land on the same side, singletons split by their own id
+    def _cluster_split(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import dedup_clusters
+        from db_lsh_spark.operators.splits import cluster_split
+
+        assign = dedup_clusters(s, _docs(s, d), DOC_DEDUP_CFG)
+        return cluster_split(assign, SPLIT_FRACTION, seed=SPLIT_SEED).select(
+            "doc_id", "cluster_id", "split"
+        )
+
+    def _cluster_split_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import dedup_clusters
+        from db_lsh_spark.operators.splits import split_census
+
+        assign = dedup_clusters(s, _docs(s, d), DOC_DEDUP_CFG)
+        return split_census(assign, SPLIT_FRACTION, seed=SPLIT_SEED)
+
+    q["doc_cluster_split"] = _cluster_split
+    q["doc_cluster_split_census"] = _cluster_split_census
 
     # ---- canonical selection (operators/selection.py) ----
     # the keep/drop decision after clustering: keep the longest member of
@@ -1524,6 +1550,33 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 6) AS dup_ratio
         FROM labels l JOIN spread s USING (cluster_id)
         GROUP BY l.source
+    """
+    # leakage-safe split: per-CLUSTER seeded md5 threshold over the total
+    # assignment (labels CTE) — the SQL twin of splits.cluster_split;
+    # integer threshold comes from the same fraction_threshold helper so
+    # both engines compare against the identical literal
+    _split_case = f"""
+        CASE WHEN CAST(concat('0x', substr(md5(concat('{SPLIT_SEED}:',
+             CAST(cluster_id AS VARCHAR))), 1, 15)) AS BIGINT)
+             < {_fthr(SPLIT_FRACTION)}
+             THEN 'holdout' ELSE 'train' END"""
+    sql["doc_cluster_split"] = f"""
+        {_labels_cte}
+        SELECT doc_id, cluster_id, {_split_case} AS split
+        FROM labels
+    """
+    sql["doc_cluster_split_census"] = f"""
+        {_labels_cte},
+        labeled AS (
+            SELECT cluster_id, {_split_case} AS split,
+                   count(*) AS csize
+            FROM labels GROUP BY cluster_id
+        )
+        SELECT split, sum(csize)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_clusters,
+               sum(CASE WHEN csize > 1 THEN csize ELSE 0 END)::BIGINT
+                   AS n_dup_docs
+        FROM labeled GROUP BY split
     """
     # canonical selection: total assignment + codepoint lengths, keeper =
     # row_number 1 by (n_chars DESC, doc_id ASC) — the SQL mirror of

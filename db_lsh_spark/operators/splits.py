@@ -1,0 +1,89 @@
+"""Leakage-safe train/holdout splitting — the unit of assignment is the
+dedup CLUSTER, never the document.
+
+Splitting a corpus doc-by-doc after near-duplicate clustering leaks: two
+near-identical files can land on opposite sides of the boundary, and the
+eval set silently contains paraphrases of training documents. Every
+serious LLM-data pipeline therefore splits by the *cluster* key — all
+members of a near-dup cluster travel together — which is exactly the
+total assignment ``dedup_clusters`` / ``ensemble_dedup_clusters`` already
+emit (singletons carry their own id as ``cluster_id``).
+
+The split predicate reuses the sampling lane's seeded 60-bit md5 integer
+key (``sampling.sample_hash60``) applied to ``cluster_id``:
+
+* **map-only** — ``cluster_id`` is already a column of the assignment
+  row, so the split adds zero joins and zero shuffles at any scale; a
+  10^12-row assignment splits in one scan.
+* **bit-exact cross-engine** — the same integer-threshold contract as
+  every sampling query (no float ever enters the predicate), so the
+  DuckDB twin is a one-line CASE.
+* **no-straddle by construction** — the hash is a pure function of
+  ``cluster_id``, so all rows of a cluster get the same label; there is
+  nothing to coordinate and nothing that can race.
+* **monotone in the fraction** — at a fixed seed the 10% holdout is a
+  subset of the 20% holdout (same nesting guarantee as ``hash_sample``),
+  so an eval set can grow without re-splitting from scratch.
+* **stable under corpus growth** — a cluster's side depends only on its
+  id (min member id), not on corpus size, so incremental landings that
+  don't merge clusters never flip existing labels.
+
+Reference parity: pipeline-lane addition (DB-LSH emits clusters and
+stops; the consumer split is the task addendum's training-pipeline
+surface). Oracle twins: ``doc_cluster_split`` / ``doc_cluster_split_census``
+in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from db_lsh_spark.operators.sampling import fraction_threshold, sample_hash60
+
+HOLDOUT, TRAIN = "holdout", "train"
+
+
+def cluster_split(
+    assign: DataFrame,
+    holdout_fraction: float,
+    seed: int = 0,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Label a total cluster assignment (``cluster_col``, member id, ...)
+    with ``split ∈ {'holdout', 'train'}`` per CLUSTER: holdout iff the
+    seeded 60-bit hash of ``cluster_col`` falls below ``holdout_fraction``
+    of the hash space. Map-only; all other columns pass through."""
+    thr = fraction_threshold(holdout_fraction)
+    return assign.withColumn(
+        "split",
+        F.when(
+            sample_hash60(cluster_col, seed) < F.lit(thr), F.lit(HOLDOUT)
+        ).otherwise(F.lit(TRAIN)),
+    )
+
+
+def split_census(
+    assign: DataFrame,
+    holdout_fraction: float,
+    seed: int = 0,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-split census: documents, clusters, and documents that belong to
+    multi-member (true near-dup) clusters — the rows whose placement the
+    leakage guarantee is about. One groupBy over the slim assignment."""
+    labeled = cluster_split(assign, holdout_fraction, seed, cluster_col)
+    sizes = labeled.groupBy(cluster_col, "split").agg(
+        F.count("*").alias("_csize")
+    )
+    return (
+        sizes.groupBy("split")
+        .agg(
+            F.sum("_csize").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum(F.when(F.col("_csize") > 1, F.col("_csize")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+        )
+        .select("split", "n_docs", "n_clusters", "n_dup_docs")
+    )

@@ -1,0 +1,120 @@
+"""Leakage-safe cluster split (operators/splits.py): no-straddle,
+monotone nesting, partitioning invariance, boundary fractions, and the
+composed near-dup guarantee over a planted fixture."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from db_lsh_spark.operators.sampling import fraction_threshold, sample_hash60
+from db_lsh_spark.operators.splits import HOLDOUT, TRAIN, cluster_split, split_census
+
+
+@pytest.fixture(scope="module")
+def assign(spark):
+    # total assignment: three multi-doc clusters + singletons; cluster_id
+    # follows the engine contract (min member id; singleton = own id)
+    rows = []
+    for cid, members in [(0, [0, 5, 9]), (1, [1, 7]), (2, [2, 8, 11, 12])]:
+        rows += [(cid, m) for m in members]
+    rows += [(m, m) for m in [3, 4, 6, 10, 13, 14]]
+    return spark.createDataFrame(rows, "cluster_id long, doc_id long")
+
+
+def test_no_cluster_straddles(spark, assign):
+    labeled = cluster_split(assign, 0.5, seed=3)
+    per_cluster = (
+        labeled.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+    )
+    assert per_cluster.count() == 0
+
+
+def test_monotone_nesting(spark, assign):
+    small = {
+        r.doc_id
+        for r in cluster_split(assign, 0.2, seed=3)
+        .where(F.col("split") == HOLDOUT)
+        .collect()
+    }
+    large = {
+        r.doc_id
+        for r in cluster_split(assign, 0.6, seed=3)
+        .where(F.col("split") == HOLDOUT)
+        .collect()
+    }
+    assert small <= large
+    assert len(large) > len(small)  # the fixture spans the gap
+
+
+def test_partitioning_invariance(spark, assign):
+    a = sorted(
+        (r.doc_id, r.split) for r in cluster_split(assign, 0.5, seed=3).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in cluster_split(assign.repartition(7, "doc_id"), 0.5, seed=3).collect()
+    )
+    assert a == b
+
+
+def test_boundary_fractions(spark, assign):
+    all_train = cluster_split(assign, 0.0, seed=3)
+    assert all_train.where(F.col("split") == HOLDOUT).count() == 0
+    all_hold = cluster_split(assign, 1.0, seed=3)
+    assert all_hold.where(F.col("split") == TRAIN).count() == 0
+
+
+def test_split_matches_hash_rule(spark, assign):
+    """The label is exactly the seeded threshold predicate on cluster_id."""
+    thr = fraction_threshold(0.5)
+    got = cluster_split(assign, 0.5, seed=3).withColumn(
+        "expect",
+        F.when(sample_hash60("cluster_id", 3) < F.lit(thr), HOLDOUT).otherwise(
+            TRAIN
+        ),
+    )
+    assert got.where(F.col("split") != F.col("expect")).count() == 0
+
+
+def test_census_reconciles(spark, assign):
+    labeled = cluster_split(assign, 0.5, seed=3)
+    census = {r.split: r for r in split_census(assign, 0.5, seed=3).collect()}
+    assert sum(r.n_docs for r in census.values()) == assign.count()
+    assert sum(r.n_clusters for r in census.values()) == 9  # 3 multi + 6 single
+    for split, row in census.items():
+        assert row.n_docs == labeled.where(F.col("split") == split).count()
+    # dup docs: members of multi-doc clusters only (3+2+4 = 9 across splits)
+    assert sum(r.n_dup_docs for r in census.values()) == 9
+
+
+def test_near_dups_never_straddle_end_to_end(spark):
+    """Composed guarantee: planted near-dup pairs land on ONE side after
+    the real dedup_clusters -> cluster_split chain."""
+    from db_lsh_spark.documents import dedup_clusters
+    from __spark_entry__ import DOC_DEDUP_CFG
+
+    base = (
+        "def run(x):\n    total = 0\n    for i in range(x):\n"
+        "        total += i * i\n    return total\n"
+    )
+    rows = []
+    for i in range(20):
+        text = base.replace("total", f"acc{i}") + f"# file {i}\n" * 6
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text + "# trailing tweak\n"))  # near-dup twin
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assign = dedup_clusters(spark, docs, DOC_DEDUP_CFG)
+    from db_lsh_spark.operators.splits import cluster_split as cs
+
+    labeled = cs(assign, 0.5, seed=1)
+    twins = labeled.alias("a").join(
+        labeled.alias("b"),
+        F.col("a.doc_id") + 1 == F.col("b.doc_id"),
+    ).where((F.col("a.doc_id") % 2) == 0)
+    # every planted twin pair is clustered together, hence same split
+    clustered = twins.where(F.col("a.cluster_id") == F.col("b.cluster_id"))
+    assert clustered.count() == 20
+    assert twins.where(F.col("a.split") != F.col("b.split")).count() == 0
