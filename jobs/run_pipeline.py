@@ -133,6 +133,22 @@ def main(argv: list[str] | None = None) -> None:
                         "column from --sample-strata-col, seed from "
                         "--sample-seed. Reports kept docs + kept tokens vs "
                         "budget per source in the summary")
+    p.add_argument("--holdout-fraction", type=float, default=None,
+                   help="leakage-safe train/holdout split over the cluster "
+                        "assignment: the unit of assignment is the dedup "
+                        "CLUSTER (all members of a near-dup cluster land on "
+                        "the same side; singletons split by their own id), "
+                        "so near-duplicates can never straddle the boundary. "
+                        "Writes <output>/splits (file_id, cluster_id, split) "
+                        "and a per-split census in the summary; the "
+                        "downstream composition steps (--sample-*/--mix-*/"
+                        "--pack-seq-len) then draw from the TRAIN side only, "
+                        "so the composed corpus provably excludes every "
+                        "holdout cluster. Map-only (seeded hash threshold on "
+                        "cluster_id); smaller holdouts nest inside larger "
+                        "ones at the same seed")
+    p.add_argument("--split-seed", type=int, default=None,
+                   help="split seed (defaults to --seed)")
     p.add_argument("--pack-seq-len", type=int, default=None,
                    help="pack the FINAL composed corpus (the sample/mix "
                         "output when one ran, else the keep-list survivors, "
@@ -148,6 +164,14 @@ def main(argv: list[str] | None = None) -> None:
                    help="keep the final partial sequence instead of "
                         "dropping it (training convention drops it)")
     args = p.parse_args(argv)
+
+    # split-flag validation needs no Spark session — fail before the JVM
+    if args.split_seed is not None and args.holdout_fraction is None:
+        raise SystemExit("--split-seed requires --holdout-fraction")
+    if args.holdout_fraction is not None and not (
+        0.0 <= args.holdout_fraction <= 1.0
+    ):
+        raise SystemExit("--holdout-fraction must be in [0, 1]")
 
     from pyspark.sql import SparkSession
 
@@ -345,6 +369,55 @@ def main(argv: list[str] | None = None) -> None:
             "chars_dropped_frac": sav["chars_dropped_frac"],
             "keep_list_sec": round(time.monotonic() - t_keep, 2),
         }
+    split_report: dict | None = None
+    if args.holdout_fraction is not None:
+        from db_lsh_spark.operators.splits import cluster_split, split_census
+
+        t_split = time.monotonic()
+        sseed = args.split_seed if args.split_seed is not None else args.seed
+        # read-back of the just-written assignment, same rationale as the
+        # other post-stages; the label is a pure function of cluster_id so
+        # the write is map-only
+        assign = spark.read.parquet(f"{args.output}/clusters").select(
+            "file_id", "cluster_id"
+        )
+        cluster_split(
+            assign, args.holdout_fraction, seed=sseed
+        ).write.mode("overwrite").parquet(f"{args.output}/splits")
+        census = {
+            r["split"]: {
+                "n_docs": r["n_docs"],
+                "n_clusters": r["n_clusters"],
+                "n_dup_docs": r["n_dup_docs"],
+            }
+            for r in split_census(
+                assign, args.holdout_fraction, seed=sseed
+            ).collect()
+        }
+        for side in ("train", "holdout"):
+            census.setdefault(
+                side, {"n_docs": 0, "n_clusters": 0, "n_dup_docs": 0}
+            )
+        split_report = {
+            "fraction": args.holdout_fraction,
+            "seed": sseed,
+            "census": census,
+            "split_sec": round(time.monotonic() - t_split, 2),
+        }
+
+    def _train_only(ids):
+        """Restrict a survivor/composition base to the train side — the
+        leakage guarantee the split exists for: holdout clusters never
+        reach the composed corpus."""
+        if split_report is None:
+            return ids
+        hold = (
+            spark.read.parquet(f"{args.output}/splits")
+            .where("split = 'holdout'")
+            .select("file_id")
+        )
+        return ids.join(hold, "file_id", "left_anti")
+
     sample_report: dict | None = None
     if (
         args.sample_fraction is not None
@@ -373,6 +446,7 @@ def main(argv: list[str] | None = None) -> None:
                 "file_id"
             )
             survivors = survivors.join(drops, "file_id", "left_anti")
+        survivors = _train_only(survivors)
         n_survivors = survivors.count()
         census_rows: list[dict] | None = None
         budget_report: dict | None = None
@@ -495,6 +569,7 @@ def main(argv: list[str] | None = None) -> None:
                     "file_id",
                     "left_anti",
                 )
+            base_ids = _train_only(base_ids)
         weighted = base_ids.join(
             files.select(
                 "file_id",
@@ -542,6 +617,7 @@ def main(argv: list[str] | None = None) -> None:
         "repo_report": repo_report,
         "keep_list": keep_report,
         "curation": curation_report,
+        "split": split_report,
         "sample": sample_report,
         "pack": pack_report,
     }

@@ -1,0 +1,139 @@
+"""Production split path: run_pipeline --holdout-fraction labels the
+cluster assignment leakage-safely (whole clusters travel together) and
+the downstream composition — sample AND sequence packing — draws from the
+train side only, so the composed corpus provably excludes every holdout
+cluster. One spark-submit run, artifacts verified against a pure-Python
+recomputation of the seeded cluster-hash rule."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+
+import numpy as np
+import pandas as pd
+
+from db_lsh_spark.operators.sampling import fraction_threshold
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus() -> pd.DataFrame:
+    """10 near-dup pairs + 8 unique files: enough clusters that a 0.5
+    split lands mass on both sides at seed 7."""
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i:04d}" for i in range(600)]
+    rows, fid = [], 0
+    for p in range(10):
+        a = " ".join(vocab[i] for i in rng.integers(0, 600, 130))
+        for text in (a, a + " tail-edit"):
+            rows.append((fid, f"r{p}", f"f{fid}.py", "c0", "py", text))
+            fid += 1
+    for u in range(8):
+        rows.append((fid, "ru", f"u{u}.py", "c0", "py",
+                     " ".join(vocab[i] for i in rng.integers(0, 600, 130))))
+        fid += 1
+    return pd.DataFrame(
+        rows, columns=["file_id", "repo", "path", "commit", "lang", "content"]
+    )
+
+
+def _holdout_rule(cluster_ids, fraction: float, seed: int) -> set:
+    thr = fraction_threshold(fraction)
+    return {
+        cid for cid in cluster_ids
+        if int(hashlib.md5(f"{seed}:{cid}".encode()).hexdigest()[:15], 16)
+        < thr
+    }
+
+
+def test_spark_submit_split_gates_composition(tmp_path):
+    from db_lsh_spark.session import package_zip
+
+    df = _corpus()
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    df.to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out,
+            "--keep-list",
+            "--holdout-fraction", "0.5", "--split-seed", "7",
+            "--sample-fraction", "0.9", "--sample-seed", "9",
+            "--pack-seq-len", "64", "--pack-seed", "3",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+
+    clusters = pd.read_parquet(f"{out}/clusters")
+    splits = pd.read_parquet(f"{out}/splits")
+    drops = pd.read_parquet(f"{out}/keep_list")
+    sample = set(pd.read_parquet(f"{out}/sample").file_id)
+    seqs = pd.read_parquet(f"{out}/sequences")
+
+    # 1. the written labels are exactly the pure-Python cluster-hash rule
+    hold_clusters = _holdout_rule(set(clusters.cluster_id), 0.5, 7)
+    assert hold_clusters and hold_clusters < set(clusters.cluster_id)
+    expect = {
+        fid: ("holdout" if cid in hold_clusters else "train")
+        for fid, cid in zip(clusters.file_id, clusters.cluster_id)
+    }
+    assert dict(zip(splits.file_id, splits.split)) == expect
+
+    # 2. no cluster straddles the boundary
+    spread = splits.groupby("cluster_id")["split"].nunique()
+    assert int(spread.max()) == 1
+
+    # 3. census reconciles with the labels and reaches the summary
+    census = summary["split"]["census"]
+    lab = splits.groupby("split")
+    for side in ("train", "holdout"):
+        assert census[side]["n_docs"] == int(lab.size().get(side, 0))
+    sizes = splits.groupby(["cluster_id", "split"]).size().reset_index(name="n")
+    dup = sizes[sizes.n > 1].groupby("split")["n"].sum()
+    for side in ("train", "holdout"):
+        assert census[side]["n_dup_docs"] == int(dup.get(side, 0))
+    assert summary["split"] == {
+        "fraction": 0.5, "seed": 7, "census": census,
+        "split_sec": summary["split"]["split_sec"],
+    }
+
+    # 4. the composed corpus is train-side only: sample = seeded sample
+    #    rule over (survivors minus keep-list drops minus holdout docs)
+    holdout_docs = {f for f, s in expect.items() if s == "holdout"}
+    survivors = (set(clusters.file_id) - set(drops.file_id)) - holdout_docs
+    thr = fraction_threshold(0.9)
+    expect_sample = {
+        fid for fid in survivors
+        if int(hashlib.md5(f"9:{fid}".encode()).hexdigest()[:15], 16) < thr
+    }
+    assert summary["sample"]["n_survivors"] == len(survivors)
+    assert sample == expect_sample and sample
+    assert sample.isdisjoint(holdout_docs)
+
+    # 5. packing (downstream of the sample) never sees a holdout file
+    assert set(seqs.file_id) <= sample
+    assert summary["pack"]["n_docs"] == len(sample)
+
+
+def test_split_flag_validation(tmp_path):
+    """Flag errors fail before any Spark work."""
+    import pytest
+
+    from jobs.run_pipeline import main
+
+    with pytest.raises(SystemExit, match="requires --holdout-fraction"):
+        main(["--input", "x", "--output", "y", "--split-seed", "3"])
+    with pytest.raises(SystemExit, match="must be in"):
+        main(["--input", "x", "--output", "y", "--holdout-fraction", "1.5"])
