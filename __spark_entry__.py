@@ -475,6 +475,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_cluster_split"] = _cluster_split
     q["doc_cluster_split_census"] = _cluster_split_census
 
+    # ---- cross-split contamination audit (operators/splits.py) ----
+    # the verification counterpart of the split: shared-13-gram leakage
+    # across the boundary. The naive doc-wise split lights up on every
+    # straddling near-dup pair; the cluster-wise split is clean except
+    # for residual sub-threshold overlap the detector missed — running
+    # both IS the argument for cluster-level splitting
+    def _split_contamination_naive(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.splits import (
+            cluster_split,
+            split_contamination,
+        )
+
+        docs = _docs(s, d)
+        naive = docs.select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        )
+        labeled = cluster_split(naive, SPLIT_FRACTION, seed=SPLIT_SEED)
+        return split_contamination(docs, labeled)
+
+    def _split_contamination_clustered(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.documents import dedup_clusters
+        from db_lsh_spark.operators.splits import (
+            cluster_split,
+            split_contamination,
+        )
+
+        docs = _docs(s, d)
+        assign = dedup_clusters(s, docs, DOC_DEDUP_CFG)
+        labeled = cluster_split(assign, SPLIT_FRACTION, seed=SPLIT_SEED)
+        return split_contamination(docs, labeled)
+
+    q["doc_split_contamination_naive"] = _split_contamination_naive
+    q["doc_split_contamination"] = _split_contamination_clustered
+
     # ---- canonical selection (operators/selection.py) ----
     # the keep/drop decision after clustering: keep the longest member of
     # each cluster (tie-break min doc_id), emit the drop list with its
@@ -1577,6 +1611,40 @@ def oracle_sql() -> dict[str, str]:
                sum(CASE WHEN csize > 1 THEN csize ELSE 0 END)::BIGINT
                    AS n_dup_docs
         FROM labeled GROUP BY split
+    """
+    # cross-split contamination audit: identical clamped 13-gram
+    # generation to the decontam twin, split labels composed from the
+    # same seeded-md5 CASE — once on doc_id (naive), once on cluster_id
+    # through the labels closure (the engine's cluster_split)
+    _audit_grams = f"""
+        agrams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len({toks}) - 12, 1) + 1),
+            i -> array_to_string(({toks})[i:i+12], ' ')))) AS gram
+          FROM documents
+        )"""
+    _naive_case = _split_case.replace("cluster_id", "doc_id")
+    _audit_body = """
+        tg AS (SELECT g.doc_id, g.gram FROM agrams g
+               JOIN lab l ON g.doc_id = l.doc_id WHERE l.split = 'train'),
+        hg AS (SELECT g.doc_id AS hdoc, g.gram FROM agrams g
+               JOIN lab l ON g.doc_id = l.doc_id WHERE l.split = 'holdout')
+        SELECT tg.doc_id,
+               count(DISTINCT tg.gram)::BIGINT AS n_hit_grams,
+               count(DISTINCT hg.hdoc)::BIGINT AS n_holdout_docs
+        FROM tg JOIN hg USING (gram)
+        GROUP BY tg.doc_id
+    """
+    sql["doc_split_contamination_naive"] = f"""
+        WITH {_audit_grams},
+        lab AS (SELECT doc_id, {_naive_case} AS split FROM documents),
+        {_audit_body}
+    """
+    sql["doc_split_contamination"] = f"""
+        {_labels_cte},
+        {_audit_grams},
+        lab AS (SELECT doc_id, {_split_case} AS split FROM labels),
+        {_audit_body}
     """
     # canonical selection: total assignment + codepoint lengths, keeper =
     # row_number 1 by (n_chars DESC, doc_id ASC) — the SQL mirror of

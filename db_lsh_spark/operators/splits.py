@@ -41,6 +41,9 @@ from pyspark.sql import DataFrame, functions as F
 from db_lsh_spark.operators.sampling import fraction_threshold, sample_hash60
 
 HOLDOUT, TRAIN = "holdout", "train"
+# the published contamination window (GPT-3 appendix C), shared with the
+# benchmark-decontam lane
+AUDIT_N = 13
 
 
 def cluster_split(
@@ -86,4 +89,69 @@ def split_census(
             .alias("n_dup_docs"),
         )
         .select("split", "n_docs", "n_clusters", "n_dup_docs")
+    )
+
+
+def split_contamination(
+    docs: DataFrame,
+    labeled: DataFrame,
+    n: int = AUDIT_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Cross-split contamination audit: for every TRAIN document sharing
+    at least one token ``n``-gram with any HOLDOUT document, emit
+    ``(id, n_hit_grams, n_holdout_docs)`` — the doc's distinct shared
+    grams and the distinct holdout docs it shares them with. This is the
+    verification counterpart of :func:`cluster_split`: a cluster-wise
+    split is clean wherever the near-dup detector caught the overlap; the
+    rows this audit emits are exactly the residual leakage it missed
+    (sub-threshold quotation, shared boilerplate below the Jaccard bar).
+    Run it against a naive doc-wise split and it lights up on every
+    straddling near-dup pair — the leak the cluster split exists to close.
+
+    Scale shape: unlike benchmark decontamination (``operators/decontam``),
+    the holdout side is corpus-sized (10-25% of 100 TB), so it is NEVER
+    broadcast — both sides reduce to slim distinct ``(id, gram)``
+    projections (grams deduped per doc at generation, inside ``ngram_set``)
+    and meet in a shuffle equi-join partitioned on the gram. With
+    ``hashed=True`` the join key is ``xxhash64(gram)`` so the shuffle
+    carries 8-byte keys instead of ~13-token strings — the production
+    path (collision odds ~1e-11 at 10^12 grams; the string path is the
+    oracle twin and the equivalence is tested).
+
+    ``labeled`` is any ``(id_col, split)`` frame — :func:`cluster_split`
+    output or any external labeling; extra columns are ignored.
+    """
+    from db_lsh_spark.operators.decontam import _spread, ngram_set
+
+    base = (
+        docs.withColumnRenamed(id_col, "doc_id")
+        if id_col != "doc_id"
+        else docs
+    )
+    lab = labeled.select(F.col(id_col).alias("doc_id"), "split")
+
+    def _side_grams(side: str) -> DataFrame:
+        # label join happens on the one-row-per-doc frame, BEFORE gram
+        # explosion — the exploded grams flow straight into the gram join
+        ids = lab.where(F.col("split") == side).select("doc_id")
+        return ngram_set(
+            _spread(base.join(ids, "doc_id").select("doc_id", text_col)),
+            n,
+            text_col,
+        )
+
+    key = F.xxhash64("gram").alias("gram") if hashed else F.col("gram")
+    train_g = _side_grams(TRAIN).select("doc_id", key)
+    hold_g = _side_grams(HOLDOUT).select(F.col("doc_id").alias("_hdoc"), key)
+    return (
+        train_g.join(hold_g, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_hit_grams"),
+            F.countDistinct("_hdoc").cast("long").alias("n_holdout_docs"),
+        )
+        .withColumnRenamed("doc_id", id_col)
     )

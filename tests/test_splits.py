@@ -90,6 +90,94 @@ def test_census_reconciles(spark, assign):
     assert sum(r.n_dup_docs for r in census.values()) == 9
 
 
+def _audit_docs(spark):
+    """Planted contamination fixture: doc 0 and doc 1 share one exact
+    13-token span but are otherwise different (sub-threshold — they will
+    NOT near-dup-cluster); docs 2/3 share nothing with anyone."""
+    span = " ".join(f"s{i:02d}" for i in range(13))
+    rows = [
+        (0, span + " " + " ".join(f"a{i:03d}" for i in range(60))),
+        (1, " ".join(f"b{i:03d}" for i in range(60)) + " " + span),
+        (2, " ".join(f"c{i:03d}" for i in range(60))),
+        (3, " ".join(f"d{i:03d}" for i in range(60))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _label(spark, pairs):
+    return spark.createDataFrame(list(pairs), "doc_id long, split string")
+
+
+def test_contamination_detects_straddling_span(spark):
+    from db_lsh_spark.operators.splits import split_contamination
+
+    docs = _audit_docs(spark)
+    labeled = _label(spark, [(0, TRAIN), (1, HOLDOUT), (2, TRAIN), (3, HOLDOUT)])
+    got = {
+        r.doc_id: (r.n_hit_grams, r.n_holdout_docs)
+        for r in split_contamination(docs, labeled).collect()
+    }
+    # exactly train doc 0 is flagged: one shared 13-gram, one holdout doc
+    assert got == {0: (1, 1)}
+
+
+def test_contamination_clean_when_span_same_side(spark):
+    from db_lsh_spark.operators.splits import split_contamination
+
+    docs = _audit_docs(spark)
+    labeled = _label(spark, [(0, TRAIN), (1, TRAIN), (2, TRAIN), (3, HOLDOUT)])
+    assert split_contamination(docs, labeled).count() == 0
+
+
+def test_contamination_hashed_equivalence(spark):
+    from db_lsh_spark.operators.splits import split_contamination
+
+    docs = _audit_docs(spark)
+    labeled = _label(spark, [(0, TRAIN), (1, HOLDOUT), (2, HOLDOUT), (3, TRAIN)])
+    a = sorted(map(tuple, split_contamination(docs, labeled).collect()))
+    b = sorted(
+        map(tuple, split_contamination(docs, labeled, hashed=True).collect())
+    )
+    assert a == b
+
+
+def test_contamination_wider_window_ignores_short_span(spark):
+    from db_lsh_spark.operators.splits import split_contamination
+
+    docs = _audit_docs(spark)
+    labeled = _label(spark, [(0, TRAIN), (1, HOLDOUT), (2, TRAIN), (3, HOLDOUT)])
+    # the planted span is exactly 13 tokens; a 14-gram window cannot see
+    # it (the surrounding tokens differ on both sides)
+    assert split_contamination(docs, labeled, n=14).count() == 0
+
+
+def test_cluster_split_audits_clean_on_near_dups(spark):
+    """Composed guarantee: after dedup_clusters -> cluster_split, the
+    near-dup twins are same-side, so the audit over the cluster split is
+    clean while the naive doc-wise split on the SAME corpus leaks."""
+    from db_lsh_spark.documents import dedup_clusters
+    from db_lsh_spark.operators.splits import cluster_split, split_contamination
+    from __spark_entry__ import DOC_DEDUP_CFG
+
+    # fully disjoint vocabulary per pair, so the ONLY shared spans are the
+    # intra-pair near-dup overlaps — exactly what clustering catches
+    rows = []
+    for i in range(12):
+        text = " ".join(f"p{i:02d}w{j:02d}" for j in range(40))
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text + " ttail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assign = dedup_clusters(spark, docs, DOC_DEDUP_CFG)
+    clustered = cluster_split(assign, 0.5, seed=1)
+    assert split_contamination(docs, clustered).count() == 0
+    naive = cluster_split(
+        docs.select("doc_id", F.col("doc_id").alias("cluster_id")),
+        0.5,
+        seed=1,
+    )
+    assert split_contamination(docs, naive).count() > 0
+
+
 def test_near_dups_never_straddle_end_to_end(spark):
     """Composed guarantee: planted near-dup pairs land on ONE side after
     the real dedup_clusters -> cluster_split chain."""
