@@ -149,6 +149,15 @@ def main(argv: list[str] | None = None) -> None:
                         "ones at the same seed")
     p.add_argument("--split-seed", type=int, default=None,
                    help="split seed (defaults to --seed)")
+    p.add_argument("--split-audit", action="store_true",
+                   help="after splitting, audit the boundary for residual "
+                        "leakage: every TRAIN file sharing a 13-token "
+                        "n-gram with any holdout file (sub-threshold "
+                        "overlap the near-dup detector missed) lands in "
+                        "<output>/split_contamination with shared-gram and "
+                        "holdout-doc counts; the audit joins on xxhash64 "
+                        "gram keys (the corpus-sized holdout side is never "
+                        "broadcast). Requires --holdout-fraction")
     p.add_argument("--pack-seq-len", type=int, default=None,
                    help="pack the FINAL composed corpus (the sample/mix "
                         "output when one ran, else the keep-list survivors, "
@@ -166,8 +175,12 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     # split-flag validation needs no Spark session — fail before the JVM
-    if args.split_seed is not None and args.holdout_fraction is None:
-        raise SystemExit("--split-seed requires --holdout-fraction")
+    if (
+        args.split_seed is not None or args.split_audit
+    ) and args.holdout_fraction is None:
+        raise SystemExit(
+            "--split-seed/--split-audit require --holdout-fraction"
+        )
     if args.holdout_fraction is not None and not (
         0.0 <= args.holdout_fraction <= 1.0
     ):
@@ -398,10 +411,34 @@ def main(argv: list[str] | None = None) -> None:
             census.setdefault(
                 side, {"n_docs": 0, "n_clusters": 0, "n_dup_docs": 0}
             )
+        audit_report: dict | None = None
+        if args.split_audit:
+            from db_lsh_spark.operators.splits import split_contamination
+
+            t_audit = time.monotonic()
+            labeled = spark.read.parquet(f"{args.output}/splits").select(
+                "file_id", "split"
+            )
+            split_contamination(
+                files.select("file_id", "content"),
+                labeled,
+                text_col="content",
+                id_col="file_id",
+                hashed=True,
+            ).write.mode("overwrite").parquet(
+                f"{args.output}/split_contamination"
+            )
+            audit_report = {
+                "n_contaminated_train_files": spark.read.parquet(
+                    f"{args.output}/split_contamination"
+                ).count(),
+                "audit_sec": round(time.monotonic() - t_audit, 2),
+            }
         split_report = {
             "fraction": args.holdout_fraction,
             "seed": sseed,
             "census": census,
+            "audit": audit_report,
             "split_sec": round(time.monotonic() - t_split, 2),
         }
 

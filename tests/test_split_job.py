@@ -20,9 +20,16 @@ from db_lsh_spark.operators.sampling import fraction_threshold
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+LEAK_SPAN = " ".join(f"leak{i:02d}" for i in range(13))
+
+
 def _corpus() -> pd.DataFrame:
     """10 near-dup pairs + 8 unique files: enough clusters that a 0.5
-    split lands mass on both sides at seed 7."""
+    split lands mass on both sides at seed 7. Files 20 and 21 (singleton
+    clusters landing on OPPOSITE sides under seed 7 — precomputed from
+    the hash rule) share one planted 13-token span, sub-threshold for the
+    near-dup detector: exactly the residual leakage --split-audit
+    exists to surface."""
     rng = np.random.default_rng(41)
     vocab = [f"w{i:04d}" for i in range(600)]
     rows, fid = [], 0
@@ -32,8 +39,10 @@ def _corpus() -> pd.DataFrame:
             rows.append((fid, f"r{p}", f"f{fid}.py", "c0", "py", text))
             fid += 1
     for u in range(8):
-        rows.append((fid, "ru", f"u{u}.py", "c0", "py",
-                     " ".join(vocab[i] for i in rng.integers(0, 600, 130))))
+        text = " ".join(vocab[i] for i in rng.integers(0, 600, 130))
+        if fid in (20, 21):  # 20 -> holdout, 21 -> train at seed 7
+            text = text + " " + LEAK_SPAN
+        rows.append((fid, "ru", f"u{u}.py", "c0", "py", text))
         fid += 1
     return pd.DataFrame(
         rows, columns=["file_id", "repo", "path", "commit", "lang", "content"]
@@ -67,6 +76,7 @@ def test_spark_submit_split_gates_composition(tmp_path):
             "--input", corpus, "--output", out,
             "--keep-list",
             "--holdout-fraction", "0.5", "--split-seed", "7",
+            "--split-audit",
             "--sample-fraction", "0.9", "--sample-seed", "9",
             "--pack-seq-len", "64", "--pack-seed", "3",
         ],
@@ -106,8 +116,17 @@ def test_spark_submit_split_gates_composition(tmp_path):
         assert census[side]["n_dup_docs"] == int(dup.get(side, 0))
     assert summary["split"] == {
         "fraction": 0.5, "seed": 7, "census": census,
+        "audit": summary["split"]["audit"],
         "split_sec": summary["split"]["split_sec"],
     }
+
+    # 3b. the audit surfaces exactly the planted sub-threshold leak:
+    # train file 21 shares the one 13-token span with holdout file 20
+    # (both singleton clusters — the detector rightly did NOT merge them)
+    assert expect[20] == "holdout" and expect[21] == "train"
+    audit = pd.read_parquet(f"{out}/split_contamination")
+    assert [tuple(r) for r in audit.itertuples(index=False)] == [(21, 1, 1)]
+    assert summary["split"]["audit"]["n_contaminated_train_files"] == 1
 
     # 4. the composed corpus is train-side only: sample = seeded sample
     #    rule over (survivors minus keep-list drops minus holdout docs)
@@ -133,7 +152,9 @@ def test_split_flag_validation(tmp_path):
 
     from jobs.run_pipeline import main
 
-    with pytest.raises(SystemExit, match="requires --holdout-fraction"):
+    with pytest.raises(SystemExit, match="require --holdout-fraction"):
         main(["--input", "x", "--output", "y", "--split-seed", "3"])
+    with pytest.raises(SystemExit, match="require --holdout-fraction"):
+        main(["--input", "x", "--output", "y", "--split-audit"])
     with pytest.raises(SystemExit, match="must be in"):
         main(["--input", "x", "--output", "y", "--holdout-fraction", "1.5"])
