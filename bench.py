@@ -85,6 +85,9 @@ def main() -> None:
         "doc_exact_stratified_sample",
         "doc_corpus_mix",
         "doc_token_budget_mix",
+        "doc_sequence_pack",
+        "doc_cluster_split",
+        "doc_split_contamination_naive",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
         "emb_knn_l2",
