@@ -182,6 +182,40 @@ def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(planted)
 
 
+def _docs_with_licenses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ one clone of doc_id 0 per LICENSE_SEED_SUFFIXES entry at
+    doc_id 6_000_000+i with that suffix appended (the raw fixture contains
+    zero license-shaped text, measured — the oracle appends the same
+    literals). The last suffix plants BOTH an SPDX tag and the MIT phrase
+    (precedence: the SPDX id must win)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") == 0)
+    plants = [
+        base.select(
+            F.lit(6_000_000 + i).cast("long").alias("doc_id"),
+            F.concat(F.col("text"), F.lit(sfx)).alias("text"),
+        )
+        for i, sfx in enumerate(text_ops.LICENSE_SEED_SUFFIXES)
+    ]
+    out = docs
+    for p in plants:
+        out = out.unionByName(p)
+    return out
+
+
+def _docs_with_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the five standalone planted code docs at doc_id
+    7_000_000+i (CODE_SEED_VARIANTS: four comment/whitespace decorations of
+    the SAME body that must collapse under normalization, one real
+    one-token edit that must not — the oracle plants the same literals)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plants = spark.createDataFrame(
+        [(7_000_000 + i, v) for i, v in enumerate(text_ops.CODE_SEED_VARIANTS)],
+        "doc_id long, text string",
+    )
+    return docs.unionByName(plants)
+
+
 def _docs_for_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ the secrets-planted clones (+4M) ∪ the URL-planted
     clones (+5M) — the curation-funnel input, making every funnel stage
@@ -326,6 +360,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["doc_url_blocklist_keep_seeded"] = (
         lambda s, d: text_ops.url_blocklist_keep(_docs_with_urls(s, d))
+    )
+
+    # License detection — the code-corpus licensing gate (The Stack /
+    # BigCode keep-by-license policy): SPDX tag regexp_extract (tier 1,
+    # always wins) + literal header-phrase contains chain (tier 2, fixed
+    # precedence), per-doc label / corpus census / permissive keep list.
+    # Map-only except the census's partial-agg groupBy. Seeded over
+    # _docs_with_licenses (raw fixture has zero license shapes).
+    q["doc_license_id_seeded"] = lambda s, d: text_ops.license_id(
+        _docs_with_licenses(s, d)
+    )
+    q["doc_license_census_seeded"] = lambda s, d: text_ops.license_census(
+        _docs_with_licenses(s, d)
+    )
+    q["doc_license_keep_seeded"] = lambda s, d: text_ops.license_keep(
+        _docs_with_licenses(s, d)
+    )
+
+    # Code normalization — the signature-side similarity view (comment
+    # strip + whitespace collapse, map-only regexp chain): the normalized
+    # corpus plus the normalized exact-dup groups that collapse
+    # comment-only variants raw md5 cannot see. Seeded over
+    # _docs_with_code (four decorations of one body + one real edit).
+    q["doc_code_normalize_seeded"] = lambda s, d: text_ops.code_normalize(
+        _docs_with_code(s, d)
+    )
+    q["doc_norm_exact_dup_groups_seeded"] = (
+        lambda s, d: text_ops.norm_exact_dup_groups(_docs_with_code(s, d))
     )
 
     # The curation funnel — the full per-document filter chain (quality →
@@ -1320,6 +1382,89 @@ def oracle_sql() -> dict[str, str]:
         {_url_cte}
         SELECT doc_id FROM docs_u
         WHERE text IS NULL OR len({_blocked_expr}) = 0
+    """
+
+    # License twins: the SAME suffix plants as a UNION ALL CTE; the label
+    # expression re-derives both tiers — NULLIF(regexp_extract) for the
+    # SPDX tag (both engines return '' on no match), a CASE chain of
+    # literal position() tests for the header phrases in the identical
+    # precedence order, 'unknown' fallback (NULL text falls through the
+    # CASE to NULL, then COALESCE — same as Spark's contains(NULL))
+    from db_lsh_spark.operators.text import (
+        CODE_COMMENT_PATTERNS,
+        CODE_SEED_VARIANTS,
+        LICENSE_ALLOWED_DEFAULT,
+        LICENSE_PHRASES,
+        LICENSE_SEED_SUFFIXES,
+        SPDX_PATTERN,
+        WS_RUN_PATTERN,
+    )
+
+    _lic_cte = "WITH docs_l AS (SELECT doc_id, text FROM documents" + "".join(
+        f"""
+          UNION ALL SELECT (6000000 + {i})::BIGINT AS doc_id,
+                           text || '{sfx}' AS text
+          FROM documents WHERE doc_id = 0"""
+        for i, sfx in enumerate(LICENSE_SEED_SUFFIXES)
+    ) + ")"
+    _lic_case = "CASE " + " ".join(
+        f"WHEN position('{phrase}' IN text) > 0 THEN '{label}'"
+        for label, phrase in LICENSE_PHRASES
+    ) + " END"
+    _lic_expr = (
+        f"COALESCE(NULLIF(regexp_extract(text, '{SPDX_PATTERN}', 1), ''), "
+        f"{_lic_case}, 'unknown')"
+    )
+    _lic_ok = ", ".join(
+        f"'{x}'" for x in tuple(LICENSE_ALLOWED_DEFAULT) + ("unknown",)
+    )
+    sql["doc_license_id_seeded"] = f"""
+        {_lic_cte}
+        SELECT doc_id, {_lic_expr} AS license FROM docs_l
+    """
+    sql["doc_license_census_seeded"] = f"""
+        {_lic_cte}
+        SELECT license, count(*)::BIGINT AS n_docs
+        FROM (SELECT {_lic_expr} AS license FROM docs_l)
+        GROUP BY license
+    """
+    sql["doc_license_keep_seeded"] = f"""
+        {_lic_cte}
+        SELECT doc_id FROM docs_l WHERE {_lic_expr} IN ({_lic_ok})
+    """
+
+    # Code-normalization twins: the five planted variants as literals
+    # (newlines via chr(10) — SQL strings cannot hold escapes portably),
+    # the normalization as the SAME regexp_replace chain with 'g'
+    # (Spark's regexp_replace is always global) + one whitespace-run
+    # collapse + trim; normalized dup groups reuse the exact_dup_groups
+    # twin shape over the normalized view
+    def _sql_str(s: str) -> str:
+        return "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+    _code_cte = "WITH docs_c AS (SELECT doc_id, text FROM documents" + "".join(
+        f"""
+          UNION ALL SELECT (7000000 + {i})::BIGINT AS doc_id,
+                           {_sql_str(v)} AS text"""
+        for i, v in enumerate(CODE_SEED_VARIANTS)
+    ) + ")"
+    _norm_expr = "text"
+    for _pat in CODE_COMMENT_PATTERNS:
+        _norm_expr = f"regexp_replace({_norm_expr}, '{_pat}', ' ', 'g')"
+    _norm_expr = (
+        f"trim(regexp_replace({_norm_expr}, '{WS_RUN_PATTERN}', ' ', 'g'))"
+    )
+    sql["doc_code_normalize_seeded"] = f"""
+        {_code_cte}
+        SELECT doc_id, {_norm_expr} AS text_norm FROM docs_c
+    """
+    sql["doc_norm_exact_dup_groups_seeded"] = f"""
+        {_code_cte}
+        SELECT md5(text_norm) AS content_md5,
+               count(*) AS group_size,
+               min(doc_id) AS min_doc_id
+        FROM (SELECT doc_id, {_norm_expr} AS text_norm FROM docs_c)
+        GROUP BY 1 HAVING count(*) > 1
     """
 
     # Curation-funnel twins: the five filter lanes' SQL composed verbatim

@@ -910,3 +910,157 @@ def secrets_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     any doc with n_pem_header > 0 (the stats lane is the filter basis);
     scrubbing is for the inline token shapes."""
     return _pattern_scrub(docs, SECRET_PATTERNS, text_col)
+
+
+# --------------------------------------------------------------------------
+# License detection — the code-corpus licensing gate (the step The Stack /
+# BigCode run before anything else: keep permissively-licensed files,
+# drop or quarantine the rest). Two detector tiers, both engine-identical:
+#
+#   1. the machine-readable SPDX tag (``SPDX-License-Identifier: <id>``,
+#      the format the SPDX spec defines for source headers) — one
+#      regexp_extract in the Java-regex ∩ RE2 common subset; the extracted
+#      identifier IS the label and always wins;
+#   2. canonical header phrases of the four most common license families,
+#      matched as LITERAL substrings (``contains`` — no regex semantics to
+#      disagree on), in a fixed precedence order.
+#
+# NULL text and no match → 'unknown'. The keep rule treats unknown as
+# keep-by-default (a missing header is not evidence of a restrictive
+# license); pass ``allow_unknown=False`` for a strict permissive-only
+# corpus (The Stack's actual policy).
+SPDX_PATTERN = r"SPDX-License-Identifier: ?([A-Za-z0-9.+-]+)"
+LICENSE_PHRASES = (
+    ("MIT", "Permission is hereby granted, free of charge"),
+    ("Apache-2.0", "Licensed under the Apache License"),
+    ("BSD-3-Clause", "Redistribution and use in source and binary forms"),
+    ("GPL", "GNU General Public License"),
+)
+LICENSE_ALLOWED_DEFAULT = (
+    "MIT",
+    "MIT-0",
+    "Apache-2.0",
+    "BSD-2-Clause",
+    "BSD-3-Clause",
+    "ISC",
+    "Unlicense",
+)
+
+# Deterministic planted-license suffixes for the seeded driver queries
+# (the raw fixture contains zero license-shaped text, measured — zero SPDX
+# tags, zero header phrases, zero comment tokens). One clone per suffix;
+# the last plants BOTH an SPDX tag and the MIT phrase and must label as
+# the SPDX id (precedence contract).
+LICENSE_SEED_SUFFIXES = (
+    " SPDX-License-Identifier: MIT-0",
+    " Permission is hereby granted, free of charge, to any person",
+    " Licensed under the Apache License, Version 2.0 (the License)",
+    " Redistribution and use in source and binary forms, with or without",
+    " This program is free software under the GNU General Public License",
+    " SPDX-License-Identifier: BSD-2-Clause"
+    " Permission is hereby granted, free of charge, to copy",
+)
+
+
+def license_col(text_col: str = "text"):
+    """Column expression: detected license label. SPDX tag (tier 1) wins;
+    else first matching header phrase in LICENSE_PHRASES order; else
+    'unknown' (NULL text included — contains(NULL) is NULL, never True)."""
+    text = F.col(text_col)
+    tiers = [F.nullif(F.regexp_extract(text, SPDX_PATTERN, 1), F.lit(""))]
+    for label, phrase in LICENSE_PHRASES:
+        tiers.append(F.when(text.contains(phrase), F.lit(label)))
+    return F.coalesce(*tiers, F.lit("unknown"))
+
+
+def license_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document license label: (doc_id, license). Map-only (one
+    regexp_extract + literal contains chain, whole-stage codegen)."""
+    return docs.select("doc_id", license_col(text_col).alias("license"))
+
+
+def license_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus license census: (license, n_docs). The only shuffle is the
+    final partial-aggregated groupBy on the label (labels ≪ docs after
+    map-side combine — the 100-TB shape)."""
+    return (
+        license_id(docs, text_col)
+        .groupBy("license")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def license_keep(
+    docs: DataFrame,
+    allowed: tuple[str, ...] = LICENSE_ALLOWED_DEFAULT,
+    allow_unknown: bool = True,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep side of the license gate: doc_ids whose detected license is in
+    ``allowed`` (plus 'unknown' unless ``allow_unknown=False``). Map-only:
+    the allowed set is an in-plan literal IN-list (license ids number in
+    the hundreds at most — never a join)."""
+    ok = tuple(allowed) + (("unknown",) if allow_unknown else ())
+    return docs.where(license_col(text_col).isin(*ok)).select("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Code normalization — the signature-side view change that lets the
+# near-dup lanes see through comment/whitespace-only edits (two files
+# identical modulo a copyright banner ARE near-duplicates for training
+# purposes, but raw shingle Jaccard may sit below threshold). Heuristic by
+# design and documented as such: comment stripping is regex-based (string
+# literals containing comment tokens get clipped — acceptable for a
+# similarity VIEW, never applied to the stored content; the content sha256
+# invariant is computed on raw bytes). Patterns live in the Java-regex ∩
+# RE2 common subset; replacement order is part of the contract (block
+# comments first, so ``/* // */`` resolves as one block comment).
+CODE_COMMENT_PATTERNS = (
+    r"/\*([^*]|\*+[^*/])*\*+/",  # C block comments (RE2-safe, no backtrack)
+    r"//[^\n]*",                 # C++/Java/JS line comments
+    r"#[^\n]*",                  # shell / Python / YAML line comments
+)
+WS_RUN_PATTERN = r"[ \t\r\n]+"
+
+# Deterministic planted code docs for the seeded driver queries: four
+# decorations of the SAME body that must normalize to the identical
+# string (and so collapse into one normalized dup group), plus one REAL
+# one-token edit that must NOT collapse.
+CODE_SEED_BODY = (
+    "int main ( ) { int x = load ( ) ; emit ( x ) ; return x ; }"
+)
+CODE_SEED_VARIANTS = (
+    CODE_SEED_BODY,
+    "// copyright 2026 Example Corp\n" + CODE_SEED_BODY + " // trailing note",
+    "/* vendored from upstream v1.2 */ " + CODE_SEED_BODY + "  /* end */",
+    "# build: release\n" + CODE_SEED_BODY + " \t\n ",
+    CODE_SEED_BODY.replace("return x", "return 0"),
+)
+
+
+def normalize_code_col(text_col: str = "text"):
+    """Column expression: comment-stripped, whitespace-collapsed view of a
+    code document. Map-only regexp_replace chain (Spark's regexp_replace
+    is global, matching the DuckDB twin's 'g' flag), then one
+    whitespace-run collapse and a trim."""
+    c = F.col(text_col)
+    for pat in CODE_COMMENT_PATTERNS:
+        c = F.regexp_replace(c, pat, " ")
+    return F.trim(F.regexp_replace(c, WS_RUN_PATTERN, " "))
+
+
+def code_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-view corpus: (doc_id, text_norm)."""
+    return docs.select(
+        "doc_id", normalize_code_col(text_col).alias("text_norm")
+    )
+
+
+def norm_exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups AFTER normalization — catches comment- and
+    whitespace-only variants the raw md5 groupBy cannot see. Same output
+    contract as ``exact_dup_groups``: (content_md5, group_size,
+    min_doc_id), groups of size > 1 only."""
+    return exact_dup_groups(
+        docs.select("doc_id", normalize_code_col(text_col).alias("text"))
+    )

@@ -1,0 +1,172 @@
+"""License detection + code normalization (operators/text.py): hand-pinned
+labels for every planted suffix (SPDX tier wins, phrase precedence order),
+keep-list partition property incl. the strict no-unknown policy, map-only
+plans, normalization collapse of the four comment/whitespace decorations
+(and NON-collapse of the real edit), Python-re reference parity on
+adversarial comment shapes, and DuckDB twin parity for both lanes."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+
+from db_lsh_spark.operators.text import (
+    CODE_COMMENT_PATTERNS,
+    CODE_SEED_BODY,
+    CODE_SEED_VARIANTS,
+    LICENSE_ALLOWED_DEFAULT,
+    LICENSE_PHRASES,
+    LICENSE_SEED_SUFFIXES,
+    SPDX_PATTERN,
+    WS_RUN_PATTERN,
+    code_normalize,
+    license_census,
+    license_id,
+    license_keep,
+    norm_exact_dup_groups,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- license
+
+
+def test_license_labels_hand_pinned(spark):
+    rows = [(i, "some code " + s) for i, s in enumerate(LICENSE_SEED_SUFFIXES)]
+    rows += [(100, "plain text, no license anywhere"), (101, None)]
+    got = {r.doc_id: r.license for r in license_id(_df(spark, rows)).collect()}
+    assert got == {
+        0: "MIT-0",          # SPDX tag, extracted id verbatim
+        1: "MIT",            # header phrase
+        2: "Apache-2.0",
+        3: "BSD-3-Clause",
+        4: "GPL",
+        5: "BSD-2-Clause",   # SPDX present AND MIT phrase → SPDX wins
+        100: "unknown",
+        101: "unknown",      # NULL text → unknown (contains(NULL) is NULL)
+    }
+
+
+def test_license_phrase_precedence_order(spark):
+    # a file quoting BOTH the MIT grant and the GPL name labels as MIT —
+    # LICENSE_PHRASES order is the contract
+    both = LICENSE_PHRASES[0][1] + " ... " + LICENSE_PHRASES[3][1]
+    got = license_id(_df(spark, [(1, both)])).collect()[0].license
+    assert got == "MIT"
+
+
+def test_license_keep_partition_and_strict_policy(spark):
+    rows = [(i, s) for i, s in enumerate(LICENSE_SEED_SUFFIXES)]
+    rows += [(100, "no license"), (101, None)]
+    docs = _df(spark, rows)
+    kept = {r.doc_id for r in license_keep(docs).collect()}
+    # GPL (id 4) is the only non-permissive detected license
+    assert kept == {0, 1, 2, 3, 5, 100, 101}
+    strict = {r.doc_id for r in license_keep(docs, allow_unknown=False).collect()}
+    assert strict == {0, 1, 2, 3, 5}
+    # partition property: census sums to the corpus
+    census = {r.license: r.n_docs for r in license_census(docs).collect()}
+    assert sum(census.values()) == len(rows)
+    assert census["unknown"] == 2 and census["GPL"] == 1
+
+
+def test_license_plans_are_map_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for frame in (license_id(docs), license_keep(docs)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------- normalization
+
+
+def _py_norm(s):
+    if s is None:
+        return None
+    for p in CODE_COMMENT_PATTERNS:
+        s = re.sub(p, " ", s)
+    return re.sub(WS_RUN_PATTERN, " ", s).strip()
+
+
+def test_planted_variants_collapse_except_real_edit(spark):
+    rows = [(i, v) for i, v in enumerate(CODE_SEED_VARIANTS)]
+    got = {
+        r.doc_id: r.text_norm for r in code_normalize(_df(spark, rows)).collect()
+    }
+    assert got[0] == got[1] == got[2] == got[3] == CODE_SEED_BODY
+    assert got[4] != CODE_SEED_BODY and "return 0" in got[4]
+
+
+def test_norm_dup_groups_see_comment_variants(spark):
+    rows = [(7_000_000 + i, v) for i, v in enumerate(CODE_SEED_VARIANTS)]
+    groups = norm_exact_dup_groups(_df(spark, rows)).collect()
+    assert len(groups) == 1
+    assert (groups[0].group_size, groups[0].min_doc_id) == (4, 7_000_000)
+
+
+def test_normalize_matches_python_re_on_adversarial_shapes(spark):
+    rows = [
+        (1, "a /* one */ b /* two */ c"),           # two blocks, one line
+        (2, "a /* unterminated block"),             # no close → untouched
+        (3, "s = 'http://x' // clip me"),           # line comment clips
+        (4, "x # trailing hash no newline"),
+        (5, "/**/ empty /***/ fat /* * ** */ end"), # star runs
+        (6, "# whole doc is a comment"),
+        (7, "a\t\tb\r\nc   d"),                     # ws runs only
+        (8, "a /* outer /* inner */ tail */ b"),    # no nesting: first close
+        (9, None),
+    ]
+    got = {
+        r.doc_id: r.text_norm for r in code_normalize(_df(spark, rows)).collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == _py_norm(text), (doc_id, text, got[doc_id])
+    assert got[2] == "a /* unterminated block"  # pin the heuristic edge
+    assert got[8] == "a tail */ b"
+
+
+def test_normalize_plan_is_map_only(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = code_normalize(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_duckdb_twin_parity_both_lanes(spark):
+    rows = [(i, "code " + s) for i, s in enumerate(LICENSE_SEED_SUFFIXES)]
+    rows += [(50 + i, v) for i, v in enumerate(CODE_SEED_VARIANTS)]
+    rows += [(100, "a /* x */ b // y"), (101, None)]
+    docs = _df(spark, rows)
+
+    con = duckdb.connect()
+    con.register("t", docs.toPandas())
+    case = "CASE " + " ".join(
+        f"WHEN position('{p}' IN text) > 0 THEN '{lab}'"
+        for lab, p in LICENSE_PHRASES
+    ) + " END"
+    lic = (
+        f"COALESCE(NULLIF(regexp_extract(text, '{SPDX_PATTERN}', 1), ''), "
+        f"{case}, 'unknown')"
+    )
+    duck_lic = dict(con.execute(f"SELECT doc_id, {lic} FROM t").fetchall())
+    spark_lic = {r.doc_id: r.license for r in license_id(docs).collect()}
+    assert duck_lic == spark_lic
+
+    expr = "text"
+    for pat in CODE_COMMENT_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', ' ', 'g')"
+    expr = f"trim(regexp_replace({expr}, '{WS_RUN_PATTERN}', ' ', 'g'))"
+    duck_norm = dict(con.execute(f"SELECT doc_id, {expr} FROM t").fetchall())
+    spark_norm = {
+        r.doc_id: r.text_norm for r in code_normalize(docs).collect()
+    }
+    assert duck_norm == spark_norm
+
+
+def test_allowed_default_is_permissive_only():
+    assert "GPL" not in LICENSE_ALLOWED_DEFAULT
+    assert {"MIT", "Apache-2.0", "BSD-3-Clause"} <= set(LICENSE_ALLOWED_DEFAULT)
