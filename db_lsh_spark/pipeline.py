@@ -51,6 +51,7 @@ class DedupOutput:
     lane_pairs: dict[str, DataFrame] | None = None  # extra-lane edge sources
     curation_flags: DataFrame | None = None   # (file_id, stage_idx, stage)
     curation_census: DataFrame | None = None  # funnel report (curate=True)
+    license_census: DataFrame | None = None   # (license, n_docs) pre-filter report
 
 
 # extra detector lanes run_dedup can fold into the cluster edge union, with
@@ -77,6 +78,9 @@ def run_dedup(
     curate: bool = False,
     curate_bench: DataFrame | None = None,
     curate_opts: dict | None = None,
+    normalize_code: bool = False,
+    license_allow: tuple[str, ...] | None = None,
+    license_allow_unknown: bool = True,
 ) -> DedupOutput:
     """Run the full pipeline. With ``checkpoint_root`` set, every stage is
     materialized + manifest-gated (resume-from-checkpoint); without it the
@@ -121,6 +125,19 @@ def run_dedup(
 
     Lane knobs ride in ``lane_cfg`` (see ``_LANE_DEFAULTS``); both the lane
     set and the knobs are part of the checkpoint fingerprint.
+
+    ``normalize_code=True`` switches the SIGNATURE-SIDE view to the
+    comment-stripped, whitespace-collapsed text (``operators/text.py
+    normalize_code_col``): shingle/simhash/winnow sketches and the verify
+    Jaccard+LCS see through comment/whitespace-only edits, while the
+    exact-dup edges and the stored content keep raw bytes (the per-row
+    content sha256 invariant is untouched). ``license_allow`` applies the
+    keep-by-license gate BEFORE anything else, The Stack's stage order
+    (SPDX tag wins, then header phrases; 'unknown' kept unless
+    ``license_allow_unknown=False``), with the corpus license census
+    exposed as ``DedupOutput.license_census``. Both knobs fork the
+    checkpoint fingerprint — a normalized or license-gated run never
+    resumes a raw one's stages.
     """
     cfg = cfg or DedupConfig()
     extra = tuple(sorted(set(extra_lanes)))
@@ -164,6 +181,17 @@ def run_dedup(
         fp += "-curate" + _hl.md5(_ckey.encode()).hexdigest()[:8]
     elif curate_bench is not None or curate_opts:
         raise ValueError("curate_bench/curate_opts require curate=True")
+    if normalize_code:
+        # the similarity view changes every signature downstream — a
+        # normalized checkpoint must never resume a raw one
+        fp += "-norm"
+    if license_allow is not None:
+        import hashlib as _hl
+
+        _lkey = repr((tuple(license_allow), license_allow_unknown))
+        fp += "-lic" + _hl.md5(_lkey.encode()).hexdigest()[:8]
+    elif not license_allow_unknown:
+        raise ValueError("license_allow_unknown=False requires license_allow")
     store = StageStore(checkpoint_root, fp) if checkpoint_root else None
 
     def gate(name: str, builder, **kw) -> DataFrame:
@@ -179,6 +207,25 @@ def run_dedup(
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if files_ids.rdd.getNumPartitions() < max(2, target // 2):
         files_ids = files_ids.repartition(target, "file_id")
+
+    # ---- license gate pre-filter (The Stack-style keep-by-license) ----
+    license_census_df: DataFrame | None = None
+    if license_allow is not None:
+        from db_lsh_spark.operators.text import license_census, license_col
+
+        license_census_df = license_census(
+            files_ids.select(
+                F.col("file_id").alias("doc_id"),
+                F.col("content").alias("text"),
+            )
+        )
+        ok = tuple(license_allow) + (
+            ("unknown",) if license_allow_unknown else ()
+        )
+        # map-only in-plan literal filter — never a join; files dropped
+        # here never reach curation or signature work (The Stack's stage
+        # order: license first, everything else over the survivors)
+        files_ids = files_ids.where(license_col("content").isin(*ok))
 
     # ---- curation funnel pre-stage (filters BEFORE any signature work) ----
     curation_flags_df: DataFrame | None = None
@@ -219,6 +266,19 @@ def run_dedup(
         )
 
     fi_slim = files_ids.select("file_id", "sha256", "content")
+    # the SIGNATURE-SIDE view: with normalize_code, shingles / simhash /
+    # winnow sketches and the verify Jaccard+LCS all see the comment-
+    # stripped, whitespace-collapsed text (near-dup MODULO comments),
+    # while sha256 exact edges and the stored content stay raw bytes —
+    # the per-row content sha256 invariant is untouched
+    if normalize_code:
+        from db_lsh_spark.operators.text import normalize_code_col
+
+        fi_sig = files_ids.select(
+            "file_id", "sha256", normalize_code_col("content").alias("content")
+        )
+    else:
+        fi_sig = fi_slim
 
     # Dataflow shaped so CONTENTS ARE NEVER SHUFFLED (measured 3x on the
     # signature stage at 1M files; decisive at 100 TB):
@@ -239,7 +299,7 @@ def run_dedup(
         signatures = gate(
             "signatures_mh",
             lambda: semi_filter_reps(
-                compute_signatures(fi_slim, cfg, include_minhash=True), rep_ids
+                compute_signatures(fi_sig, cfg, include_minhash=True), rep_ids
             ),
         )
 
@@ -284,7 +344,7 @@ def run_dedup(
     else:
         signatures = gate(
             "signatures",
-            lambda: semi_filter_reps(compute_signatures(fi_slim, cfg), rep_ids),
+            lambda: semi_filter_reps(compute_signatures(fi_sig, cfg), rep_ids),
         )
         bands = gate(
             "bands",
@@ -335,7 +395,7 @@ def run_dedup(
             .unionByName(cand.select(F.col("id_b").alias("file_id")))
             .distinct()
         )
-        needed = fi_slim.select("file_id", "content").join(
+        needed = fi_sig.select("file_id", "content").join(
             cand_ids, "file_id", "left_semi"
         )
         return verify_pairs(cand, needed, cfg, with_lcs=with_lcs)
@@ -367,7 +427,7 @@ def run_dedup(
             # reps only: identical contents are connected by exact edges,
             # so re-sketching duplicate bytes would be pure waste
             reps = semi_filter_reps(
-                fi_slim.select("file_id", "content"), rep_ids
+                fi_sig.select("file_id", "content"), rep_ids
             )
             return winnow_near_dup_pairs(
                 reps.select(
@@ -410,6 +470,7 @@ def run_dedup(
         lane_pairs=lane_pairs or None,
         curation_flags=curation_flags_df,
         curation_census=curation_census_df,
+        license_census=license_census_df,
     )
 
 

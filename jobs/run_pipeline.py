@@ -167,6 +167,25 @@ def main(argv: list[str] | None = None) -> None:
                         "slice: seq_id, in-sequence offset, in-file offset, "
                         "span — plus a docs/tokens/sequences census in the "
                         "summary; weight = whitespace token count of content")
+    p.add_argument("--normalize-code", action="store_true",
+                   help="switch the SIGNATURE-SIDE view to comment-stripped, "
+                        "whitespace-collapsed text: shingle/simhash/winnow "
+                        "sketches and the verify Jaccard+LCS see through "
+                        "comment/whitespace-only edits, while exact-dup "
+                        "edges and the stored content keep raw bytes (the "
+                        "per-row content sha256 invariant is untouched)")
+    p.add_argument("--license-allow", default=None,
+                   help="comma-separated allowed license ids (e.g. "
+                        "'MIT,Apache-2.0,BSD-3-Clause'): enables The "
+                        "Stack-style keep-by-license pre-gate BEFORE any "
+                        "curation/signature work (SPDX tag wins, then "
+                        "header phrases); the pre-filter corpus census is "
+                        "written to <output>/license_census")
+    p.add_argument("--license-strict", action="store_true",
+                   help="drop 'unknown'-license files too (The Stack's "
+                        "actual permissive-only policy; default keeps "
+                        "unknown — a missing header is not evidence of a "
+                        "restrictive license). Requires --license-allow")
     p.add_argument("--pack-seed", type=int, default=None,
                    help="seed for the packing order (default: --seed)")
     p.add_argument("--pack-keep-partial", action="store_true",
@@ -185,6 +204,15 @@ def main(argv: list[str] | None = None) -> None:
         0.0 <= args.holdout_fraction <= 1.0
     ):
         raise SystemExit("--holdout-fraction must be in [0, 1]")
+    if args.license_strict and args.license_allow is None:
+        raise SystemExit("--license-strict requires --license-allow")
+    license_allow: tuple[str, ...] | None = None
+    if args.license_allow is not None:
+        license_allow = tuple(
+            s.strip() for s in args.license_allow.split(",") if s.strip()
+        )
+        if not license_allow:
+            raise SystemExit("--license-allow got an empty list")
 
     from pyspark.sql import SparkSession
 
@@ -298,7 +326,27 @@ def main(argv: list[str] | None = None) -> None:
     out = run_dedup(spark, files, cfg, checkpoint_root=args.checkpoint,
                     with_lcs=args.with_lcs, target_pairs=target_pairs,
                     extra_lanes=extra_lanes, curate=args.curate,
-                    curate_bench=curate_bench, curate_opts=curate_opts)
+                    curate_bench=curate_bench, curate_opts=curate_opts,
+                    normalize_code=args.normalize_code,
+                    license_allow=license_allow,
+                    license_allow_unknown=not args.license_strict)
+    license_report: dict | None = None
+    if license_allow is not None:
+        out.license_census.write.mode("overwrite").parquet(
+            f"{args.output}/license_census"
+        )
+        license_report = {
+            "allow": list(license_allow),
+            "strict": args.license_strict,
+            # pre-filter corpus census, read back from the just-written
+            # artifact (label-count-sized — tiny by construction)
+            "census": {
+                r["license"]: r["n_docs"]
+                for r in spark.read.parquet(
+                    f"{args.output}/license_census"
+                ).collect()
+            },
+        }
     curation_report: dict | None = None
     if args.curate:
         out.curation_flags.write.mode("overwrite").parquet(
@@ -654,6 +702,8 @@ def main(argv: list[str] | None = None) -> None:
         "repo_report": repo_report,
         "keep_list": keep_report,
         "curation": curation_report,
+        "license": license_report,
+        "normalize_code": args.normalize_code or None,
         "split": split_report,
         "sample": sample_report,
         "pack": pack_report,

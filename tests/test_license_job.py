@@ -1,0 +1,93 @@
+"""Production license-gate + code-normalization path: one spark-submit
+run of jobs/run_pipeline.py with --license-allow and --normalize-code.
+The GPL-headed file is dropped BEFORE any signature work (and reported in
+the pre-filter census artifact), while the four comment/whitespace-only
+decorations of one body — raw-distinct, so invisible to the exact lane —
+collapse into a single cluster under the normalized signature view."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import numpy as np
+import pandas as pd
+
+from db_lsh_spark.operators.text import CODE_SEED_VARIANTS, LICENSE_PHRASES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _corpus() -> pd.DataFrame:
+    rng = np.random.default_rng(23)
+    vocab = [f"tok{i:04d}" for i in range(700)]
+    rows = []
+    for fid in range(10):
+        text = " ".join(vocab[i] for i in rng.integers(0, 700, 130))
+        rows.append((fid, "r0", f"f{fid}.py", "c0", "py", text))
+    rows += [
+        (100 + i, "r1", f"v{i}.py", "c0", "py", v)
+        for i, v in enumerate(CODE_SEED_VARIANTS)
+    ]
+    rows.append(
+        (200, "r2", "gpl.py", "c0", "py",
+         f"restricted code body. {LICENSE_PHRASES[3][1]}.")
+    )
+    return pd.DataFrame(
+        rows, columns=["file_id", "repo", "path", "commit", "lang", "content"]
+    )
+
+
+def test_spark_submit_license_gate_and_normalized_view(tmp_path):
+    from db_lsh_spark.session import package_zip
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    _corpus().to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out,
+            "--normalize-code",
+            "--license-allow", "MIT,Apache-2.0",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # pre-filter census: the GPL file is counted, then dropped
+    assert summary["license"] == {
+        "allow": ["MIT", "Apache-2.0"],
+        "strict": False,
+        "census": {"GPL": 1, "unknown": 15},
+    }
+    assert summary["normalize_code"] is True
+    assert summary["n_files"] == 15  # 16-file corpus minus the GPL drop
+
+    import duckdb
+
+    con = duckdb.connect()
+    clusters = {
+        int(f): int(c)
+        for f, c in con.execute(
+            f"SELECT file_id, cluster_id FROM '{out}/clusters/*.parquet'"
+        ).fetchall()
+    }
+    assert 200 not in clusters  # license-dropped, never clustered
+    # normalized view: the four comment-only decorations are ONE cluster,
+    # the real one-token edit is not in it
+    assert len({clusters[i] for i in (100, 101, 102, 103)}) == 1
+    assert clusters[104] != clusters[100]
+    census = dict(
+        con.execute(
+            f"SELECT license, n_docs FROM '{out}/license_census/*.parquet'"
+        ).fetchall()
+    )
+    assert census == {"GPL": 1, "unknown": 15}

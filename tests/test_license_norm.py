@@ -10,7 +10,11 @@ from __future__ import annotations
 import re
 
 import duckdb
+import pytest
+from pyspark.sql import functions as F
 
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.pipeline import run_dedup
 from db_lsh_spark.operators.text import (
     CODE_COMMENT_PATTERNS,
     CODE_SEED_BODY,
@@ -170,3 +174,162 @@ def test_duckdb_twin_parity_both_lanes(spark):
 def test_allowed_default_is_permissive_only():
     assert "GPL" not in LICENSE_ALLOWED_DEFAULT
     assert {"MIT", "Apache-2.0", "BSD-3-Clause"} <= set(LICENSE_ALLOWED_DEFAULT)
+
+
+# ------------------------------------------------- run_dedup integration
+# (pipeline.py wiring: normalize_code switches the SIGNATURE-SIDE view,
+# license_allow gates the corpus BEFORE any signature work; both fork the
+# checkpoint fingerprint)
+
+
+def _pipeline_corpus(spark, planted):
+    """Distinct 130-token filler files + ``planted`` (file_id, content)
+    rows, in the input_hint table shape with explicit file_ids."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i:04d}" for i in range(700)]
+    rows = []
+    for fid in range(12):
+        text = " ".join(vocab[i] for i in rng.integers(0, 700, 130))
+        rows.append((fid, "r0", f"f{fid}.py", "c0", "py", text))
+    rows += [
+        (fid, "r1", f"p{fid}.py", "c0", "py", text)
+        for fid, text in planted
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_id long, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+
+
+def _clusters_of(out, ids):
+    got = {
+        r.file_id: r.cluster_id
+        for r in out.clusters.where(
+            F.col("file_id").isin([int(i) for i in ids])
+        ).collect()
+    }
+    assert set(got) == set(ids)
+    return got
+
+
+def test_run_dedup_normalize_code_collapses_comment_variants(spark):
+    """The four comment/whitespace decorations of one body are raw-distinct
+    (four sha256 reps, no exact edges) but normalized-identical: with
+    normalize_code=True the shingle Jaccard is 1 and they land in ONE
+    cluster, while the real one-token edit stays separate. The raw run
+    must NOT merge all four (the copyright-banner variants sit below the
+    0.8 shingle threshold — exactly the gap the view exists to close)."""
+    planted = [(100 + i, v) for i, v in enumerate(CODE_SEED_VARIANTS)]
+    files = _pipeline_corpus(spark, planted)
+
+    out_norm = run_dedup(spark, files, DedupConfig(), normalize_code=True)
+    got = _clusters_of(out_norm, [100, 101, 102, 103, 104])
+    assert len({got[i] for i in (100, 101, 102, 103)}) == 1
+    assert got[104] != got[100]  # the real edit never collapses
+    # the stored frame keeps RAW bytes — the sha256 invariant is untouched
+    n_bad = (
+        out_norm.files.withColumn("chk", F.sha2(F.col("content"), 256))
+        .where(F.col("chk") != F.col("sha256"))
+        .count()
+    )
+    assert n_bad == 0
+
+    out_raw = run_dedup(spark, files, DedupConfig())
+    got_raw = _clusters_of(out_raw, [100, 101, 102, 103])
+    assert len(set(got_raw.values())) > 1
+
+
+def test_run_dedup_normalize_whole_comment_docs(spark):
+    """Documents that normalize to EMPTY (whole-file comments) ride the
+    sentinel shingle: the pipeline never crashes on them, and two such
+    docs are identical modulo comments — one cluster, by the view's own
+    definition."""
+    planted = [
+        (200, "# generated file, do not edit\n# build 1\n"),
+        (201, "/* legal boilerplate only, reviewed 2026 */"),
+    ]
+    files = _pipeline_corpus(spark, planted)
+    out = run_dedup(spark, files, DedupConfig(), normalize_code=True)
+    got = _clusters_of(out, [200, 201])
+    assert got[200] == got[201]
+
+
+def test_run_dedup_license_gate_drops_before_signature_work(spark):
+    """license_allow filters the corpus up front (The Stack's stage
+    order): GPL/BSD files never reach clustering, unknown files are kept
+    by default, and the census reports the PRE-filter corpus."""
+    mit = LICENSE_PHRASES[0][1]
+    gpl = LICENSE_PHRASES[3][1]
+    bsd = LICENSE_PHRASES[2][1]
+    planted = [
+        (300, f"code body alpha beta gamma. {mit}."),
+        (301, f"other code body. {gpl}."),
+        (302, f"third code body. {bsd}."),
+        (303, "no license header here at all"),
+    ]
+    files = _pipeline_corpus(spark, planted)
+    out = run_dedup(
+        spark, files, DedupConfig(), license_allow=("MIT", "Apache-2.0")
+    )
+    kept = {r.file_id for r in out.clusters.select("file_id").collect()}
+    assert 300 in kept and 303 in kept          # allowed + unknown-by-default
+    assert 301 not in kept and 302 not in kept  # GPL/BSD dropped
+    assert len(kept) == 12 + 2
+    census = {r.license: r.n_docs for r in out.license_census.collect()}
+    assert census == {"MIT": 1, "GPL": 1, "BSD-3-Clause": 1, "unknown": 13}
+
+    strict = run_dedup(
+        spark,
+        files,
+        DedupConfig(),
+        license_allow=("MIT", "Apache-2.0"),
+        license_allow_unknown=False,
+    )
+    kept_strict = {r.file_id for r in strict.clusters.select("file_id").collect()}
+    assert kept_strict == {300}  # permissive-only policy drops unknown too
+
+
+def test_run_dedup_strict_requires_allow_list(spark):
+    files = _pipeline_corpus(spark, [])
+    with pytest.raises(ValueError, match="license_allow_unknown"):
+        run_dedup(spark, files, DedupConfig(), license_allow_unknown=False)
+
+
+def test_norm_and_license_fork_the_checkpoint_fingerprint(spark, tmp_path):
+    """A normalized or license-gated run must NEVER resume a raw run's
+    stages: different fingerprints, zero skipped stages on the second
+    run even though the raw run fully completed at the same root."""
+    files = _pipeline_corpus(spark, [])
+    root = str(tmp_path / "ckpt")
+    cfg = DedupConfig()
+    out_raw = run_dedup(spark, files, cfg, checkpoint_root=root)
+    out_norm = run_dedup(
+        spark, files, cfg, checkpoint_root=root, normalize_code=True
+    )
+    # the SAME knobs resume cleanly (before another fingerprint overwrites
+    # the root — the StageStore contract is one root, one live lineage)
+    out_norm2 = run_dedup(
+        spark, files, cfg, checkpoint_root=root, normalize_code=True
+    )
+    assert all(r.skipped for r in out_norm2.store.results)
+    out_lic = run_dedup(
+        spark, files, cfg, checkpoint_root=root, license_allow=("MIT",)
+    )
+    out_lic2 = run_dedup(
+        spark,
+        files,
+        cfg,
+        checkpoint_root=root,
+        license_allow=("MIT",),
+        license_allow_unknown=False,
+    )
+    fps = {
+        o.store.fingerprint for o in (out_raw, out_norm, out_lic, out_lic2)
+    }
+    assert len(fps) == 4
+    assert not any(r.skipped for r in out_norm.store.results)
+    assert not any(r.skipped for r in out_lic.store.results)
+    assert not any(r.skipped for r in out_lic2.store.results)
