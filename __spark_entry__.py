@@ -390,6 +390,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda s, d: text_ops.norm_exact_dup_groups(_docs_with_code(s, d))
     )
 
+    def _norm_lsh_pairs_seeded(s: SparkSession, d: str) -> DataFrame:
+        # the FULL MinHash-LSH lane over the normalized similarity view —
+        # the run_dedup(normalize_code=True) semantics as one oracled
+        # query: the four comment-only decorations become one sha256 group
+        # under the view (intra pairs at jaccard 1 via group expansion),
+        # the real one-token edit stays out, and every raw near-dup pair
+        # survives normalization with its jaccard intact
+        from db_lsh_spark.documents import lsh_near_dup_pairs
+
+        docs = _docs_with_code(s, d).select(
+            "doc_id", text_ops.normalize_code_col("text").alias("text")
+        )
+        return lsh_near_dup_pairs(docs, DOC_DEDUP_CFG)
+
+    q["doc_norm_lsh_near_dup_pairs_seeded"] = _norm_lsh_pairs_seeded
+
     # The curation funnel — the full per-document filter chain (quality →
     # repetition → secrets → url_blocklist → decontam) as one map-only
     # pass + the decontam broadcast join, with sequential first-stage
@@ -1581,6 +1597,17 @@ def oracle_sql() -> dict[str, str]:
     # of the sha256 short-circuit + dup-group pair expansion
     sql["doc_lsh_near_dup_pairs_seeded"] = _pairs_sql(
         "docs2", preamble=f"docs2 AS ({_dups_cte}), "
+    )
+    # normalized-view LSH lane == brute force over the SAME normalized CTE
+    # (_code_cte plants the comment-decorated variants; _norm_expr is the
+    # identical regexp_replace chain both doc_code_normalize_seeded twins
+    # already pin character-for-character)
+    sql["doc_norm_lsh_near_dup_pairs_seeded"] = _pairs_sql(
+        "docsn",
+        preamble=(
+            _code_cte[len("WITH "):]
+            + f", docsn AS (SELECT doc_id, {_norm_expr} AS text FROM docs_c), "
+        ),
     )
     # ensemble: the three lane oracles composed verbatim as subqueries —
     # union all with lane tags, consensus count per pair; the clusters twin

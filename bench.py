@@ -75,6 +75,7 @@ def main() -> None:
         "doc_stats",
         "doc_winnow_near_dup_pairs",
         "doc_simhash_near_dup_pairs",
+        "doc_norm_lsh_near_dup_pairs_seeded",
         "doc_ensemble_dedup_clusters",
         "doc_decontam_hits",
         "doc_repetition_flags",
