@@ -19,6 +19,26 @@ from db_lsh_spark.operators.signatures import compute_signatures, with_ids_and_s
 from db_lsh_spark.operators.verify import verify_pairs
 
 
+def _sig_view(df: DataFrame, normalize_code: bool) -> DataFrame:
+    """Signature/verify-side view of a (…, content) frame — the streaming
+    twin of ``pipeline.run_dedup(normalize_code=True)``: with the flag set,
+    ``content`` is replaced by the comment-stripped, whitespace-collapsed
+    text (``operators/text.normalize_code_col``), so band hashes AND the
+    verify Jaccard see through comment/whitespace-only edits. Ids and
+    sha256 are computed on raw bytes UPSTREAM of this call."""
+    if not normalize_code:
+        return df
+    from db_lsh_spark.operators.text import normalize_code_col
+
+    return df.withColumn("content", normalize_code_col("content"))
+
+
+def _minhash_index_fp(cfg: DedupConfig, normalize_code: bool) -> str:
+    """Identity of a persisted text index: the LSH knobs plus the view —
+    a normalized index and a raw one must never load for each other."""
+    return cfg.index_fingerprint() + ("-norm" if normalize_code else "")
+
+
 def read_event_stream(
     spark: SparkSession, src_dir: str, schema, max_files_per_trigger: int = 4
 ) -> DataFrame:
@@ -65,6 +85,7 @@ def _minhash_stream_index(
     index_files: DataFrame | None,
     cfg: DedupConfig,
     index_store=None,
+    normalize_code: bool = False,
 ):
     """Build the static MinHash stream state ONCE: the banded signature
     table and the indexed contents (the verify stage's fetch side). The
@@ -73,7 +94,7 @@ def _minhash_stream_index(
     sees every file later merged by ``compact_minhash_index``."""
     if index_store is not None:
         return build_minhash_index_store(spark, index_files, index_store,
-                                         cfg)
+                                         cfg, normalize_code=normalize_code)
     if index_files is None:
         # would otherwise die deep in with_ids_and_sha with an opaque
         # AttributeError (code-review r5)
@@ -81,7 +102,7 @@ def _minhash_stream_index(
             "incremental dedup needs an index: pass index_files (rebuilt "
             "in memory) or index_store (persisted artifact), or both"
         )
-    indexed = with_ids_and_sha(index_files)
+    indexed = _sig_view(with_ids_and_sha(index_files), normalize_code)
     bands = explode_bands(compute_signatures(indexed, cfg)).localCheckpoint(
         eager=True
     )
@@ -99,11 +120,19 @@ def incremental_dedup_query(
     out_dir: str,
     checkpoint_dir: str,
     index_store=None,
+    normalize_code: bool = False,
 ) -> StreamingQuery:
     """Incremental near-dup detection: per micro-batch, signature the new
     documents, probe the static banded index on (band, band_hash), verify
     with exact Jaccard against the indexed contents, and append verified
     pairs to ``out_dir``.
+
+    ``normalize_code=True`` is the streaming twin of
+    ``pipeline.run_dedup(normalize_code=True)``: BOTH the index build and
+    the per-batch probe signature/verify the comment-stripped,
+    whitespace-collapsed view, so stream output equals the batch pipeline
+    under the same view. The persisted-index fingerprint carries the flag
+    — a normalized stream can never load a raw store (or vice versa).
 
     This is the streaming rendition of the reference's query path
     (``Query::cal_hash`` + ``sift``, ``Query.cpp:40-115``): the index is
@@ -120,7 +149,7 @@ def incremental_dedup_query(
     pure load.
     """
     index_bands, index_contents = _minhash_stream_index(
-        spark, index_files, cfg, index_store
+        spark, index_files, cfg, index_store, normalize_code=normalize_code
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -129,10 +158,13 @@ def incremental_dedup_query(
         # one row per doc_id WITHIN the batch, chosen deterministically
         # (max text) — two files landing in one trigger with the same id
         # would otherwise duplicate every pair row they verify
-        probe = with_ids_and_sha(
-            batch_df.groupBy(F.col("doc_id").alias("file_id")).agg(
-                F.max("text").alias("content")
-            )
+        probe = _sig_view(
+            with_ids_and_sha(
+                batch_df.groupBy(F.col("doc_id").alias("file_id")).agg(
+                    F.max("text").alias("content")
+                )
+            ),
+            normalize_code,
         )
         probe_bands = explode_bands(compute_signatures(probe, cfg))
         # engine-wide pair normalization: id_a < id_b, regardless of which
@@ -665,6 +697,7 @@ def build_minhash_index_store(
     index_files: DataFrame | None,
     store,
     cfg: DedupConfig,
+    normalize_code: bool = False,
 ):
     """Create-or-load BOTH halves of the persisted MinHash TEXT index —
     the banded signature table (stage ``minhash_bands``, range-laid-out
@@ -679,8 +712,12 @@ def build_minhash_index_store(
     With ``index_files=None`` the store must already be complete (pure
     load) — the restarted-stream startup that needs no access to the raw
     corpus at all (the reference's load-the-trees path,
-    ``dblsh.cpp:101-184``). Returns (bands frame, contents frame)."""
-    fp = cfg.index_fingerprint()
+    ``dblsh.cpp:101-184``). Returns (bands frame, contents frame).
+
+    ``normalize_code`` joins the recorded fingerprint: both halves hold
+    the VIEW the stream will probe/verify against, so a normalized store
+    and a raw one are distinct artifacts that never load for each other."""
+    fp = _minhash_index_fp(cfg, normalize_code)
     if index_files is None:
         if not (store.is_complete("minhash_bands")
                 and store.is_complete("minhash_contents")):
@@ -708,7 +745,7 @@ def build_minhash_index_store(
             "incompatible signatures; use a different store"
         )
     store.record_meta(index_fingerprint=fp)
-    indexed = with_ids_and_sha(index_files)
+    indexed = _sig_view(with_ids_and_sha(index_files), normalize_code)
     # contents FIRST (crash ordering): bands-without-contents would
     # generate candidates the verify fetch silently drops; contents
     # without bands merely aren't indexed yet — rebuild resumes cleanly
@@ -731,6 +768,7 @@ def compact_minhash_index(
     new_files: DataFrame,
     cfg: DedupConfig,
     merge_id: str | None = None,
+    normalize_code: bool = False,
 ):
     """Merge newly-landed documents into the persisted text index — BOTH
     halves: their contents into ``minhash_contents`` and their banded
@@ -763,14 +801,16 @@ def compact_minhash_index(
             "the index first (build_minhash_index_store), then compact "
             "into it"
         )
+    fp = _minhash_index_fp(cfg, normalize_code)
     recorded = store.meta().get("index_fingerprint")
-    if recorded != cfg.index_fingerprint():
+    if recorded != fp:
         raise ValueError(
             f"store at {store.root} records index config {recorded!r} but "
             f"this compaction's config hashes as "
-            f"{cfg.index_fingerprint()!r} — hashing new documents under "
-            "mismatched shingle/signature knobs would silently corrupt "
-            "the index; match the builder's config"
+            f"{fp!r} — hashing new documents under "
+            "mismatched shingle/signature knobs (or a mismatched "
+            "normalize_code view) would silently corrupt the index; "
+            "match the builder's config"
         )
     # one row per file_id WITHIN the batch, chosen deterministically (max
     # content) — the same rule the streaming probe applies; without it a
@@ -782,10 +822,13 @@ def compact_minhash_index(
     # ONCE: the two merges below each trigger write jobs, and a lazy
     # frame would re-run the dedup+sha per job — profiled at 3x the whole
     # append's cost on a 60k batch.
-    new_indexed = with_ids_and_sha(
-        new_files.groupBy("file_id").agg(F.max("content").alias("content"))
-        .join(store.read(spark, "minhash_contents").select("file_id"),
-              "file_id", "left_anti")
+    new_indexed = _sig_view(
+        with_ids_and_sha(
+            new_files.groupBy("file_id").agg(F.max("content").alias("content"))
+            .join(store.read(spark, "minhash_contents").select("file_id"),
+                  "file_id", "left_anti")
+        ),
+        normalize_code,
     ).localCheckpoint(eager=True)
     store.merge_stage(
         spark, "minhash_contents", new_indexed.select("file_id", "content"),
@@ -805,15 +848,19 @@ def compact_minhash_index_from_landing(
     store,
     landing_dir: str,
     cfg: DedupConfig,
+    normalize_code: bool = False,
 ) -> list[dict]:
     """Text twin of ``compact_l2_index_from_landing``: walk the
     ``batch-N`` subdirectories of a DOCUMENT landing directory — parquet
     batches carrying (file_id, content) rows — and merge each one not yet
-    in the ledger, under the shared ``_SUCCESS`` commit gate."""
+    in the ledger, under the shared ``_SUCCESS`` commit gate.
+    ``normalize_code`` must match the builder's (the recorded fingerprint
+    enforces it — a raw merge into a normalized index fails loudly)."""
     return _compact_from_landing(
         spark, landing_dir,
         lambda df, d: compact_minhash_index(spark, store, df, cfg,
-                                            merge_id=d),
+                                            merge_id=d,
+                                            normalize_code=normalize_code),
     )
 
 

@@ -84,8 +84,15 @@ def run(spark, args) -> dict:
             num_perm=args.num_perm if args.num_perm else args.bands * args.rows,
             bands=args.bands, rows=args.rows,
         )
-        default_fp = f"minhash-{cfg.index_fingerprint()}"
-        compact = compact_minhash_index_from_landing
+        norm = getattr(args, "normalize_code", False)
+        default_fp = f"minhash-{cfg.index_fingerprint()}" + (
+            "-norm" if norm else ""
+        )
+
+        def compact(spark, store, landing, _cfg):
+            return compact_minhash_index_from_landing(
+                spark, store, landing, _cfg, normalize_code=norm
+            )
     else:
         from db_lsh_spark.config import AnnConfig
         from db_lsh_spark.streaming.jobs import compact_l2_index_from_landing
@@ -155,6 +162,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--num-perm", type=int, default=None,
                    help="MinHash permutations (text lane; default "
                         "bands*rows)")
+    p.add_argument("--normalize-code", action="store_true",
+                   help="merge under the comment-stripped whitespace-"
+                        "collapsed view (text lane; must match the "
+                        "builder's flag — the recorded fingerprint "
+                        "enforces it)")
     p.add_argument("--winnow-w", type=int, default=8,
                    help="bottom-w sketch size (winnow lane)")
     p.add_argument("--winnow-k", type=int, default=16,

@@ -75,8 +75,9 @@ def _run_one_lane(spark, args, lane, cfg, index_files,
     if args.fingerprint and lane == "minhash":
         fp = args.fingerprint
     else:
+        norm = "-norm" if getattr(args, "normalize_code", False) else ""
         fp = {
-            "minhash": f"minhash-{cfg.index_fingerprint()}",
+            "minhash": f"minhash-{cfg.index_fingerprint()}{norm}",
             "simhash": "simhash64",
             "winnow": f"winnow-w{w}k{k}",
         }[lane]
@@ -123,6 +124,7 @@ def _run_one_lane(spark, args, lane, cfg, index_files,
         q = incremental_dedup_query(
             spark, doc_stream, index_docs, cfg, out_dir, ck_dir,
             index_store=store,
+            normalize_code=getattr(args, "normalize_code", False),
         )
     elif lane == "simhash":
         q = incremental_simhash_query(
@@ -201,6 +203,12 @@ def run(spark, args) -> dict:
     build_from = getattr(args, "build_from", None)
     index_files = spark.read.parquet(build_from) if build_from else None
     lane = getattr(args, "lane", None) or "minhash"
+    if getattr(args, "normalize_code", False) and lane != "minhash":
+        raise SystemExit(
+            "--normalize-code is the MinHash lane's view knob; the "
+            "simhash/winnow streaming twins do not take it (winnow "
+            "would sketch the raw text while the index held the view)"
+        )
     if lane != "ensemble":
         return _run_one_lane(spark, args, lane, cfg, index_files,
                              args.index_dir, args.output, args.checkpoint)
@@ -282,6 +290,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "checkpoint subdirectories) and reports the "
                         "distinct pair union — the streamed rendition of "
                         "documents.ensemble_near_dup_pairs")
+    p.add_argument("--normalize-code", action="store_true",
+                   help="signature/verify the comment-stripped, "
+                        "whitespace-collapsed view on BOTH the index and "
+                        "the stream (the streaming twin of run_pipeline "
+                        "--normalize-code); joins the store fingerprint, "
+                        "so a normalized index never loads a raw one. "
+                        "MinHash lane only")
     p.add_argument("--simhash-max-hamming", type=int, default=3)
     p.add_argument("--simhash-bands", type=int, default=4)
     p.add_argument("--winnow-w", type=int, default=8)

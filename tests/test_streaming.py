@@ -400,3 +400,100 @@ def test_incremental_l2_range_stream_equals_batch(spark, tmp_path):
     assert len(batch) > 0
     assert key(got) == key(batch)
     assert set(got.batch_id) == {0, 1}  # genuinely incremental (2 batches)
+
+
+def test_incremental_dedup_normalize_code_view(spark, tmp_path, dedup_cfg):
+    """Streaming twin of run_dedup(normalize_code=True): a streamed doc
+    that is the indexed body plus a copyright banner and a trailing
+    comment — raw shingle Jaccard 20/28 < 0.8 — verifies at jaccard 1
+    under the view; the real one-token edit never pairs either way."""
+    import pandas as pd
+
+    from db_lsh_spark.operators.text import CODE_SEED_VARIANTS
+
+    body, banner, _block, _hash, edit = CODE_SEED_VARIANTS
+    index_df = spark.createDataFrame(
+        pd.DataFrame({
+            "file_id": [5, 7],
+            "content": [body, " ".join(f"z{i}" for i in range(40))],
+        })
+    )
+    src = str(tmp_path / "srcn")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [10, 11], "text": [banner, edit]}).to_parquet(
+        f"{src}/p0.parquet", index=False
+    )
+    schema = "doc_id long, text string"
+
+    def run(normalize, tag):
+        doc_stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = incremental_dedup_query(
+            spark, doc_stream, index_df, dedup_cfg, out,
+            str(tmp_path / f"ck_{tag}"), normalize_code=normalize,
+        )
+        q.awaitTermination(300)
+        got = (spark.read.option("recursiveFileLookup", "true")
+               .parquet(out).toPandas())
+        return {tuple(sorted((a, b))): j
+                for a, b, j in zip(got.id_a, got.id_b, got.jaccard)}
+
+    norm = run(True, "norm")
+    assert norm.get((5, 10)) == 1.0   # identical modulo comments
+    assert (5, 11) not in norm        # the real edit stays out
+    raw = run(False, "raw")
+    assert (5, 10) not in raw         # raw shingles sit below threshold
+
+
+def test_minhash_store_normalize_forks_fingerprint(spark, tmp_path, dedup_cfg):
+    """A normalized persisted index and a raw one are distinct artifacts:
+    pure-loading or compacting under the other view fails loudly, and the
+    normalized store's contents hold the VIEW (the verify fetch side)."""
+    import pandas as pd
+
+    from db_lsh_spark.operators.text import CODE_SEED_VARIANTS
+    from db_lsh_spark.sources.io import StageStore
+    from db_lsh_spark.streaming.jobs import (
+        build_minhash_index_store,
+        compact_minhash_index,
+    )
+
+    body, banner, block, *_ = CODE_SEED_VARIANTS
+    files = spark.createDataFrame(
+        pd.DataFrame({"file_id": [1], "content": [banner]})
+    )
+    raw_store = StageStore(str(tmp_path / "idx_raw"), "fp")
+    build_minhash_index_store(spark, files, raw_store, dedup_cfg)
+    with pytest.raises(ValueError, match="mismatched LSH knobs"):
+        build_minhash_index_store(
+            spark, None, raw_store, dedup_cfg, normalize_code=True
+        )
+    with pytest.raises(ValueError, match="normalize_code view"):
+        compact_minhash_index(
+            spark, raw_store,
+            spark.createDataFrame(
+                pd.DataFrame({"file_id": [2], "content": [block]})
+            ),
+            dedup_cfg, merge_id="b0", normalize_code=True,
+        )
+
+    norm_store = StageStore(str(tmp_path / "idx_norm"), "fp")
+    build_minhash_index_store(
+        spark, files, norm_store, dedup_cfg, normalize_code=True
+    )
+    compact_minhash_index(
+        spark, norm_store,
+        spark.createDataFrame(
+            pd.DataFrame({"file_id": [2], "content": [block]})
+        ),
+        dedup_cfg, merge_id="b0", normalize_code=True,
+    )
+    contents = {
+        r.file_id: r.content
+        for r in norm_store.read(spark, "minhash_contents").collect()
+    }
+    # both decorations collapse to the body under the stored view
+    assert contents == {1: body, 2: body}

@@ -449,3 +449,58 @@ def test_stream_after_merge_equals_batch_on_union(spark, frames, tmp_path,
 
     key = lambda df: sorted(map(tuple, df.values.tolist()))  # noqa: E731
     assert key(got) == key(want)
+
+
+def test_run_stream_dedup_job_normalize_code(spark, tmp_path, dedup_cfg):
+    """jobs/run_stream_dedup.py --normalize-code: the index builds under
+    the view (fingerprint carries -norm, so it can never collide with a
+    raw store at the same root), and a streamed comment-decorated variant
+    of an indexed body verifies at jaccard 1; the flag is minhash-only."""
+    import argparse
+    import importlib.util
+
+    import pandas as pd
+    import pytest
+
+    from db_lsh_spark.operators.text import CODE_SEED_VARIANTS
+
+    spec = importlib.util.spec_from_file_location(
+        "run_stream_dedup",
+        os.path.join(os.path.dirname(__file__), "..", "jobs",
+                     "run_stream_dedup.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    body, banner, *_ = CODE_SEED_VARIANTS
+    corpus = str(tmp_path / "corpus_n")
+    spark.createDataFrame(pd.DataFrame({
+        "file_id": [1, 2],
+        "content": [body, " ".join(f"q{i}" for i in range(40))],
+    })).write.parquet(corpus)
+    landing = str(tmp_path / "stream_n")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [10], "text": [banner]})
+    ).coalesce(1).write.parquet(landing)
+
+    base = dict(
+        stream=landing, index_dir=str(tmp_path / "idx_n"),
+        output=str(tmp_path / "out_n"), checkpoint=str(tmp_path / "ck_n"),
+        build_from=corpus, fingerprint=None, dataset_id=None,
+        shingle_k=dedup_cfg.shingle_k, num_perm=dedup_cfg.num_perm,
+        bands=dedup_cfg.bands, rows=dedup_cfg.rows,
+        jaccard_threshold=dedup_cfg.jaccard_threshold,
+        seed=dedup_cfg.seed, max_files_per_trigger=4,
+    )
+    out = job.run(spark, argparse.Namespace(normalize_code=True, **base))
+    assert "-norm-" in out["fingerprint"]
+    assert out["n_pairs_this_run"] == 1
+    got = spark.read.option("recursiveFileLookup", "true").parquet(
+        out["output"]
+    ).collect()[0]
+    assert (got.id_a, got.id_b, got.jaccard) == (1, 10, 1.0)
+
+    with pytest.raises(SystemExit, match="MinHash lane"):
+        job.run(spark, argparse.Namespace(
+            normalize_code=True, lane="winnow", **base
+        ))
