@@ -378,6 +378,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_with_licenses(s, d)
     )
 
+    def _license_conflicts_seeded(s: SparkSession, d: str) -> DataFrame:
+        # the license-laundering audit: dedup the license-seeded corpus
+        # (each planted clone is a near-dup of doc 0, so they cluster
+        # together), then flag clusters whose members carry different
+        # detected licenses — doc 0 is 'unknown', its clones are
+        # MIT-0/MIT/Apache-2.0/BSD-3-Clause/GPL/BSD-2-Clause, exactly the
+        # header-swap shape the audit exists to catch
+        from db_lsh_spark.documents import dedup_clusters
+
+        docs = _docs_with_licenses(s, d)
+        assign = dedup_clusters(s, docs, DOC_DEDUP_CFG)
+        return text_ops.license_conflicts(assign, docs)
+
+    q["doc_cluster_license_conflicts_seeded"] = _license_conflicts_seeded
+
     # Code normalization — the signature-side similarity view (comment
     # strip + whitespace collapse, map-only regexp chain): the normalized
     # corpus plus the normalized exact-dup groups that collapse
@@ -1686,13 +1701,17 @@ def oracle_sql() -> dict[str, str]:
     # test threshold the components are stars around a base doc, but the
     # general recursive closure is expressed here (DuckDB recursive CTE
     # computing min-reachable-id as the cluster label).
-    _closure_ctes = f"""
-        WITH RECURSIVE sh AS (
+    def _closure_for(src: str, preamble: str = "") -> str:
+        """The dedup-cluster closure (0.9-Jaccard pairs ∪ exact-text
+        edges → recursive min-reachable-id labels) over any doc CTE —
+        parametrized so seeded tables reuse the identical rule."""
+        return f"""
+        WITH RECURSIVE {preamble}sh AS (
             SELECT doc_id,
                    unnest(list_distinct(list_transform(
                        range(1, greatest(len({toks}) - 4, 1) + 1),
                        i -> array_to_string(({toks})[i:i+4], ' ')))) AS s
-            FROM documents
+            FROM {src}
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         inter AS (
@@ -1707,7 +1726,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= 0.9
             UNION
             SELECT least(d1.doc_id, d2.doc_id), greatest(d1.doc_id, d2.doc_id)
-            FROM documents d1 JOIN documents d2
+            FROM {src} d1 JOIN {src} d2
               ON d1.text = d2.text AND d1.doc_id < d2.doc_id
         ),
         edges AS (
@@ -1719,6 +1738,8 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
         )"""
+
+    _closure_ctes = _closure_for("documents")
     sql["doc_dedup_clusters"] = f"""
         {_closure_ctes}
         SELECT min(label) AS cluster_id, node AS doc_id
@@ -1784,6 +1805,29 @@ def oracle_sql() -> dict[str, str]:
                    AS n_dup_docs
         FROM labeled GROUP BY split
     """
+    # license-laundering audit: the SAME closure rule over the
+    # license-seeded table (docs_l), labels joined back per doc, clusters
+    # mixing >= 2 distinct detected licenses ('unknown' counts — a
+    # header-stripped copy IS the laundering shape)
+    sql["doc_cluster_license_conflicts_seeded"] = f"""
+        {_closure_for("docs_l", preamble=_lic_cte[len("WITH "):] + ", ")},
+        labels AS (
+            SELECT d.doc_id, COALESCE(r.cluster_id, d.doc_id) AS cluster_id,
+                   {_lic_expr} AS license
+            FROM docs_l d
+            LEFT JOIN (SELECT node, min(label) AS cluster_id
+                       FROM reach GROUP BY node) r ON d.doc_id = r.node
+        ),
+        sets AS (
+            SELECT cluster_id, count(*)::BIGINT AS n_docs,
+                   list_sort(list_distinct(list(license))) AS ls
+            FROM labels GROUP BY cluster_id
+        )
+        SELECT cluster_id, n_docs, len(ls)::BIGINT AS n_licenses,
+               array_to_string(ls, ',') AS licenses
+        FROM sets WHERE len(ls) >= 2
+    """
+
     # cross-split contamination audit: identical clamped 13-gram
     # generation to the decontam twin, split labels composed from the
     # same seeded-md5 CASE — once on doc_id (naive), once on cluster_id

@@ -88,6 +88,7 @@ def main() -> None:
         "doc_token_budget_mix",
         "doc_sequence_pack",
         "doc_cluster_split",
+        "doc_cluster_license_conflicts_seeded",
         "doc_split_contamination_naive",
         "emb_knn_bruteforce",
         "emb_knn_lsh",

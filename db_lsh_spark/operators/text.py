@@ -990,6 +990,46 @@ def license_census(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def license_conflicts(
+    assign: DataFrame, docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Dup clusters whose members carry DIFFERENT detected licenses — the
+    license-laundering audit a code corpus runs after dedup: a near-dup
+    cluster mixing MIT and GPL copies (or a labeled copy and a
+    header-stripped one — 'unknown' deliberately counts as a distinct
+    label, because {MIT copy, stripped copy} is exactly the laundering
+    shape) means some copy shed or swapped its header and the corpus
+    cannot trust per-file labels inside that cluster.
+
+    ``assign`` is a (doc_id, cluster_id) assignment (e.g.
+    ``documents.dedup_clusters``); returns (cluster_id, n_docs,
+    n_licenses, licenses) for clusters with >= 2 distinct labels,
+    ``licenses`` the sorted comma-joined distinct label set.
+
+    100-TB shape: the map-only (doc_id, license) projection joins the
+    slim assignment on doc_id (both sides id-keyed — co-located under
+    bucketing), then ONE partial-aggregated groupBy on cluster_id; the
+    per-cluster distinct-label set is bounded by the license vocabulary
+    (hundreds at most), so collect_set never balloons even on sha/vendor
+    mega-clusters."""
+    lic = license_id(docs, text_col)
+    agg = (
+        assign.select("doc_id", "cluster_id")
+        .join(lic, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sort_array(F.collect_set("license")).alias("_labels"),
+        )
+    )
+    return agg.select(
+        "cluster_id",
+        "n_docs",
+        F.size("_labels").cast("long").alias("n_licenses"),
+        F.array_join("_labels", ",").alias("licenses"),
+    ).where(F.col("n_licenses") >= 2)
+
+
 def license_keep(
     docs: DataFrame,
     allowed: tuple[str, ...] = LICENSE_ALLOWED_DEFAULT,

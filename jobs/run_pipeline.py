@@ -186,6 +186,14 @@ def main(argv: list[str] | None = None) -> None:
                         "actual permissive-only policy; default keeps "
                         "unknown — a missing header is not evidence of a "
                         "restrictive license). Requires --license-allow")
+    p.add_argument("--license-audit", action="store_true",
+                   help="after clustering, flag dup clusters whose members "
+                        "carry DIFFERENT detected licenses (the license-"
+                        "laundering audit: a copy shed or swapped its "
+                        "header; 'unknown' counts as a distinct label). "
+                        "Writes <output>/license_conflicts and the cluster "
+                        "count into the summary. Most useful WITHOUT "
+                        "--license-allow — the gate drops the evidence")
     p.add_argument("--pack-seed", type=int, default=None,
                    help="seed for the packing order (default: --seed)")
     p.add_argument("--pack-keep-partial", action="store_true",
@@ -407,6 +415,31 @@ def main(argv: list[str] | None = None) -> None:
                 f"{args.output}/vendored_dirs"
             ).count(),
             "report_sec": round(time.monotonic() - t_rep, 2),
+        }
+    license_audit_report: dict | None = None
+    if args.license_audit:
+        from pyspark.sql import functions as F
+
+        from db_lsh_spark.operators.text import license_conflicts
+
+        t_aud = time.monotonic()
+        # read-back of the just-written assignment (slim parquet scan, the
+        # post-stage pattern); labels are detected on the SURVIVORS' raw
+        # content — the frame run_dedup actually clustered
+        assign = spark.read.parquet(f"{args.output}/clusters").select(
+            F.col("file_id").alias("doc_id"), "cluster_id"
+        )
+        docs = out.files.select(
+            F.col("file_id").alias("doc_id"), F.col("content").alias("text")
+        )
+        license_conflicts(assign, docs).write.mode("overwrite").parquet(
+            f"{args.output}/license_conflicts"
+        )
+        license_audit_report = {
+            "n_conflict_clusters": spark.read.parquet(
+                f"{args.output}/license_conflicts"
+            ).count(),
+            "audit_sec": round(time.monotonic() - t_aud, 2),
         }
     keep_report: dict | None = None
     if args.keep_list:
@@ -703,6 +736,7 @@ def main(argv: list[str] | None = None) -> None:
         "keep_list": keep_report,
         "curation": curation_report,
         "license": license_report,
+        "license_audit": license_audit_report,
         "normalize_code": args.normalize_code or None,
         "split": split_report,
         "sample": sample_report,

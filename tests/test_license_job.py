@@ -91,3 +91,54 @@ def test_spark_submit_license_gate_and_normalized_view(tmp_path):
         ).fetchall()
     )
     assert census == {"GPL": 1, "unknown": 15}
+
+
+def test_spark_submit_license_audit_flags_mixed_cluster(tmp_path):
+    """run_pipeline --license-audit: a near-dup pair whose two copies
+    carry DIFFERENT license headers (the laundering shape) surfaces as a
+    conflict cluster; uniform and singleton clusters stay silent."""
+    from db_lsh_spark.session import package_zip
+
+    rng = np.random.default_rng(31)
+    vocab = [f"tok{i:04d}" for i in range(700)]
+    body = " ".join(vocab[i] for i in rng.integers(0, 700, 130))
+    rows = [
+        (0, "r0", "mit.py", "c0", "py",
+         f"{body} {LICENSE_PHRASES[0][1]} grant text"),
+        (1, "r0", "gpl.py", "c0", "py",
+         f"{body} {LICENSE_PHRASES[3][1]} notice text"),
+    ]
+    for fid in range(2, 10):
+        text = " ".join(vocab[i] for i in rng.integers(0, 700, 130))
+        rows.append((fid, "r1", f"f{fid}.py", "c0", "py", text))
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pd.DataFrame(
+        rows, columns=["file_id", "repo", "path", "commit", "lang", "content"]
+    ).to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out,
+            "--license-audit",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["license_audit"]["n_conflict_clusters"] == 1
+    assert summary["n_dup_assignments"] == 1  # exactly the planted pair
+
+    import duckdb
+
+    con = duckdb.connect()
+    flagged = con.execute(
+        f"SELECT n_docs, n_licenses, licenses "
+        f"FROM '{out}/license_conflicts/*.parquet'"
+    ).fetchall()
+    assert flagged == [(2, 2, "GPL,MIT")]

@@ -333,3 +333,28 @@ def test_norm_and_license_fork_the_checkpoint_fingerprint(spark, tmp_path):
     assert not any(r.skipped for r in out_norm.store.results)
     assert not any(r.skipped for r in out_lic.store.results)
     assert not any(r.skipped for r in out_lic2.store.results)
+
+
+def test_license_conflicts_semantics(spark):
+    """Hand-pinned laundering audit: mixed-label clusters flagged with the
+    sorted distinct label set ('unknown' counts — a header-stripped copy
+    IS the laundering shape), uniform clusters and singletons silent."""
+    from db_lsh_spark.operators.text import license_conflicts
+
+    mit = LICENSE_PHRASES[0][1]
+    gpl = LICENSE_PHRASES[3][1]
+    docs = _df(spark, [
+        (1, f"a {mit}."), (2, f"b {gpl}."),          # cluster 10: MIT+GPL
+        (3, f"c {mit}."), (4, f"d {mit}."),          # cluster 20: uniform
+        (5, f"e {mit}."), (6, "f no header"),        # cluster 30: MIT+unknown
+        (7, f"g {gpl}."),                            # singleton
+    ])
+    assign = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20), (5, 30), (6, 30), (7, 7)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r.cluster_id: (r.n_docs, r.n_licenses, r.licenses)
+        for r in license_conflicts(assign, docs).collect()
+    }
+    assert got == {10: (2, 2, "GPL,MIT"), 30: (2, 2, "MIT,unknown")}
