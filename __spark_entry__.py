@@ -216,6 +216,20 @@ def _docs_with_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(plants)
 
 
+def _docs_with_type2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the five planted Type-2 seeds at doc_id 8_000_000+i
+    (TYPE2_SEED_VARIANTS: a body, its full identifier/literal rename, the
+    rename plus comment decorations — all three must collapse under the
+    masked view — plus a keyword swap and a structural edit that must
+    not; the oracle plants the same literals)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    plants = spark.createDataFrame(
+        [(8_000_000 + i, v) for i, v in enumerate(text_ops.TYPE2_SEED_VARIANTS)],
+        "doc_id long, text string",
+    )
+    return docs.unionByName(plants)
+
+
 def _docs_for_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ the secrets-planted clones (+4M) ∪ the URL-planted
     clones (+5M) — the curation-funnel input, making every funnel stage
@@ -420,6 +434,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lsh_near_dup_pairs(docs, DOC_DEDUP_CFG)
 
     q["doc_norm_lsh_near_dup_pairs_seeded"] = _norm_lsh_pairs_seeded
+
+    # Type-2 clone view — identifier/literal masking on top of the Type-1
+    # normalization (clone-detection terminology: Type-1 = comments/
+    # whitespace only, Type-2 = + renamed identifiers / changed literals).
+    # Seeded over _docs_with_type2: the rename and the comment-decorated
+    # rename collapse with the base under the masked view; the keyword
+    # swap (if→while) and the structural edit stay distinct.
+    q["doc_ident_mask_seeded"] = lambda s, d: text_ops.code_mask_idents(
+        _docs_with_type2(s, d)
+    )
+    q["doc_type2_exact_dup_groups_seeded"] = (
+        lambda s, d: text_ops.type2_exact_dup_groups(_docs_with_type2(s, d))
+    )
+
+    def _type2_lsh_pairs_seeded(s: SparkSession, d: str) -> DataFrame:
+        # the FULL MinHash-LSH lane over the MASKED view. Restricted to a
+        # bounded slice of the natural corpus (doc_id < 40) plus the
+        # seeds: masking a PROSE document degenerates to ID-runs, so on a
+        # non-code corpus the view makes unrelated documents near-dup by
+        # construction — the lane is for code tables, and the bounded
+        # slice keeps the all-pairs oracle meaningful while still
+        # exercising the natural docs' masked shingles at every sf.
+        from db_lsh_spark.documents import lsh_near_dup_pairs
+
+        docs = (
+            _docs_with_type2(s, d)
+            .where((F.col("doc_id") < 40) | (F.col("doc_id") >= 8_000_000))
+            .select(
+                "doc_id", text_ops.mask_idents_col("text").alias("text")
+            )
+        )
+        return lsh_near_dup_pairs(docs, DOC_DEDUP_CFG)
+
+    q["doc_type2_lsh_near_dup_pairs_seeded"] = _type2_lsh_pairs_seeded
 
     # The curation funnel — the full per-document filter chain (quality →
     # repetition → secrets → url_blocklist → decontam) as one map-only
@@ -1423,11 +1471,14 @@ def oracle_sql() -> dict[str, str]:
     # CASE to NULL, then COALESCE — same as Spark's contains(NULL))
     from db_lsh_spark.operators.text import (
         CODE_COMMENT_PATTERNS,
+        CODE_KEYWORDS,
         CODE_SEED_VARIANTS,
+        CODE_TOKEN_PATTERN,
         LICENSE_ALLOWED_DEFAULT,
         LICENSE_PHRASES,
         LICENSE_SEED_SUFFIXES,
         SPDX_PATTERN,
+        TYPE2_SEED_VARIANTS,
         WS_RUN_PATTERN,
     )
 
@@ -1495,6 +1546,43 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS group_size,
                min(doc_id) AS min_doc_id
         FROM (SELECT doc_id, {_norm_expr} AS text_norm FROM docs_c)
+        GROUP BY 1 HAVING count(*) > 1
+    """
+
+    # Type-2 masked-view twins: the identical tokenize → per-token-class
+    # CASE → rejoin chain as mask_idents_col, on top of the SAME _norm_expr
+    # (both engines use leftmost-first alternation, so tokenization is
+    # bit-identical). array_to_string over an empty list is NULL in DuckDB
+    # where Spark's array_join gives '' — coalesce under a NULL-text
+    # passthrough pins that corner (empty/whitespace-only doc masks to '',
+    # NULL stays NULL).
+    _t2_cte = "WITH docs_t2 AS (SELECT doc_id, text FROM documents" + "".join(
+        f"""
+          UNION ALL SELECT (8000000 + {i})::BIGINT AS doc_id,
+                           {_sql_str(v)} AS text"""
+        for i, v in enumerate(TYPE2_SEED_VARIANTS)
+    ) + ")"
+    _kw_list = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+    _mask_expr = f"""CASE WHEN text IS NULL THEN NULL ELSE coalesce(
+        array_to_string(list_transform(
+            regexp_extract_all({_norm_expr},
+                '{CODE_TOKEN_PATTERN.replace("'", "''")}'),
+            t -> CASE
+                WHEN regexp_matches(t, '^["'']') THEN 'STR'
+                WHEN regexp_matches(t, '^[0-9]') THEN 'NUM'
+                WHEN lower(t) IN ({_kw_list}) THEN t
+                WHEN regexp_matches(t, '^[A-Za-z_]') THEN 'ID'
+                ELSE t END), ' '), '') END"""
+    sql["doc_ident_mask_seeded"] = f"""
+        {_t2_cte}
+        SELECT doc_id, {_mask_expr} AS text_masked FROM docs_t2
+    """
+    sql["doc_type2_exact_dup_groups_seeded"] = f"""
+        {_t2_cte}
+        SELECT md5(text_masked) AS content_md5,
+               count(*) AS group_size,
+               min(doc_id) AS min_doc_id
+        FROM (SELECT doc_id, {_mask_expr} AS text_masked FROM docs_t2)
         GROUP BY 1 HAVING count(*) > 1
     """
 
@@ -1622,6 +1710,19 @@ def oracle_sql() -> dict[str, str]:
         preamble=(
             _code_cte[len("WITH "):]
             + f", docsn AS (SELECT doc_id, {_norm_expr} AS text FROM docs_c), "
+        ),
+    )
+    # Type-2 masked-view LSH lane == brute force over the SAME masked CTE,
+    # restricted to the bounded natural slice (doc_id < 40) plus the seeds
+    # — see the Spark-side comment for why masking a prose corpus must be
+    # sliced for an all-pairs oracle to stay meaningful
+    sql["doc_type2_lsh_near_dup_pairs_seeded"] = _pairs_sql(
+        "docst2m",
+        preamble=(
+            _t2_cte[len("WITH "):]
+            + f""", docst2m AS (SELECT doc_id, {_mask_expr} AS text
+                    FROM docs_t2
+                    WHERE doc_id < 40 OR doc_id >= 8000000), """
         ),
     )
     # ensemble: the three lane oracles composed verbatim as subqueries —

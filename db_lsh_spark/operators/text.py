@@ -1104,3 +1104,103 @@ def norm_exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return exact_dup_groups(
         docs.select("doc_id", normalize_code_col(text_col).alias("text"))
     )
+
+
+# --------------------------------------------------------------------------
+# Type-2 clone view — identifier/literal MASKING on top of the Type-1
+# normalization above. Clone-detection terminology (Roy & Cordy 2007,
+# SourcererCC): Type-1 clones differ only in comments/whitespace (the
+# ``normalize_code_col`` view); Type-2 clones additionally rename
+# identifiers and change literal values. The view tokenizes the Type-1
+# text and replaces every non-keyword identifier with ``ID``, every
+# numeric literal with ``NUM`` and every string literal with ``STR`` —
+# keywords and punctuation survive, so control-flow structure still
+# distinguishes documents (an ``if`` body is never a clone of a ``while``
+# body). This is the BLIND (non-positional) masking used by token-bag
+# clone detectors: renaming x→y and y→x both map to ``ID``, trading a
+# little precision for a view that is one map-only JVM expression chain —
+# positional α-renaming (ID1, ID2, … by first occurrence) needs stateful
+# per-token logic that neither whole-stage codegen nor the DuckDB twin
+# can express, and the exact-verify stage downstream restores precision.
+#
+# Every pattern lives in the Java-regex ∩ RE2 common subset and both
+# engines use leftmost-FIRST alternation, so the tokenization is
+# bit-identical across Spark and the oracle. Unterminated string quotes
+# fall through to the single-punct alternative (deterministic in both).
+CODE_KEYWORDS = (
+    "and", "as", "assert", "async", "await", "bool", "break", "case",
+    "catch", "char", "class", "const", "continue", "def", "default",
+    "delete", "do", "double", "elif", "else", "except", "false",
+    "finally", "float", "for", "from", "function", "if", "import", "in",
+    "int", "is", "lambda", "let", "long", "new", "none", "not", "null",
+    "or", "pass", "private", "protected", "public", "raise", "return",
+    "self", "short", "static", "struct", "switch", "this", "throw",
+    "true", "try", "typedef", "unsigned", "var", "void", "while",
+    "with", "yield",
+)
+CODE_TOKEN_PATTERN = (
+    r'"([^"\\\n]|\\.)*"'          # double-quoted string literal
+    r"|'([^'\\\n]|\\.)*'"         # single-quoted string literal
+    r"|[0-9]+(\.[0-9]+)?"         # numeric literal (int or simple float)
+    r"|[A-Za-z_][A-Za-z0-9_]*"    # identifier or keyword
+    r"|[^ A-Za-z0-9_]"            # any other single non-space char
+)
+
+# Planted Type-2 seeds: variants 0-2 must collapse under the masked view
+# (1 = full α-rename + literal changes, 2 = the rename plus comment
+# decorations, exercising that masking composes on the Type-1 view);
+# variant 3 swaps a KEYWORD (if→while: masking must preserve it) and
+# variant 4 edits structure (drops the return statement) — neither may
+# collapse. Variant 1 is NOT a Type-1 clone of 0 (renames change the raw
+# normalized text), which is exactly the gap this view closes.
+TYPE2_SEED_BODY = (
+    'if ( n > 10 ) { s = s + "x" ; } return f ( s , n , 0.5 ) ;'
+)
+TYPE2_SEED_VARIANTS = (
+    TYPE2_SEED_BODY,
+    'if ( count > 99 ) { buf = buf + "yy" ; } return emit ( buf , count , 1.25 ) ;',
+    '// vendored copy\nif ( count > 99 ) { buf = buf + "yy" ; }'
+    " return emit ( buf , count , 1.25 ) ; /* tail */",
+    'while ( n > 10 ) { s = s + "x" ; } return f ( s , n , 0.5 ) ;',
+    'if ( n > 10 ) { s = s + "x" ; }',
+)
+
+
+def mask_idents_col(text_col: str = "text"):
+    """Column expression: the Type-2 masked view. Composes the Type-1
+    normalization (comments stripped, whitespace collapsed), then
+    tokenize → per-token-class mask → rejoin, all JVM higher-order
+    functions (regexp_extract_all + transform + array_join) — map-only,
+    zero shuffle, no Python."""
+    toks = F.regexp_extract_all(
+        normalize_code_col(text_col), F.lit(CODE_TOKEN_PATTERN), 0
+    )
+    masked = F.transform(
+        toks,
+        lambda t: (
+            F.when(t.rlike(r"^[\"']"), F.lit("STR"))
+            .when(t.rlike(r"^[0-9]"), F.lit("NUM"))
+            .when(F.lower(t).isin(*CODE_KEYWORDS), t)
+            .when(t.rlike(r"^[A-Za-z_]"), F.lit("ID"))
+            .otherwise(t)
+        ),
+    )
+    return F.array_join(masked, " ")
+
+
+def code_mask_idents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Masked-view corpus: (doc_id, text_masked)."""
+    return docs.select(
+        "doc_id", mask_idents_col(text_col).alias("text_masked")
+    )
+
+
+def type2_exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups under the Type-2 masked view — catches
+    renamed-identifier / changed-literal clones that neither raw md5 nor
+    the Type-1 normalized groups can see. Same output contract as
+    ``exact_dup_groups``: (content_md5, group_size, min_doc_id), groups
+    of size > 1 only."""
+    return exact_dup_groups(
+        docs.select("doc_id", mask_idents_col(text_col).alias("text"))
+    )

@@ -1,0 +1,136 @@
+"""Type-2 clone view (operators/text.py mask_idents_col): hand-pinned
+masked output, collapse of the planted rename/decorated-rename variants
+(and NON-collapse of the keyword swap and the structural edit), keyword
+preservation incl. case-insensitivity, the NULL/empty contract, a map-only
+plan pin, and DuckDB twin parity over adversarial token shapes."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.text import (
+    CODE_COMMENT_PATTERNS,
+    CODE_KEYWORDS,
+    CODE_TOKEN_PATTERN,
+    TYPE2_SEED_BODY,
+    TYPE2_SEED_VARIANTS,
+    WS_RUN_PATTERN,
+    code_mask_idents,
+    mask_idents_col,
+    type2_exact_dup_groups,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _mask(spark, texts):
+    rows = _df(spark, list(enumerate(texts))).select(
+        "doc_id", mask_idents_col("text").alias("m")
+    ).collect()
+    return [r.m for r in sorted(rows, key=lambda r: r.doc_id)]
+
+
+def test_mask_hand_pinned(spark):
+    (m,) = _mask(spark, [TYPE2_SEED_BODY])
+    assert m == (
+        "if ( ID > NUM ) { ID = ID + STR ; } "
+        "return ID ( ID , ID , NUM ) ;"
+    )
+
+
+def test_planted_variants_collapse_except_keyword_and_structure(spark):
+    masks = _mask(spark, list(TYPE2_SEED_VARIANTS))
+    # 0 = base, 1 = full rename + literal changes, 2 = rename + comments:
+    # all three are the SAME Type-2 clone class
+    assert masks[0] == masks[1] == masks[2]
+    # 3 swaps a keyword (if -> while): keywords survive masking
+    assert masks[3] != masks[0]
+    assert masks[3].startswith("while (")
+    # 4 drops the return statement: structure is not masked away
+    assert masks[4] != masks[0]
+
+
+def test_keywords_preserved_case_insensitively(spark):
+    m_low, m_up, m_mix = _mask(spark, ["return x", "RETURN x", "Return x"])
+    # keyword token kept verbatim (original case), identifier masked
+    assert m_low == "return ID"
+    assert m_up == "RETURN ID"
+    assert m_mix == "Return ID"
+
+
+def test_literal_classes(spark):
+    (m,) = _mask(spark, ["""a = 42 + 3.5 ; b = "s1" + 'don\\'t' ;"""])
+    assert m == "ID = NUM + NUM ; ID = STR + STR ;"
+
+
+def test_null_and_empty_contract(spark):
+    rows = _df(spark, [(0, None), (1, ""), (2, "   \t\n"), (3, "// only")])
+    got = {
+        r.doc_id: r.m
+        for r in rows.select(
+            "doc_id", mask_idents_col("text").alias("m")
+        ).collect()
+    }
+    assert got[0] is None
+    assert got[1] == "" and got[2] == "" and got[3] == ""
+
+
+def test_type2_dup_groups_catch_renames_raw_md5_cannot(spark):
+    docs = _df(
+        spark,
+        [
+            (0, TYPE2_SEED_VARIANTS[0]),
+            (1, TYPE2_SEED_VARIANTS[1]),
+            (2, TYPE2_SEED_VARIANTS[2]),
+            (3, TYPE2_SEED_VARIANTS[3]),
+            (4, TYPE2_SEED_VARIANTS[4]),
+        ],
+    )
+    groups = type2_exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    (g,) = groups
+    assert g.group_size == 3 and g.min_doc_id == 0
+
+
+def test_mask_plan_is_map_only(spark):
+    plan = code_mask_idents(
+        _df(spark, [(0, "x = 1")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_duckdb_twin_parity_adversarial(spark):
+    cases = list(TYPE2_SEED_VARIANTS) + [
+        "",
+        'x = "unterminated',
+        "CamelCase IF If if",
+        "v2 = 3.14 + x_1 ; // c\n/* b */ print ( 'don\\'t' )",
+        'nested "str with \\" esc" tail',
+        "1e5 0x1F 2.5.3",
+        "___ _x x_ 9z",
+    ]
+    got = _mask(spark, cases)
+    norm = "text"
+    for p in CODE_COMMENT_PATTERNS:
+        norm = f"regexp_replace({norm}, '{p}', ' ', 'g')"
+    norm = f"trim(regexp_replace({norm}, '{WS_RUN_PATTERN}', ' ', 'g'))"
+    kw = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+    pat = CODE_TOKEN_PATTERN.replace("'", "''")
+    mask = f"""CASE WHEN text IS NULL THEN NULL ELSE coalesce(
+      array_to_string(list_transform(regexp_extract_all({norm}, '{pat}'),
+        t -> CASE
+          WHEN regexp_matches(t, '^["'']') THEN 'STR'
+          WHEN regexp_matches(t, '^[0-9]') THEN 'NUM'
+          WHEN lower(t) IN ({kw}) THEN t
+          WHEN regexp_matches(t, '^[A-Za-z_]') THEN 'ID'
+          ELSE t END), ' '), '') END"""
+    con = duckdb.connect()
+    for text, spark_masked in zip(cases, got):
+        want = con.execute(
+            f"SELECT {mask} FROM (SELECT ?::VARCHAR AS text)", [text]
+        ).fetchone()[0]
+        assert spark_masked == want, (text, spark_masked, want)
