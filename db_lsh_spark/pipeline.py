@@ -79,6 +79,7 @@ def run_dedup(
     curate_bench: DataFrame | None = None,
     curate_opts: dict | None = None,
     normalize_code: bool = False,
+    mask_idents: bool = False,
     license_allow: tuple[str, ...] | None = None,
     license_allow_unknown: bool = True,
 ) -> DedupOutput:
@@ -131,7 +132,11 @@ def run_dedup(
     normalize_code_col``): shingle/simhash/winnow sketches and the verify
     Jaccard+LCS see through comment/whitespace-only edits, while the
     exact-dup edges and the stored content keep raw bytes (the per-row
-    content sha256 invariant is untouched). ``license_allow`` applies the
+    content sha256 invariant is untouched). ``mask_idents=True`` goes one
+    level further to the Type-2 clone view (``mask_idents_col``:
+    non-keyword identifiers → ID, numbers → NUM, strings → STR on top of
+    the Type-1 strip), so renamed-copy clones cluster; the two view flags
+    are mutually exclusive. ``license_allow`` applies the
     keep-by-license gate BEFORE anything else, The Stack's stage order
     (SPDX tag wins, then header phrases; 'unknown' kept unless
     ``license_allow_unknown=False``), with the corpus license census
@@ -181,10 +186,18 @@ def run_dedup(
         fp += "-curate" + _hl.md5(_ckey.encode()).hexdigest()[:8]
     elif curate_bench is not None or curate_opts:
         raise ValueError("curate_bench/curate_opts require curate=True")
+    if normalize_code and mask_idents:
+        raise ValueError(
+            "normalize_code and mask_idents are mutually exclusive — the "
+            "Type-2 masked view already composes the Type-1 strip"
+        )
     if normalize_code:
         # the similarity view changes every signature downstream — a
         # normalized checkpoint must never resume a raw one
         fp += "-norm"
+    if mask_idents:
+        # same reasoning, third view: a masked checkpoint is its own world
+        fp += "-mask"
     if license_allow is not None:
         import hashlib as _hl
 
@@ -271,7 +284,13 @@ def run_dedup(
     # stripped, whitespace-collapsed text (near-dup MODULO comments),
     # while sha256 exact edges and the stored content stay raw bytes —
     # the per-row content sha256 invariant is untouched
-    if normalize_code:
+    if mask_idents:
+        from db_lsh_spark.operators.text import mask_idents_col
+
+        fi_sig = files_ids.select(
+            "file_id", "sha256", mask_idents_col("content").alias("content")
+        )
+    elif normalize_code:
         from db_lsh_spark.operators.text import normalize_code_col
 
         fi_sig = files_ids.select(

@@ -19,13 +19,22 @@ from db_lsh_spark.operators.signatures import compute_signatures, with_ids_and_s
 from db_lsh_spark.operators.verify import verify_pairs
 
 
-def _sig_view(df: DataFrame, normalize_code: bool) -> DataFrame:
+def _sig_view(
+    df: DataFrame, normalize_code: bool, mask_idents: bool = False
+) -> DataFrame:
     """Signature/verify-side view of a (…, content) frame — the streaming
-    twin of ``pipeline.run_dedup(normalize_code=True)``: with the flag set,
-    ``content`` is replaced by the comment-stripped, whitespace-collapsed
-    text (``operators/text.normalize_code_col``), so band hashes AND the
-    verify Jaccard see through comment/whitespace-only edits. Ids and
-    sha256 are computed on raw bytes UPSTREAM of this call."""
+    twin of ``pipeline.run_dedup(normalize_code=True / mask_idents=True)``:
+    with ``normalize_code``, ``content`` is replaced by the comment-
+    stripped, whitespace-collapsed text (``operators/text.
+    normalize_code_col``); with ``mask_idents``, by the Type-2 masked text
+    (``mask_idents_col`` — which composes the Type-1 strip, so the flags
+    are mutually exclusive, validated at the public entry points). Band
+    hashes AND the verify Jaccard see the chosen view. Ids and sha256 are
+    computed on raw bytes UPSTREAM of this call."""
+    if mask_idents:
+        from db_lsh_spark.operators.text import mask_idents_col
+
+        return df.withColumn("content", mask_idents_col("content"))
     if not normalize_code:
         return df
     from db_lsh_spark.operators.text import normalize_code_col
@@ -33,10 +42,23 @@ def _sig_view(df: DataFrame, normalize_code: bool) -> DataFrame:
     return df.withColumn("content", normalize_code_col("content"))
 
 
-def _minhash_index_fp(cfg: DedupConfig, normalize_code: bool) -> str:
+def _minhash_index_fp(
+    cfg: DedupConfig, normalize_code: bool, mask_idents: bool = False
+) -> str:
     """Identity of a persisted text index: the LSH knobs plus the view —
-    a normalized index and a raw one must never load for each other."""
-    return cfg.index_fingerprint() + ("-norm" if normalize_code else "")
+    a normalized (or masked) index and a raw one must never load for
+    each other."""
+    return cfg.index_fingerprint() + (
+        "-mask" if mask_idents else ("-norm" if normalize_code else "")
+    )
+
+
+def _check_view_flags(normalize_code: bool, mask_idents: bool) -> None:
+    if normalize_code and mask_idents:
+        raise ValueError(
+            "normalize_code and mask_idents are mutually exclusive — the "
+            "Type-2 masked view already composes the Type-1 strip"
+        )
 
 
 def read_event_stream(
@@ -86,6 +108,7 @@ def _minhash_stream_index(
     cfg: DedupConfig,
     index_store=None,
     normalize_code: bool = False,
+    mask_idents: bool = False,
 ):
     """Build the static MinHash stream state ONCE: the banded signature
     table and the indexed contents (the verify stage's fetch side). The
@@ -94,7 +117,8 @@ def _minhash_stream_index(
     sees every file later merged by ``compact_minhash_index``."""
     if index_store is not None:
         return build_minhash_index_store(spark, index_files, index_store,
-                                         cfg, normalize_code=normalize_code)
+                                         cfg, normalize_code=normalize_code,
+                                         mask_idents=mask_idents)
     if index_files is None:
         # would otherwise die deep in with_ids_and_sha with an opaque
         # AttributeError (code-review r5)
@@ -102,7 +126,8 @@ def _minhash_stream_index(
             "incremental dedup needs an index: pass index_files (rebuilt "
             "in memory) or index_store (persisted artifact), or both"
         )
-    indexed = _sig_view(with_ids_and_sha(index_files), normalize_code)
+    indexed = _sig_view(with_ids_and_sha(index_files), normalize_code,
+                        mask_idents)
     bands = explode_bands(compute_signatures(indexed, cfg)).localCheckpoint(
         eager=True
     )
@@ -121,6 +146,7 @@ def incremental_dedup_query(
     checkpoint_dir: str,
     index_store=None,
     normalize_code: bool = False,
+    mask_idents: bool = False,
 ) -> StreamingQuery:
     """Incremental near-dup detection: per micro-batch, signature the new
     documents, probe the static banded index on (band, band_hash), verify
@@ -148,8 +174,10 @@ def incremental_dedup_query(
     ``compact_minhash_index``; pass ``index_files=None`` to require a
     pure load.
     """
+    _check_view_flags(normalize_code, mask_idents)
     index_bands, index_contents = _minhash_stream_index(
-        spark, index_files, cfg, index_store, normalize_code=normalize_code
+        spark, index_files, cfg, index_store, normalize_code=normalize_code,
+        mask_idents=mask_idents
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -165,6 +193,7 @@ def incremental_dedup_query(
                 )
             ),
             normalize_code,
+            mask_idents,
         )
         probe_bands = explode_bands(compute_signatures(probe, cfg))
         # engine-wide pair normalization: id_a < id_b, regardless of which
@@ -698,6 +727,7 @@ def build_minhash_index_store(
     store,
     cfg: DedupConfig,
     normalize_code: bool = False,
+    mask_idents: bool = False,
 ):
     """Create-or-load BOTH halves of the persisted MinHash TEXT index —
     the banded signature table (stage ``minhash_bands``, range-laid-out
@@ -717,7 +747,8 @@ def build_minhash_index_store(
     ``normalize_code`` joins the recorded fingerprint: both halves hold
     the VIEW the stream will probe/verify against, so a normalized store
     and a raw one are distinct artifacts that never load for each other."""
-    fp = _minhash_index_fp(cfg, normalize_code)
+    _check_view_flags(normalize_code, mask_idents)
+    fp = _minhash_index_fp(cfg, normalize_code, mask_idents)
     if index_files is None:
         if not (store.is_complete("minhash_bands")
                 and store.is_complete("minhash_contents")):
@@ -745,7 +776,8 @@ def build_minhash_index_store(
             "incompatible signatures; use a different store"
         )
     store.record_meta(index_fingerprint=fp)
-    indexed = _sig_view(with_ids_and_sha(index_files), normalize_code)
+    indexed = _sig_view(with_ids_and_sha(index_files), normalize_code,
+                        mask_idents)
     # contents FIRST (crash ordering): bands-without-contents would
     # generate candidates the verify fetch silently drops; contents
     # without bands merely aren't indexed yet — rebuild resumes cleanly
@@ -769,6 +801,7 @@ def compact_minhash_index(
     cfg: DedupConfig,
     merge_id: str | None = None,
     normalize_code: bool = False,
+    mask_idents: bool = False,
 ):
     """Merge newly-landed documents into the persisted text index — BOTH
     halves: their contents into ``minhash_contents`` and their banded
@@ -801,7 +834,8 @@ def compact_minhash_index(
             "the index first (build_minhash_index_store), then compact "
             "into it"
         )
-    fp = _minhash_index_fp(cfg, normalize_code)
+    _check_view_flags(normalize_code, mask_idents)
+    fp = _minhash_index_fp(cfg, normalize_code, mask_idents)
     recorded = store.meta().get("index_fingerprint")
     if recorded != fp:
         raise ValueError(
@@ -829,6 +863,7 @@ def compact_minhash_index(
                   "file_id", "left_anti")
         ),
         normalize_code,
+        mask_idents,
     ).localCheckpoint(eager=True)
     store.merge_stage(
         spark, "minhash_contents", new_indexed.select("file_id", "content"),
@@ -849,6 +884,7 @@ def compact_minhash_index_from_landing(
     landing_dir: str,
     cfg: DedupConfig,
     normalize_code: bool = False,
+    mask_idents: bool = False,
 ) -> list[dict]:
     """Text twin of ``compact_l2_index_from_landing``: walk the
     ``batch-N`` subdirectories of a DOCUMENT landing directory — parquet
@@ -860,7 +896,8 @@ def compact_minhash_index_from_landing(
         spark, landing_dir,
         lambda df, d: compact_minhash_index(spark, store, df, cfg,
                                             merge_id=d,
-                                            normalize_code=normalize_code),
+                                            normalize_code=normalize_code,
+                                            mask_idents=mask_idents),
     )
 
 

@@ -85,13 +85,21 @@ def run(spark, args) -> dict:
             bands=args.bands, rows=args.rows,
         )
         norm = getattr(args, "normalize_code", False)
+        mask = getattr(args, "mask_idents", False)
+        if norm and mask:
+            raise SystemExit(
+                "--normalize-code and --mask-idents are mutually "
+                "exclusive — the Type-2 masked view already composes "
+                "the Type-1 strip"
+            )
         default_fp = f"minhash-{cfg.index_fingerprint()}" + (
-            "-norm" if norm else ""
+            "-mask" if mask else ("-norm" if norm else "")
         )
 
         def compact(spark, store, landing, _cfg):
             return compact_minhash_index_from_landing(
-                spark, store, landing, _cfg, normalize_code=norm
+                spark, store, landing, _cfg, normalize_code=norm,
+                mask_idents=mask,
             )
     else:
         from db_lsh_spark.config import AnnConfig
@@ -167,6 +175,10 @@ def main(argv: list[str] | None = None) -> None:
                         "collapsed view (text lane; must match the "
                         "builder's flag — the recorded fingerprint "
                         "enforces it)")
+    p.add_argument("--mask-idents", action="store_true",
+                   help="merge under the Type-2 masked view (text lane; "
+                        "must match the builder's flag — the recorded "
+                        "fingerprint enforces it)")
     p.add_argument("--winnow-w", type=int, default=8,
                    help="bottom-w sketch size (winnow lane)")
     p.add_argument("--winnow-k", type=int, default=16,

@@ -174,6 +174,14 @@ def main(argv: list[str] | None = None) -> None:
                         "comment/whitespace-only edits, while exact-dup "
                         "edges and the stored content keep raw bytes (the "
                         "per-row content sha256 invariant is untouched)")
+    p.add_argument("--mask-idents", action="store_true",
+                   help="switch the SIGNATURE-SIDE view to the Type-2 "
+                        "masked text (non-keyword identifiers -> ID, "
+                        "numbers -> NUM, strings -> STR, on top of the "
+                        "comment/whitespace strip): renamed-copy clones "
+                        "cluster together; mutually exclusive with "
+                        "--normalize-code; stored content and the sha256 "
+                        "invariant stay raw bytes")
     p.add_argument("--license-allow", default=None,
                    help="comma-separated allowed license ids (e.g. "
                         "'MIT,Apache-2.0,BSD-3-Clause'): enables The "
@@ -336,6 +344,7 @@ def main(argv: list[str] | None = None) -> None:
                     extra_lanes=extra_lanes, curate=args.curate,
                     curate_bench=curate_bench, curate_opts=curate_opts,
                     normalize_code=args.normalize_code,
+                    mask_idents=args.mask_idents,
                     license_allow=license_allow,
                     license_allow_unknown=not args.license_strict)
     license_report: dict | None = None
@@ -738,6 +747,7 @@ def main(argv: list[str] | None = None) -> None:
         "license": license_report,
         "license_audit": license_audit_report,
         "normalize_code": args.normalize_code or None,
+        "mask_idents": args.mask_idents or None,
         "split": split_report,
         "sample": sample_report,
         "pack": pack_report,

@@ -75,7 +75,9 @@ def _run_one_lane(spark, args, lane, cfg, index_files,
     if args.fingerprint and lane == "minhash":
         fp = args.fingerprint
     else:
-        norm = "-norm" if getattr(args, "normalize_code", False) else ""
+        norm = ("-mask" if getattr(args, "mask_idents", False)
+                else ("-norm" if getattr(args, "normalize_code", False)
+                      else ""))
         fp = {
             "minhash": f"minhash-{cfg.index_fingerprint()}{norm}",
             "simhash": "simhash64",
@@ -125,6 +127,7 @@ def _run_one_lane(spark, args, lane, cfg, index_files,
             spark, doc_stream, index_docs, cfg, out_dir, ck_dir,
             index_store=store,
             normalize_code=getattr(args, "normalize_code", False),
+            mask_idents=getattr(args, "mask_idents", False),
         )
     elif lane == "simhash":
         q = incremental_simhash_query(
@@ -208,6 +211,17 @@ def run(spark, args) -> dict:
             "--normalize-code is the MinHash lane's view knob; the "
             "simhash/winnow streaming twins do not take it (winnow "
             "would sketch the raw text while the index held the view)"
+        )
+    if getattr(args, "mask_idents", False) and lane != "minhash":
+        raise SystemExit(
+            "--mask-idents is the MinHash lane's view knob; the "
+            "simhash/winnow streaming twins do not take it"
+        )
+    if getattr(args, "mask_idents", False) and getattr(
+            args, "normalize_code", False):
+        raise SystemExit(
+            "--normalize-code and --mask-idents are mutually exclusive — "
+            "the Type-2 masked view already composes the Type-1 strip"
         )
     if lane != "ensemble":
         return _run_one_lane(spark, args, lane, cfg, index_files,
@@ -297,6 +311,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "--normalize-code); joins the store fingerprint, "
                         "so a normalized index never loads a raw one. "
                         "MinHash lane only")
+    p.add_argument("--mask-idents", action="store_true",
+                   help="signature/verify the Type-2 masked view "
+                        "(identifiers -> ID, numbers -> NUM, strings -> "
+                        "STR on top of the comment/whitespace strip) on "
+                        "BOTH the index and the stream; joins the store "
+                        "fingerprint. MinHash lane only; mutually "
+                        "exclusive with --normalize-code")
     p.add_argument("--simhash-max-hamming", type=int, default=3)
     p.add_argument("--simhash-bands", type=int, default=4)
     p.add_argument("--winnow-w", type=int, default=8)

@@ -134,3 +134,203 @@ def test_duckdb_twin_parity_adversarial(spark):
             f"SELECT {mask} FROM (SELECT ?::VARCHAR AS text)", [text]
         ).fetchone()[0]
         assert spark_masked == want, (text, spark_masked, want)
+
+
+# ------------------------------------------------------------ pipeline wiring
+
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.pipeline import run_dedup
+
+
+def _pipeline_corpus(spark, planted):
+    """Distinct 130-token filler files + ``planted`` (file_id, content)
+    rows, in the input_hint table shape with explicit file_ids."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i:04d}" for i in range(700)]
+    rows = []
+    for fid in range(12):
+        text = " ".join(vocab[i] for i in rng.integers(0, 700, 130))
+        rows.append((fid, "r0", f"f{fid}.py", "c0", "py", text))
+    rows += [
+        (fid, "r1", f"p{fid}.py", "c0", "py", text)
+        for fid, text in planted
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_id long, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+
+
+def _clusters_of(out, ids):
+    got = {
+        r.file_id: r.cluster_id
+        for r in out.clusters.where(
+            F.col("file_id").isin([int(i) for i in ids])
+        ).collect()
+    }
+    assert set(got) == set(ids)
+    return got
+
+
+def test_run_dedup_mask_idents_clusters_renames(spark):
+    """The full α-rename (101) and its comment-decorated twin (102) are
+    raw-distinct from the base (100) — different identifiers, different
+    literals — but identical under the Type-2 masked view: with
+    mask_idents=True all three land in ONE cluster while the keyword swap
+    (103) and the structural edit (104) stay out. The raw run must NOT
+    merge the rename with the base (that IS the gap the view closes), and
+    the stored frame keeps raw bytes (sha256 invariant untouched).
+
+    Threshold 0.95: masked one-token variants are LEGITIMATELY similar
+    (the if→while swap measures Jaccard 0.905 on masked 5-shingles —
+    under the default 0.8 it IS a near-dup, and the oracle agrees), so
+    the test pins the exact-collapse story above that."""
+    planted = [(100 + i, v) for i, v in enumerate(TYPE2_SEED_VARIANTS)]
+    files = _pipeline_corpus(spark, planted)
+    cfg95 = DedupConfig(jaccard_threshold=0.95)
+
+    out_mask = run_dedup(spark, files, cfg95, mask_idents=True)
+    got = _clusters_of(out_mask, [100, 101, 102, 103, 104])
+    assert len({got[i] for i in (100, 101, 102)}) == 1
+    assert got[103] != got[100]
+    assert got[104] != got[100]
+    n_bad = (
+        out_mask.files.withColumn("chk", F.sha2(F.col("content"), 256))
+        .where(F.col("chk") != F.col("sha256"))
+        .count()
+    )
+    assert n_bad == 0
+
+    out_raw = run_dedup(spark, files, cfg95)
+    got_raw = _clusters_of(out_raw, [100, 101])
+    assert got_raw[100] != got_raw[101]
+
+
+def test_run_dedup_mask_and_norm_mutually_exclusive(spark):
+    files = _pipeline_corpus(spark, [])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_dedup(
+            spark, files, DedupConfig(), normalize_code=True, mask_idents=True
+        )
+
+
+def test_mask_forks_the_checkpoint_fingerprint(spark, tmp_path):
+    """A masked run must never resume a raw or Type-1-normalized run's
+    stages: three distinct fingerprints, and the same-knob rerun resumes
+    cleanly."""
+    files = _pipeline_corpus(spark, [])
+    root = str(tmp_path / "ckpt")
+    cfg = DedupConfig()
+    out_raw = run_dedup(spark, files, cfg, checkpoint_root=root)
+    out_norm = run_dedup(
+        spark, files, cfg, checkpoint_root=root, normalize_code=True
+    )
+    out_mask = run_dedup(
+        spark, files, cfg, checkpoint_root=root, mask_idents=True
+    )
+    out_mask2 = run_dedup(
+        spark, files, cfg, checkpoint_root=root, mask_idents=True
+    )
+    assert all(r.skipped for r in out_mask2.store.results)
+    assert not any(r.skipped for r in out_mask.store.results)
+    fps = {o.store.fingerprint for o in (out_raw, out_norm, out_mask)}
+    assert len(fps) == 3
+
+
+# ------------------------------------------------------------ streaming twin
+
+import os
+
+
+def test_incremental_dedup_mask_idents_view(spark, tmp_path):
+    """Streaming twin of run_dedup(mask_idents=True): a streamed full
+    rename of the indexed body — raw shingle Jaccard near 0 — verifies at
+    jaccard 1 under the masked view; the keyword swap never pairs either
+    way (masked Jaccard 0.905 < the 0.95 threshold this test pins)."""
+    import pandas as pd
+
+    from db_lsh_spark.streaming.jobs import incremental_dedup_query
+
+    dedup_cfg = DedupConfig(jaccard_threshold=0.95)
+
+    base, rename, _deco, kwswap, _struct = TYPE2_SEED_VARIANTS
+    index_df = spark.createDataFrame(
+        pd.DataFrame({
+            "file_id": [5, 7],
+            "content": [base, " ".join(f"z{i}" for i in range(40))],
+        })
+    )
+    src = str(tmp_path / "srcm")
+    os.makedirs(src)
+    pd.DataFrame({"doc_id": [10, 11], "text": [rename, kwswap]}).to_parquet(
+        f"{src}/p0.parquet", index=False
+    )
+    schema = "doc_id long, text string"
+
+    def run(mask, tag):
+        doc_stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = incremental_dedup_query(
+            spark, doc_stream, index_df, dedup_cfg, out,
+            str(tmp_path / f"ck_{tag}"), mask_idents=mask,
+        )
+        q.awaitTermination(300)
+        got = (spark.read.option("recursiveFileLookup", "true")
+               .parquet(out).toPandas())
+        return {tuple(sorted((a, b))): j
+                for a, b, j in zip(got.id_a, got.id_b, got.jaccard)}
+
+    masked = run(True, "mask")
+    assert masked.get((5, 10)) == 1.0  # identical modulo renames
+    assert (5, 11) not in masked       # keyword swap stays out
+    raw = run(False, "raw")
+    assert (5, 10) not in raw          # raw shingles: renames don't pair
+
+
+def test_masked_store_fingerprint_rejects_other_views(spark, tmp_path, dedup_cfg):
+    """A masked persisted index is its own artifact: compacting into it
+    under the raw or Type-1 view fails loudly on the recorded
+    fingerprint, and both-flags is rejected before any JVM work."""
+    import pandas as pd
+
+    from db_lsh_spark.sources.io import StageStore
+    from db_lsh_spark.streaming.jobs import (
+        build_minhash_index_store,
+        compact_minhash_index,
+    )
+
+    files = spark.createDataFrame(
+        pd.DataFrame({"file_id": [1], "content": [TYPE2_SEED_BODY]})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame({"file_id": [2], "content": [TYPE2_SEED_VARIANTS[1]]})
+    )
+    store = StageStore(str(tmp_path / "idx"), "t2")
+    build_minhash_index_store(spark, files, store, dedup_cfg, mask_idents=True)
+    with pytest.raises(ValueError, match="records index config"):
+        compact_minhash_index(spark, store, batch, dedup_cfg, merge_id="b0")
+    with pytest.raises(ValueError, match="records index config"):
+        compact_minhash_index(
+            spark, store, batch, dedup_cfg, merge_id="b0", normalize_code=True
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_minhash_index_store(
+            spark, files, store, dedup_cfg,
+            normalize_code=True, mask_idents=True,
+        )
+    # the matching view compacts cleanly and the stored contents hold it
+    compact_minhash_index(
+        spark, store, batch, dedup_cfg, merge_id="b0", mask_idents=True
+    )
+    contents = {
+        r.file_id: r.content
+        for r in store.read(spark, "minhash_contents").collect()
+    }
+    assert contents[1] == contents[2]  # rename == base under the view
+    assert contents[1].startswith("if ( ID > NUM )")

@@ -1,0 +1,82 @@
+"""Production Type-2 path: one spark-submit run of jobs/run_pipeline.py
+with --mask-idents. The full identifier/literal rename and its comment-
+decorated twin — raw-distinct from the base body, invisible to both the
+exact lane and the Type-1 view — collapse into a single cluster under
+the masked signature view, while the keyword swap and the structural
+edit stay separate (threshold 0.95: a masked one-keyword swap measures
+Jaccard 0.905 and is legitimately a near-dup at the default 0.8)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import numpy as np
+import pandas as pd
+
+from db_lsh_spark.operators.text import TYPE2_SEED_VARIANTS
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_submit_mask_idents_view(tmp_path):
+    from db_lsh_spark.session import package_zip
+
+    rng = np.random.default_rng(29)
+    vocab = [f"tok{i:04d}" for i in range(700)]
+    rows = []
+    for fid in range(10):
+        text = " ".join(vocab[i] for i in rng.integers(0, 700, 130))
+        rows.append((fid, "r0", f"f{fid}.py", "c0", "py", text))
+    rows += [
+        (100 + i, "r1", f"v{i}.py", "c0", "py", v)
+        for i, v in enumerate(TYPE2_SEED_VARIANTS)
+    ]
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pd.DataFrame(
+        rows, columns=["file_id", "repo", "path", "commit", "lang", "content"]
+    ).to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out,
+            "--mask-idents", "--threshold", "0.95",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert summary["mask_idents"] is True
+    assert summary.get("normalize_code") is None
+
+    import duckdb
+
+    con = duckdb.connect()
+    clusters = {
+        int(f): int(c)
+        for f, c in con.execute(
+            f"SELECT file_id, cluster_id FROM '{out}/clusters/*.parquet'"
+        ).fetchall()
+    }
+    # rename + decorated rename collapse with the base under the view
+    assert len({clusters[i] for i in (100, 101, 102)}) == 1
+    # keyword swap and structural edit stay out
+    assert clusters[103] != clusters[100]
+    assert clusters[104] != clusters[100]
+    # the verified pairs under the view carry jaccard 1 for the renames
+    pairs = {
+        (int(a), int(b)): float(j)
+        for a, b, j in con.execute(
+            f"SELECT id_a, id_b, jaccard FROM '{out}/verified_pairs/*.parquet'"
+            " WHERE id_a >= 100"
+        ).fetchall()
+    }
+    assert pairs[(100, 101)] == 1.0 and pairs[(100, 102)] == 1.0
+    assert (100, 103) not in pairs and (100, 104) not in pairs
