@@ -1,0 +1,111 @@
+"""Bucketed table layout — shuffle-free co-located joins.
+
+The dedup pipeline's hot joins are all keyed on ``file_id`` (cluster
+assignment × license labels, keep-list × contents, split labels ×
+cluster assignment) or on ``(band, band_hash)`` (the probe join against
+a persisted index). At 100 TB each of those joins pays a full shuffle
+of both sides UNLESS the tables are stored pre-partitioned on the join
+key. Spark's answer is bucketing: ``df.write.bucketBy(N, key)`` hashes
+every row into one of N buckets at WRITE time, records the bucket spec
+in the catalog, and a later equi-join of two tables bucketed on the
+same key with the same N runs with ZERO Exchange on either side — the
+scan itself delivers co-located partitions. ``sortBy`` lays each bucket
+file out pre-sorted on the join key; Spark 4's V1 scan no longer
+reports that ordering to the planner (the legacy sorted-scan conf was
+removed), so a partition-LOCAL Sort node remains above the scan — over
+already-sorted input it is a cheap streaming pass, and the expensive
+part (the cross-node Exchange of both sides) is what bucketing
+eliminates. Iceberg's storage-partitioned joins restore the full
+sort-free merge on V2 scans.
+
+This module is the parquet-warehouse rendition; on a production
+lakehouse the SAME layout is Iceberg's ``bucket(N, col)`` partition
+transform (storage-partitioned joins) — the swap point is isolated
+here, exactly like the StageStore's Iceberg note (``sources/io.py``).
+Spark's in-session catalog keeps the bucket spec in memory: tables must
+be registered (``register_bucketed``) once per session before reading,
+which is the metastore's job on a real deployment.
+
+Scale notes:
+- N buckets bounds per-bucket file size at write AND join parallelism
+  at read: pick N ≈ (table bytes / 256 MB), NOT the executor count.
+- both sides must agree on N (or one be a multiple — Spark 3.1+ can
+  coalesce bucket counts); the helpers take N explicitly so the
+  contract is visible at the call site.
+- bucket pruning: an equality filter on the bucket key scans 1/N of
+  the files — the same effect rowgroup skipping gives the band table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` as an external parquet table bucketed on
+    ``bucket_cols`` into ``n_buckets`` (hash of the columns → bucket id,
+    recorded in the catalog), optionally sorted WITHIN each bucket by
+    ``sort_cols`` (one pre-sorted file per bucket — rowgroup min-max
+    skipping on the sort key; the merge-join above keeps a cheap
+    partition-local Sort, see the module note). ``path`` is
+    required — data lives where the caller says, never in a default
+    warehouse directory. Returns the table name."""
+    if not bucket_cols:
+        raise ValueError("bucket_cols must name at least one column")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if sort_cols:
+        # ONE file per bucket (write tasks aligned with the bucket hash —
+        # repartition uses the same Murmur3-pmod): each bucket becomes a
+        # single globally-per-bucket-sorted file instead of one sorted
+        # run per write task, which is what rowgroup min-max skipping on
+        # the sort key needs. Without sort_cols multiple files per bucket
+        # are fine — co-location needs only the bucket spec.
+        df = df.repartition(n_buckets, *bucket_cols)
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", os.path.abspath(path))
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+    return name
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    schema_ddl: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Re-register an existing bucketed table in a FRESH session (the
+    in-memory catalog forgets between sessions; a metastore/Iceberg
+    catalog makes this a no-op in production). The bucket spec in the
+    DDL must match what ``write_bucketed`` recorded — Spark trusts the
+    catalog, so a wrong spec here would silently produce wrong joins;
+    keep (bucket_cols, n_buckets, sort_cols) next to the path in
+    whatever manifest tracks the artifact."""
+    sort = (
+        f" SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}){sort} "
+        f"INTO {n_buckets} BUCKETS "
+        f"LOCATION '{os.path.abspath(path)}'"
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -182,6 +183,14 @@ def main(argv: list[str] | None = None) -> None:
                         "cluster together; mutually exclusive with "
                         "--normalize-code; stored content and the sha256 "
                         "invariant stay raw bytes")
+    p.add_argument("--bucket-clusters", type=int, default=None,
+                   help="also write the cluster assignment as a parquet "
+                        "table bucketed on file_id into N buckets "
+                        "(<output>/clusters_bucketed): downstream "
+                        "file_id equi-joins run shuffle-free against "
+                        "any table sharing the spec (recorded in the "
+                        "summary; re-attach with sources/bucketed."
+                        "register_bucketed)")
     p.add_argument("--license-allow", default=None,
                    help="comma-separated allowed license ids (e.g. "
                         "'MIT,Apache-2.0,BSD-3-Clause'): enables The "
@@ -380,6 +389,32 @@ def main(argv: list[str] | None = None) -> None:
         }
     out.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     out.pairs.write.mode("overwrite").parquet(f"{args.output}/verified_pairs")
+    bucket_report: dict | None = None
+    if args.bucket_clusters:
+        # co-located consumer layout: the assignment bucketed on file_id,
+        # so every downstream file_id equi-join (license labels, keep
+        # list, split labels, contents fetch) runs Exchange-free once the
+        # other side shares the spec. The in-session catalog entry is
+        # dropped after the write — the files + the spec recorded in the
+        # summary are the artifact; consumers re-attach it with
+        # sources/bucketed.register_bucketed (a metastore/Iceberg catalog
+        # makes that a no-op in production).
+        from db_lsh_spark.sources.bucketed import write_bucketed
+
+        bk_path = f"{args.output}/clusters_bucketed"
+        tbl = f"dblsh_clusters_{os.getpid()}"
+        write_bucketed(
+            spark.read.parquet(f"{args.output}/clusters"),
+            tbl, bk_path, ["file_id"], args.bucket_clusters,
+            sort_cols=["file_id"],
+        )
+        spark.sql(f"DROP TABLE {tbl}")
+        bucket_report = {
+            "path": bk_path,
+            "bucket_cols": ["file_id"],
+            "n_buckets": args.bucket_clusters,
+            "sort_cols": ["file_id"],
+        }
     # count what was just written — a slim parquet scan, not a re-execution
     # of the full cluster DAG
     clusters_pq = spark.read.parquet(f"{args.output}/clusters")
@@ -748,6 +783,7 @@ def main(argv: list[str] | None = None) -> None:
         "license_audit": license_audit_report,
         "normalize_code": args.normalize_code or None,
         "mask_idents": args.mask_idents or None,
+        "bucketed_clusters": bucket_report,
         "split": split_report,
         "sample": sample_report,
         "pack": pack_report,

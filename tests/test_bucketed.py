@@ -1,0 +1,208 @@
+"""Bucketed co-located joins (sources/bucketed.py): the plan contract —
+joining two tables bucketed on the same key with the same N has ZERO
+Exchange (the unbucketed control shuffles both sides), sortBy lays out
+one per-bucket-sorted file (the merge-join keeps a cheap partition-local
+Sort on Spark 4 — module note), results equal the plain join, bucket
+pruning scans 1/N of the files, a fresh-session re-registration
+(register_bucketed) restores the shuffle-free plan from bare parquet,
+and run_pipeline --bucket-clusters ships the layout as a job artifact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.sources.bucketed import register_bucketed, write_bucketed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force SortMergeJoin so the Exchange assertions are about
+    bucketing, not about the broadcast threshold."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _frames(spark):
+    assign = spark.range(0, 2000).select(
+        F.col("id").alias("file_id"),
+        (F.col("id") % 37).alias("cluster_id"),
+    )
+    labels = spark.range(0, 2000).select(
+        F.col("id").alias("file_id"),
+        F.when(F.col("id") % 5 == 0, "MIT").otherwise("unknown").alias("license"),
+    )
+    return assign, labels
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    assign, labels = _frames(spark)
+    write_bucketed(assign, "t_assign", str(tmp_path / "a"), ["file_id"], 8,
+                   sort_cols=["file_id"])
+    write_bucketed(labels, "t_labels", str(tmp_path / "l"), ["file_id"], 8,
+                   sort_cols=["file_id"])
+    joined = spark.table("t_assign").join(spark.table("t_labels"), "file_id")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan      # co-located: no shuffle
+    # values equal the plain join
+    expect = assign.join(labels, "file_id")
+    assert joined.exceptAll(expect).count() == 0
+    assert expect.exceptAll(joined).count() == 0
+
+    # the unbucketed control DOES shuffle both sides
+    control = _plan(assign.join(labels, "file_id"))
+    assert "Exchange" in control, control
+
+    spark.sql("DROP TABLE t_assign")
+    spark.sql("DROP TABLE t_labels")
+
+
+def test_sort_by_lays_out_one_sorted_file_per_bucket(spark, tmp_path,
+                                                     no_broadcast):
+    """sort_cols contract on Spark 4: the join still carries a
+    partition-LOCAL Sort (V1 scans no longer report bucket sort order to
+    the planner — module note), but the layout itself is one file per
+    bucket, each file globally sorted on the key (rowgroup min-max
+    skipping), and the join stays Exchange-free."""
+    import glob
+
+    import pandas as pd
+
+    assign, labels = _frames(spark)
+    write_bucketed(assign, "t_s1", str(tmp_path / "a"), ["file_id"], 4,
+                   sort_cols=["file_id"])
+    write_bucketed(labels, "t_s2", str(tmp_path / "l"), ["file_id"], 4,
+                   sort_cols=["file_id"])
+    plan = _plan(spark.table("t_s1").join(spark.table("t_s2"), "file_id"))
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+    files = sorted(glob.glob(str(tmp_path / "a" / "*.parquet")))
+    assert len(files) == 4  # one file per bucket
+    for f in files:
+        vals = pd.read_parquet(f)["file_id"].tolist()
+        assert vals == sorted(vals)  # pre-sorted within the bucket file
+    spark.sql("DROP TABLE t_s1")
+    spark.sql("DROP TABLE t_s2")
+
+
+def test_bucket_pruning_on_key_equality(spark, tmp_path):
+    assign, _ = _frames(spark)
+    write_bucketed(assign, "t_prune", str(tmp_path / "a"), ["file_id"], 8)
+    # autoBucketedScan drops the bucketed scan when no join/agg needs the
+    # distribution — which also forfeits bucket PRUNING on point lookups;
+    # pin it off for the lookup (a real deployment serving point queries
+    # off a bucketed table would do the same)
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                   "false")
+    try:
+        pruned = spark.table("t_prune").where(F.col("file_id") == 123)
+        # SelectedBucketsCount appears in the scan when pruning kicks in
+        plan = _plan(pruned)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert pruned.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old
+        )
+        spark.sql("DROP TABLE t_prune")
+
+
+def test_register_bucketed_restores_colocation(spark, tmp_path, no_broadcast):
+    """The in-memory catalog forgets between sessions: re-registering the
+    written files with the SAME bucket spec restores the shuffle-free
+    join (the metastore's job in production)."""
+    assign, labels = _frames(spark)
+    write_bucketed(assign, "t_r1", str(tmp_path / "a"), ["file_id"], 8,
+                   sort_cols=["file_id"])
+    write_bucketed(labels, "t_r2", str(tmp_path / "l"), ["file_id"], 8,
+                   sort_cols=["file_id"])
+    spark.sql("DROP TABLE t_r1")
+    spark.sql("DROP TABLE t_r2")
+    register_bucketed(spark, "t_r1", str(tmp_path / "a"),
+                      "file_id BIGINT, cluster_id BIGINT", ["file_id"], 8,
+                      sort_cols=["file_id"])
+    register_bucketed(spark, "t_r2", str(tmp_path / "l"),
+                      "file_id BIGINT, license STRING", ["file_id"], 8,
+                      sort_cols=["file_id"])
+    joined = spark.table("t_r1").join(spark.table("t_r2"), "file_id")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+    assert joined.count() == 2000
+    spark.sql("DROP TABLE t_r1")
+    spark.sql("DROP TABLE t_r2")
+
+
+def test_spark_submit_bucket_clusters(tmp_path, spark, no_broadcast):
+    """run_pipeline --bucket-clusters N: the job writes the assignment as
+    a bucketed layout + records the spec in the summary; a consumer
+    re-attaches it with register_bucketed and joins another table written
+    under the same spec with zero Exchange."""
+    import json
+    import os
+    import subprocess
+
+    import numpy as np
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rng = np.random.default_rng(41)
+    vocab = [f"tok{i:04d}" for i in range(700)]
+    rows = [
+        (fid, "r0", f"f{fid}.py", "c0", "py",
+         " ".join(vocab[i] for i in rng.integers(0, 700, 130)))
+        for fid in range(10)
+    ]
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pd.DataFrame(
+        rows, columns=["file_id", "repo", "path", "commit", "lang", "content"]
+    ).to_parquet(f"{corpus}/files.parquet", index=False)
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out,
+            "--bucket-clusters", "4",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    spec = summary["bucketed_clusters"]
+    assert spec == {
+        "path": f"{out}/clusters_bucketed",
+        "bucket_cols": ["file_id"],
+        "n_buckets": 4,
+        "sort_cols": ["file_id"],
+    }
+
+    # consumer session: re-attach the artifact, co-write a label table
+    # under the same spec, join Exchange-free; values == plain parquet
+    register_bucketed(spark, "t_job_cl", spec["path"],
+                      "file_id BIGINT, cluster_id BIGINT",
+                      spec["bucket_cols"], spec["n_buckets"],
+                      sort_cols=spec["sort_cols"])
+    labels = spark.read.parquet(f"{out}/clusters").select(
+        "file_id", F.lit("unknown").alias("license")
+    )
+    write_bucketed(labels, "t_job_lab", str(tmp_path / "lab"),
+                   ["file_id"], 4, sort_cols=["file_id"])
+    joined = spark.table("t_job_cl").join(spark.table("t_job_lab"), "file_id")
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+    assert joined.count() == summary["n_files"]
+    spark.sql("DROP TABLE t_job_cl")
+    spark.sql("DROP TABLE t_job_lab")
