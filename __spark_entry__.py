@@ -42,6 +42,17 @@ MIX_WEIGHTS, MIX_TOTAL, MIX_SEED = {"src0": 0.5, "src1": 0.3, "src2": 0.2}, 30, 
 # composed funnel -> sample query (curation keep list piped into the
 # seeded threshold sample — the jobs/run_pipeline.py composition contract)
 FUNNEL_SAMPLE_FRACTION, FUNNEL_SAMPLE_SEED = 0.5, 9
+# repo fork detection (operators/repo_analysis.py fork lane): the seeded
+# fixture forks FORK_SOURCES wholesale at doc_id+9M with '-fork' source
+# names; docs with doc_id % FORK_EDIT_MOD == 0 get an appended edit, so
+# (by the fixture's source = src(doc_id % 20) layout) src1's fork is an
+# exact mirror (J=1) and src0's fork is a near fork at J = (n-m)/(n+m)
+# ≈ 0.923 at every sf — far above FORK_MIN_JACCARD and deep in the
+# recall-1 region of the (16 bands × 4 rows) S-curve (miss ~1e-9)
+FORK_SOURCES = ("src0", "src1")
+FORK_EDIT_MOD = 500
+FORK_MIN_JACCARD = 0.5
+FORK_N_HASHES, FORK_BANDS = 64, 16
 # token-budget composition: per-language token budgets (real mixes are
 # specified in tokens, not documents); weight = whitespace token count
 BUDGET_MIX, BUDGET_SEED = {"en": 2000, "de": 500}, 13
@@ -228,6 +239,27 @@ def _docs_with_type2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, text string",
     )
     return docs.unionByName(plants)
+
+
+def _docs_with_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ a wholesale '-fork' clone of every FORK_SOURCES doc at
+    doc_id+9_000_000, with docs at doc_id % FORK_EDIT_MOD == 0 edited
+    (text || ' fork-edit') so one fork is exact and one is a near fork —
+    the seeded table for the repo-fork lane (the raw fixture's sources
+    share zero content hashes, measured; the oracle unions the same CTE).
+    Keeps (doc_id, text, source)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    clones = docs.where(F.col("source").isin(*FORK_SOURCES)).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % FORK_EDIT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" fork-edit")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.concat(F.col("source"), F.lit("-fork")).alias("source"),
+    )
+    return docs.unionByName(clones)
 
 
 def _docs_for_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -766,6 +798,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_source_dup_profile"] = _source_dup_profile
+
+    # repo-FORK detection (final round): repositories as content-hash SETS,
+    # repo similarity = set Jaccard. Exact lane (sha self-join) is the
+    # oracle shape; the LSH lane (64-hash set-MinHash → 16-band self-join →
+    # candidate-only exact verify) is the corpus-scale path and equals the
+    # same oracle at the fixture's planted J (0.92 / 1.0 — recall-1 region,
+    # see operators/repo_analysis.py S-curve note). Sources play repos.
+    def _fork_shas(s: SparkSession, d: str):
+        from db_lsh_spark.operators import repo_analysis as ra
+
+        return ra.repo_sha_sets(
+            _docs_with_forks(s, d), repo_col="source", content_col="text"
+        )
+
+    def _fork_pairs(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators import repo_analysis as ra
+
+        return ra.repo_fork_pairs(
+            None, min_jaccard=FORK_MIN_JACCARD, shas=_fork_shas(s, d)
+        )
+
+    q["repo_fork_pairs_seeded"] = _fork_pairs
+
+    def _fork_pairs_lsh(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators import repo_analysis as ra
+
+        return ra.repo_fork_pairs_lsh(
+            None,
+            min_jaccard=FORK_MIN_JACCARD,
+            n_hashes=FORK_N_HASHES,
+            n_bands=FORK_BANDS,
+            shas=_fork_shas(s, d),
+        )
+
+    q["repo_fork_pairs_lsh_seeded"] = _fork_pairs_lsh
+
+    def _fork_clusters(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators import repo_analysis as ra
+
+        docs = _docs_with_forks(s, d)
+        rids = ra.repo_numeric_ids(docs, repo_col="source", id_col="doc_id")
+        pairs = ra.repo_fork_pairs(
+            None,
+            min_jaccard=FORK_MIN_JACCARD,
+            shas=ra.repo_sha_sets(docs, repo_col="source", content_col="text"),
+        )
+        return ra.repo_fork_clusters(pairs, rids).select(
+            F.col("repo").alias("source"), "fork_cluster_id"
+        )
+
+    q["repo_fork_clusters_seeded"] = _fork_clusters
 
     # ---- vector lane (embeddings) ----
     q["emb_norms"] = lambda s, d: ann_ops.norms(_emb(s, d))
@@ -1878,6 +1961,76 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 6) AS dup_ratio
         FROM labels l JOIN spread s USING (cluster_id)
         GROUP BY l.source
+    """
+    # repo-fork lane twins: the seeded forked-sources CTE (same literals as
+    # _docs_with_forks), repo = source, set model = DISTINCT md5(text) per
+    # repo, exact Jaccard with the same round-to-6 threshold. The LSH query
+    # shares the exact oracle (recall-1 at the planted J — see the operator
+    # S-curve note; equality verified empirically at all three sf scales).
+    _fork_srcs = ", ".join(f"'{s}'" for s in FORK_SOURCES)
+    _fork_base_ctes = f"""
+        forked AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 9000000,
+                   CASE WHEN doc_id % {FORK_EDIT_MOD} = 0
+                        THEN text || ' fork-edit' ELSE text END,
+                   source || '-fork'
+            FROM documents WHERE source IN ({_fork_srcs})
+        ),
+        fsets AS (
+            SELECT DISTINCT source AS repo, md5(text) AS sha
+            FROM forked WHERE md5(text) IS NOT NULL
+        ),
+        fsizes AS (SELECT repo, count(*) AS n FROM fsets GROUP BY repo),
+        finter AS (
+            SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+            FROM fsets a JOIN fsets b ON a.sha = b.sha AND a.repo < b.repo
+            GROUP BY 1, 2
+        ),
+        fpairs AS (
+            SELECT repo_a, repo_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+                   round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6)
+                       AS jaccard
+            FROM finter
+            JOIN fsizes sa ON repo_a = sa.repo
+            JOIN fsizes sb ON repo_b = sb.repo
+            WHERE round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6)
+                  >= {FORK_MIN_JACCARD}
+        )"""
+    _fork_pairs_sql = f"""
+        WITH {_fork_base_ctes}
+        SELECT repo_a, repo_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+               n_shared::BIGINT AS n_shared, jaccard
+        FROM fpairs
+    """
+    sql["repo_fork_pairs_seeded"] = _fork_pairs_sql
+    sql["repo_fork_pairs_lsh_seeded"] = _fork_pairs_sql
+    sql["repo_fork_clusters_seeded"] = f"""
+        WITH RECURSIVE {_fork_base_ctes},
+        frids AS (
+            SELECT source AS repo, min(doc_id) AS rid FROM forked
+            GROUP BY source
+        ),
+        fedges AS (
+            SELECT ra.rid AS src, rb.rid AS dst
+            FROM fpairs JOIN frids ra ON repo_a = ra.repo
+                        JOIN frids rb ON repo_b = rb.repo
+            UNION
+            SELECT rb.rid, ra.rid
+            FROM fpairs JOIN frids ra ON repo_a = ra.repo
+                        JOIN frids rb ON repo_b = rb.repo
+        ),
+        freach(node, label) AS (
+            SELECT src, src FROM fedges
+            UNION
+            SELECT e.src, r.label FROM fedges e JOIN freach r ON e.dst = r.node
+        )
+        SELECT r.repo AS source,
+               COALESCE(l.cid, r.rid)::BIGINT AS fork_cluster_id
+        FROM frids r
+        LEFT JOIN (SELECT node, min(label) AS cid FROM freach GROUP BY node) l
+          ON r.rid = l.node
     """
     # leakage-safe split: per-CLUSTER seeded md5 threshold over the total
     # assignment (labels CTE) — the SQL twin of splits.cluster_split;

@@ -179,3 +179,260 @@ def vendored_dir_candidates(
             "repo", "dir", "n_files", "n_shared", "shared_frac", "n_peer_repos"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fork / mirror detection: REPO-level near-duplicates.
+#
+# The vendored-dir report above asks "which directories copy content from
+# elsewhere"; fork detection asks the repo-granular question — which
+# REPOSITORIES are near-copies of each other (forks, mirrors, renamed
+# re-uploads). A repository is modeled as the SET of its distinct file
+# content hashes, repo similarity is set Jaccard, and the scale path is the
+# same discipline as the file lane: set-MinHash signatures + banded LSH
+# self-join so no repo ever compares against all others.
+#
+# DB-LSH parity note: this is the reference's signature→bucket→verify shape
+# (dblsh.cpp:53-99 projection, Query.cpp candidate collection, exact
+# verification RStarTree.h:1630) lifted one level — the "points" are repos,
+# the tokens are content hashes rather than shingles, verification is exact
+# set Jaccard computed distributedly (never materializing a set in memory).
+#
+# 10^12-file shape:
+#   - repo_sha_sets: one distinct on a slim (repo, 32-char sha) projection;
+#     contents are hashed in-scan and never shuffled.
+#   - signatures: ONE groupBy(repo) with n_hashes min-aggregates
+#     (xxhash64(seed_i, sha)) — partial-aggregatable, so mega-repos cost
+#     map-side combine; the shuffled rows are (repo, 64×8 bytes).
+#   - candidates: banded equi-join on (band, band_hash) — the file lane's
+#     index-is-a-groupBy idea at repo granularity.
+#   - verify: exact |A∩B| restricted to CANDIDATE pairs only, computed as
+#     two slim equi-joins (pair ⨝ shas(repo_a) ⨝ shas(repo_b) on sha), cost
+#     Σ|repo_a| over candidate pairs — linear, never all-pairs.
+#   - ubiquitous shas (empty file, LICENSE, __init__.py — content living in
+#     10^5 repos) are the quadratic hazard of the EXACT lane's sha
+#     self-join; `max_sha_repos` drops them from the model (stop-sha
+#     removal: content present everywhere carries no fork signal), with the
+#     drop surfaced by `ubiquitous_sha_census`, never silent.
+# ---------------------------------------------------------------------------
+
+
+def repo_sha_sets(
+    files: DataFrame, repo_col: str = "repo", content_col: str = "content"
+) -> DataFrame:
+    """files → the repo set model: distinct (repo, sha=md5(content)).
+
+    NULL content hashes to NULL and is dropped — an unreadable file
+    contributes nothing to the repo's content set (both engines agree:
+    md5(NULL) IS NULL). md5 (not sha256) because it is the engine-portable
+    fingerprint the oracle twins already pin bit-exact in DuckDB; the
+    per-row sha256 ingest invariant is a separate, untouched contract.
+    """
+    return (
+        files.select(
+            F.col(repo_col).alias("repo"), F.md5(F.col(content_col)).alias("sha")
+        )
+        .where(F.col("sha").isNotNull())
+        .distinct()
+    )
+
+
+def ubiquitous_sha_census(shas: DataFrame, max_sha_repos: int) -> DataFrame:
+    """The shas `max_sha_repos` would drop → (sha, n_repos), descending.
+    One groupBy on the distinct (repo, sha) frame; run it before choosing
+    the cutoff so the drop is a decision, not an accident."""
+    return (
+        shas.groupBy("sha")
+        .agg(F.countDistinct("repo").cast("long").alias("n_repos"))
+        .where(F.col("n_repos") > max_sha_repos)
+        .orderBy(F.col("n_repos").desc(), "sha")
+    )
+
+
+def _drop_ubiquitous(shas: DataFrame, max_sha_repos: int | None) -> DataFrame:
+    if max_sha_repos is None:
+        return shas
+    counts = shas.groupBy("sha").agg(F.countDistinct("repo").alias("_nr"))
+    return (
+        shas.join(counts, "sha")
+        .where(F.col("_nr") <= max_sha_repos)
+        .select("repo", "sha")
+    )
+
+
+def _pair_stats(
+    inter: DataFrame, sizes: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """(repo_a, repo_b, n_shared) + per-repo sizes → the fork-pair report
+    (repo_a, repo_b, n_a, n_b, n_shared, jaccard), jaccard rounded to 6
+    (oracle-stable) and thresholded."""
+    sa = sizes.select(F.col("repo").alias("repo_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("repo").alias("repo_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(sa, "repo_a")
+        .join(sb, "repo_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("repo_a", "repo_b", "n_a", "n_b", "n_shared", "jaccard")
+
+
+def repo_fork_pairs(
+    files: DataFrame,
+    min_jaccard: float = 0.5,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    max_sha_repos: int | None = None,
+    shas: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT fork pairs: every repo pair whose content-set Jaccard >=
+    `min_jaccard` → (repo_a, repo_b, n_a, n_b, n_shared, jaccard),
+    repo_a < repo_b.
+
+    Intersections come from the (repo, sha) self-join on sha — exact, and
+    the oracle-matched lane. Its cost is Σ_sha |repos(sha)|², which is why
+    `max_sha_repos` exists (see module note): at corpus scale run
+    `ubiquitous_sha_census` first and pass a cutoff; the small-scale /
+    oracle configuration leaves it None (no row dropped, bit-exact vs the
+    DuckDB twin). `shas`: pass a prepared/persisted `repo_sha_sets` result
+    to share the scan with the LSH lane or the cluster step.
+    """
+    if shas is None:
+        shas = repo_sha_sets(files, repo_col, content_col)
+    shas = _drop_ubiquitous(shas, max_sha_repos)
+    sizes = shas.groupBy("repo").agg(F.count("*").cast("long").alias("n"))
+    a = shas.select(F.col("repo").alias("repo_a"), "sha")
+    b = shas.select(F.col("repo").alias("repo_b"), "sha")
+    inter = (
+        a.join(b, "sha")
+        .where(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return _pair_stats(inter, sizes, min_jaccard)
+
+
+def repo_minhash_signatures(
+    shas: DataFrame, n_hashes: int = 64, seed: int = 909_090
+) -> DataFrame:
+    """distinct (repo, sha) → one row per repo with columns h0..h{n-1}:
+    the classic k-independent-permutation set MinHash, h_i = min over the
+    repo's shas of xxhash64(seed+i, sha). Pure JVM (no kernel, no UDF) and
+    partial-aggregatable — ONE shuffle of (repo, n_hashes longs) total,
+    mega-repos reduced map-side. Unbiased collision bound: P[h_i(A)=h_i(B)]
+    = J(A,B) up to 64-bit collision noise (~2^-64)."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed + i), F.col("sha"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return shas.groupBy("repo").agg(*aggs)
+
+
+def repo_fork_pairs_lsh(
+    files: DataFrame,
+    min_jaccard: float = 0.5,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    seed: int = 909_090,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    max_sha_repos: int | None = None,
+    shas: DataFrame | None = None,
+) -> DataFrame:
+    """LSH-accelerated fork pairs — the corpus-scale lane. Same output
+    contract as `repo_fork_pairs`; candidate generation is the banded
+    signature self-join instead of the sha self-join, and the exact
+    Jaccard verify touches CANDIDATE pairs only.
+
+    Recall: a pair at Jaccard J collides in >=1 of b bands with probability
+    1-(1-J^r)^b; at the defaults (b=16, r=4) a true fork at J=0.9 is missed
+    with ~1e-9 probability, J=0.8 with ~2e-4 — so the threshold should sit
+    comfortably below the fork similarity you care about (the classic LSH
+    S-curve contract, Query.cpp:86-100's widening being the reference's
+    version of moving along it). At the fixtures' planted J (0.92 / 1.0)
+    the lane is empirically identical to the exact oracle at all scales.
+    """
+    if n_hashes % n_bands != 0:
+        raise ValueError("n_hashes must be divisible by n_bands")
+    r = n_hashes // n_bands
+    if shas is None:
+        shas = repo_sha_sets(files, repo_col, content_col)
+    shas = _drop_ubiquitous(shas, max_sha_repos)
+    sigs = repo_minhash_signatures(shas, n_hashes=n_hashes, seed=seed)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * r + j}") for j in range(r)]
+        ).alias(f"b{b}")
+        for b in range(n_bands)
+    ]
+    banded = sigs.select("repo", F.posexplode(F.array(*band_cols)))
+    banded = banded.select(
+        "repo", F.col("pos").alias("band"), F.col("col").alias("band_hash")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "band_hash"])
+        .where(F.col("x.repo") < F.col("y.repo"))
+        .select(
+            F.col("x.repo").alias("repo_a"), F.col("y.repo").alias("repo_b")
+        )
+        .distinct()
+    )
+    sizes = shas.groupBy("repo").agg(F.count("*").cast("long").alias("n"))
+    # exact intersection, candidates only: pair ⨝ shas(a) on repo_a, then
+    # ⨝ shas(b) on (sha, repo_b) — surviving rows ARE the shared shas
+    a = shas.select(F.col("repo").alias("repo_a"), "sha")
+    b = shas.select(F.col("repo").alias("repo_b"), "sha")
+    inter = (
+        cand.join(a, "repo_a")
+        .join(b, ["repo_b", "sha"])
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return _pair_stats(inter, sizes, min_jaccard)
+
+
+def repo_numeric_ids(
+    files: DataFrame, repo_col: str = "repo", id_col: str = "file_id"
+) -> DataFrame:
+    """(repo, rid) where rid = min(file_id) of the repo — the deterministic
+    numeric surrogate the CC operator (long-typed) and its oracle both
+    reproduce. One partial-aggregated groupBy."""
+    return files.groupBy(F.col(repo_col).alias("repo")).agg(
+        F.min(F.col(id_col)).cast("long").alias("rid")
+    )
+
+
+def repo_fork_clusters(pairs: DataFrame, repo_ids: DataFrame) -> DataFrame:
+    """Fork pairs + (repo, rid) → TOTAL assignment (repo, fork_cluster_id):
+    connected components over the fork-pair graph, labels = the component's
+    min rid; repos in no pair keep their own rid (singleton convention of
+    the file lane, assignments_with_singletons).
+
+    Reuses the adaptive CC operator (driver union-find below 10M edges,
+    alternating large-star/small-star above) — fork graphs are tiny
+    relative to file graphs (nodes = repos), so the driver path is the
+    expected one at any plausible scale.
+    """
+    from db_lsh_spark.operators.cluster import connected_components
+
+    ra = repo_ids.select(F.col("repo").alias("repo_a"), F.col("rid").alias("src"))
+    rb = repo_ids.select(F.col("repo").alias("repo_b"), F.col("rid").alias("dst"))
+    edges = pairs.join(ra, "repo_a").join(rb, "repo_b").select("src", "dst")
+    cc = connected_components(edges)
+    return (
+        repo_ids.join(cc, repo_ids.rid == cc.file_id, "left")
+        .select(
+            "repo",
+            F.coalesce(F.col("cluster_id"), F.col("rid")).alias(
+                "fork_cluster_id"
+            ),
+        )
+    )

@@ -1,0 +1,140 @@
+"""Repo-fork detection (operators/repo_analysis.py fork lane): repos as
+content-hash sets, pair Jaccard, LSH acceleration, stop-sha removal, and
+CC clusters — pinned by hand on a planted fixture and cross-checked
+LSH == exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.repo_analysis import (
+    repo_fork_clusters,
+    repo_fork_pairs,
+    repo_fork_pairs_lsh,
+    repo_numeric_ids,
+    repo_sha_sets,
+    ubiquitous_sha_census,
+)
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    """Four repos over 12 distinct contents:
+      - alpha: c0..c9 (10 files)
+      - alpha-fork: c0..c8 + cX (9 shared, 1 new) -> J = 9/11 = 0.818182
+      - beta: exact mirror of alpha under another name -> J = 1 with alpha
+        (and 9/11 with alpha-fork)
+      - gamma: disjoint c100..c104 -> no pair
+    Plus a duplicate PATH inside alpha (same content twice: sets dedup)
+    and a NULL-content file (must be ignored)."""
+    rows = []
+    fid = 0
+
+    def add(repo, content):
+        nonlocal fid
+        rows.append((fid, repo, f"f{fid}.txt", content))
+        fid += 1
+
+    for i in range(10):
+        add("alpha", f"content-{i}")
+    add("alpha", "content-0")  # dup content inside the repo: set semantics
+    add("alpha", None)  # NULL content: contributes nothing
+    for i in range(9):
+        add("alpha-fork", f"content-{i}")
+    add("alpha-fork", "content-new")
+    for i in range(10):
+        add("beta", f"content-{i}")
+    for i in range(100, 105):
+        add("gamma", f"content-{i}")
+    return spark.createDataFrame(
+        rows, "file_id long, repo string, path string, content string"
+    )
+
+
+def _pairs_map(df):
+    return {
+        (r.repo_a, r.repo_b): (r.n_a, r.n_b, r.n_shared, float(r.jaccard))
+        for r in df.collect()
+    }
+
+
+def test_exact_pairs_pinned(files):
+    got = _pairs_map(repo_fork_pairs(files, min_jaccard=0.5))
+    assert got == {
+        ("alpha", "alpha-fork"): (10, 10, 9, round(9 / 11, 6)),
+        ("alpha", "beta"): (10, 10, 10, 1.0),
+        ("alpha-fork", "beta"): (10, 10, 9, round(9 / 11, 6)),
+    }
+
+
+def test_threshold_excludes(files):
+    got = _pairs_map(repo_fork_pairs(files, min_jaccard=0.9))
+    assert set(got) == {("alpha", "beta")}
+
+
+def test_lsh_equals_exact(files):
+    exact = _pairs_map(repo_fork_pairs(files, min_jaccard=0.5))
+    lsh = _pairs_map(repo_fork_pairs_lsh(files, min_jaccard=0.5))
+    assert lsh == exact
+
+
+def test_lsh_no_cartesian(files):
+    plan = repo_fork_pairs_lsh(files, min_jaccard=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ubiquitous_sha_drop(spark, files):
+    """Plant one content in EVERY repo: without the cutoff it creates
+    spurious low-J pairs touching gamma; with max_sha_repos=3 the model
+    (sizes AND intersections) excludes it, restoring the pinned answer."""
+    extra = spark.createDataFrame(
+        [(900 + i, r, "LICENSE", "same-license-everywhere")
+         for i, r in enumerate(["alpha", "alpha-fork", "beta", "gamma"])],
+        "file_id long, repo string, path string, content string",
+    )
+    noisy = files.unionByName(extra)
+    census = ubiquitous_sha_census(repo_sha_sets(noisy), max_sha_repos=3)
+    rows = census.collect()
+    assert len(rows) == 1 and rows[0].n_repos == 4
+    clean = _pairs_map(repo_fork_pairs(noisy, min_jaccard=0.5, max_sha_repos=3))
+    assert clean == _pairs_map(repo_fork_pairs(files, min_jaccard=0.5))
+    # and WITHOUT the cutoff the shared sha inflates intersections
+    dirty = _pairs_map(repo_fork_pairs(noisy, min_jaccard=0.5))
+    assert dirty[("alpha", "beta")][2] == 11
+
+
+def test_fork_clusters_total_assignment(files):
+    pairs = repo_fork_pairs(files, min_jaccard=0.5)
+    rids = repo_numeric_ids(files)
+    got = {r.repo: r.fork_cluster_id for r in repo_fork_clusters(pairs, rids).collect()}
+    rid = {r.repo: r.rid for r in rids.collect()}
+    # alpha/alpha-fork/beta one component labeled by min rid; gamma singleton
+    lbl = min(rid["alpha"], rid["alpha-fork"], rid["beta"])
+    assert got == {
+        "alpha": lbl,
+        "alpha-fork": lbl,
+        "beta": lbl,
+        "gamma": rid["gamma"],
+    }
+
+
+def test_prepared_shas_shared(files):
+    """The `shas` hand-off used by the driver queries: a prepared set frame
+    produces the same answer as the files-frame entry point."""
+    shas = repo_sha_sets(files)
+    a = _pairs_map(repo_fork_pairs(files, min_jaccard=0.5))
+    b = _pairs_map(repo_fork_pairs(None, min_jaccard=0.5, shas=shas))
+    assert a == b
+
+
+def test_minhash_signature_is_one_groupby(files):
+    """Plan shape: the signature aggregation is partial-aggregatable — the
+    executed plan carries a partial_min for every hash column (map-side
+    combine), so mega-repos reduce before the shuffle."""
+    from db_lsh_spark.operators.repo_analysis import repo_minhash_signatures
+
+    sigs = repo_minhash_signatures(repo_sha_sets(files), n_hashes=8)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("partial_min") == 8
