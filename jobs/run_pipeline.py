@@ -64,6 +64,19 @@ def main(argv: list[str] | None = None) -> None:
                         "cluster spans other repos")
     p.add_argument("--vendored-depth", type=int, default=2,
                    help="path segments that define a directory")
+    p.add_argument("--fork-report", action="store_true",
+                   help="also detect repo-level FORKS/mirrors (repos whose "
+                        "content-hash-set Jaccard >= --fork-min-jaccard, "
+                        "set-MinHash LSH lane) writing <output>/fork_pairs "
+                        "and the total repo assignment "
+                        "<output>/fork_clusters; requires repo on the input")
+    p.add_argument("--fork-min-jaccard", type=float, default=0.5,
+                   help="content-set Jaccard threshold for a fork pair")
+    p.add_argument("--fork-max-sha-repos", type=int, default=None,
+                   help="stop-sha removal: exclude content present in more "
+                        "than this many repos from the fork model "
+                        "(ubiquitous LICENSE/empty-file content; see "
+                        "ubiquitous_sha_census)")
     p.add_argument("--lanes", default="",
                    help="comma-separated extra detector lanes folded into "
                         "the cluster edge union as checkpointed stages: "
@@ -274,6 +287,14 @@ def main(argv: list[str] | None = None) -> None:
                 f"input table (found: {files.columns}); failing before the "
                 "dedup run, not after it"
             )
+    if args.fork_report:
+        missing = {"file_id", "repo", "content"} - set(files.columns)
+        if missing:
+            raise SystemExit(
+                f"--fork-report needs columns {sorted(missing)} on the "
+                f"input table (found: {files.columns}); failing before the "
+                "dedup run, not after it"
+            )
     target_pairs = args.target_pairs
     if target_pairs is None and args.beta is not None:
         target_pairs = int(args.beta * files.count())
@@ -459,6 +480,53 @@ def main(argv: list[str] | None = None) -> None:
                 f"{args.output}/vendored_dirs"
             ).count(),
             "report_sec": round(time.monotonic() - t_rep, 2),
+        }
+    fork_report: dict | None = None
+    if args.fork_report:
+        from pyspark.sql import functions as F
+
+        from db_lsh_spark.operators.repo_analysis import (
+            repo_fork_clusters,
+            repo_fork_pairs_lsh,
+            repo_numeric_ids,
+            repo_sha_sets,
+        )
+
+        t_fork = time.monotonic()
+        # fork detection runs on the RAW input frame (every file the repo
+        # ships, pre-curation): a fork is a property of the repository as
+        # uploaded, not of the deduped survivor set. One shared set frame
+        # feeds signatures, verify sizes, and the cluster surrogates.
+        shas = repo_sha_sets(files).persist()
+        pairs = repo_fork_pairs_lsh(
+            None,
+            min_jaccard=args.fork_min_jaccard,
+            max_sha_repos=args.fork_max_sha_repos,
+            shas=shas,
+        )
+        pairs.write.mode("overwrite").parquet(f"{args.output}/fork_pairs")
+        pairs_pq = spark.read.parquet(f"{args.output}/fork_pairs")
+        rids = repo_numeric_ids(files)
+        repo_fork_clusters(pairs_pq, rids).write.mode("overwrite").parquet(
+            f"{args.output}/fork_clusters"
+        )
+        shas.unpersist()
+        fc = spark.read.parquet(f"{args.output}/fork_clusters")
+        fork_report = {
+            "n_fork_pairs": pairs_pq.count(),
+            "n_repos": fc.count(),
+            # repos living in a multi-repo fork component
+            "n_forked_repos": (
+                fc.groupBy("fork_cluster_id")
+                .agg(F.count("*").alias("k"))
+                .where(F.col("k") > 1)
+                .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("s"))
+                .first()
+                .s
+            ),
+            "min_jaccard": args.fork_min_jaccard,
+            "max_sha_repos": args.fork_max_sha_repos,
+            "fork_sec": round(time.monotonic() - t_fork, 2),
         }
     license_audit_report: dict | None = None
     if args.license_audit:
@@ -777,6 +845,7 @@ def main(argv: list[str] | None = None) -> None:
         "extra_lanes": list(extra_lanes) or None,
         "widening_rounds": out.widen_stats,
         "repo_report": repo_report,
+        "fork_report": fork_report,
         "keep_list": keep_report,
         "curation": curation_report,
         "license": license_report,

@@ -1,0 +1,88 @@
+"""``run_pipeline --fork-report`` end-to-end: the spark-submit artifact
+detects a planted repo FORK (one repo's files cloned wholesale under a new
+repo name with a single edited file) via the set-MinHash LSH lane, writing
+fork_pairs + the total fork_clusters assignment next to the dedup output
+(operator semantics pinned in test_repo_forks.py; this covers the wiring)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+import pandas as pd
+import pytest
+
+from db_lsh_spark.sources.synth import SynthConfig, generate
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """Synth corpus ∪ a fork: every file of the lexicographically first
+    repo cloned under '<repo>-fork' at file_id+10_000_000, one file's
+    content edited — the fork pair's Jaccard is (n-1)/(n+1)."""
+    d = tmp_path_factory.mktemp("fork_corpus")
+    files = generate(SynthConfig(n_files=400)).files
+    src = sorted(files.repo.unique())[0]
+    clone = files[files.repo == src].copy()
+    clone["file_id"] = clone["file_id"] + 10_000_000
+    clone["repo"] = src + "-fork"
+    edit_idx = clone.index[0]
+    clone.loc[edit_idx, "content"] = clone.loc[edit_idx, "content"] + " forked"
+    pd.concat([files, clone], ignore_index=True).to_parquet(
+        str(d / "files.parquet"), index=False
+    )
+    return str(d), src
+
+
+def test_spark_submit_fork_report(corpus_dir, tmp_path):
+    from db_lsh_spark.session import package_zip
+
+    corpus, src = corpus_dir
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus, "--output", out_dir,
+            "--fork-report", "--fork-min-jaccard", "0.5",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+
+    files = pd.read_parquet(corpus)
+    pairs = pd.read_parquet(os.path.join(out_dir, "fork_pairs"))
+    # the planted fork pair surfaces — and is the ONLY pair at 0.5 unless
+    # the synth corpus itself contains repo-level near-dups (it plants
+    # file-level vendor copies, far below whole-repo Jaccard 0.5)
+    planted = pairs[(pairs.repo_a == src) & (pairs.repo_b == src + "-fork")]
+    assert len(planted) == 1, f"planted fork missing:\n{pairs}"
+    row = planted.iloc[0]
+    n = files[files.repo == src].content.nunique()
+    assert row.n_a == n and row.n_b == n
+    assert row.n_shared == n - 1
+    assert abs(row.jaccard - (n - 1) / (n + 1)) < 1e-6
+
+    # clusters: a TOTAL assignment over every repo; src and its fork share
+    # a label (= min file_id of the component), everything else intact
+    fc = pd.read_parquet(os.path.join(out_dir, "fork_clusters"))
+    assert sorted(fc.repo) == sorted(files.repo.unique())
+    lbl = dict(zip(fc.repo, fc.fork_cluster_id))
+    assert lbl[src] == lbl[src + "-fork"]
+    assert lbl[src] == files[files.repo == src].file_id.min()
+
+    # summary reconciles with the parquet
+    assert summary["fork_report"]["n_fork_pairs"] == len(pairs)
+    assert summary["fork_report"]["n_repos"] == len(fc)
+    comp = fc.groupby("fork_cluster_id").size()
+    assert summary["fork_report"]["n_forked_repos"] == int(
+        comp[comp > 1].sum()
+    )
