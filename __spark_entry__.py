@@ -53,6 +53,12 @@ FORK_SOURCES = ("src0", "src1")
 FORK_EDIT_MOD = 500
 FORK_MIN_JACCARD = 0.5
 FORK_N_HASHES, FORK_BANDS = 64, 16
+# repo containment (the asymmetric complement): the seeded mega-repo is
+# the union of MEGA_SOURCES' docs, so each member source is FULLY contained
+# (containment 1.0) while its Jaccard vs the mega-repo is only 1/3 — below
+# FORK_MIN_JACCARD, i.e. exactly the pair shape the fork lane cannot see
+MEGA_SOURCES = ("src2", "src3", "src4")
+CONTAIN_MIN, CONTAIN_MIN_FILES = 0.9, 3
 # token-budget composition: per-language token budgets (real mixes are
 # specified in tokens, not documents); weight = whitespace token count
 BUDGET_MIX, BUDGET_SEED = {"en": 2000, "de": 500}, 13
@@ -258,6 +264,21 @@ def _docs_with_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
         F.concat(F.col("source"), F.lit("-fork")).alias("source"),
+    )
+    return docs.unionByName(clones)
+
+
+def _docs_with_mega(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ one 'mega0' repo holding a verbatim clone of every
+    MEGA_SOURCES doc at doc_id+10_000_000 — the vendored-into-a-mega-repo
+    shape for the containment lane (each member source is fully contained;
+    its Jaccard vs mega0 is 1/len(MEGA_SOURCES)). Keeps
+    (doc_id, text, source)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    clones = docs.where(F.col("source").isin(*MEGA_SOURCES)).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        F.lit("mega0").alias("source"),
     )
     return docs.unionByName(clones)
 
@@ -849,6 +870,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["repo_fork_clusters_seeded"] = _fork_clusters
+
+    def _containment(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators import repo_analysis as ra
+
+        return ra.repo_containment_pairs(
+            None,
+            min_containment=CONTAIN_MIN,
+            min_files=CONTAIN_MIN_FILES,
+            shas=ra.repo_sha_sets(
+                _docs_with_mega(s, d), repo_col="source", content_col="text"
+            ),
+        )
+
+    q["repo_containment_pairs_seeded"] = _containment
 
     # ---- vector lane (embeddings) ----
     q["emb_norms"] = lambda s, d: ann_ops.norms(_emb(s, d))
@@ -2031,6 +2066,40 @@ def oracle_sql() -> dict[str, str]:
         FROM frids r
         LEFT JOIN (SELECT node, min(label) AS cid FROM freach GROUP BY node) l
           ON r.rid = l.node
+    """
+    # containment twin: directed |A∩B|/|A| over the mega-repo CTE — one
+    # undirected intersection, both orientations, min-files + threshold
+    _mega_srcs = ", ".join(f"'{s}'" for s in MEGA_SOURCES)
+    sql["repo_containment_pairs_seeded"] = f"""
+        WITH megad AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, text, 'mega0'
+            FROM documents WHERE source IN ({_mega_srcs})
+        ),
+        csets AS (
+            SELECT DISTINCT source AS repo, md5(text) AS sha
+            FROM megad WHERE md5(text) IS NOT NULL
+        ),
+        csizes AS (SELECT repo, count(*) AS n FROM csets GROUP BY repo),
+        cund AS (
+            SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+            FROM csets a JOIN csets b ON a.sha = b.sha AND a.repo < b.repo
+            GROUP BY 1, 2
+        ),
+        cdir AS (
+            SELECT repo_a, repo_b, n_shared FROM cund
+            UNION ALL
+            SELECT repo_b, repo_a, n_shared FROM cund
+        )
+        SELECT repo_a, repo_b, sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+               n_shared::BIGINT AS n_shared,
+               round(n_shared::DOUBLE / sa.n, 6) AS containment
+        FROM cdir
+        JOIN csizes sa ON repo_a = sa.repo
+        JOIN csizes sb ON repo_b = sb.repo
+        WHERE sa.n >= {CONTAIN_MIN_FILES}
+          AND round(n_shared::DOUBLE / sa.n, 6) >= {CONTAIN_MIN}
     """
     # leakage-safe split: per-CLUSTER seeded md5 threshold over the total
     # assignment (labels CTE) — the SQL twin of splits.cluster_split;

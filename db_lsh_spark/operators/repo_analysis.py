@@ -436,3 +436,65 @@ def repo_fork_clusters(pairs: DataFrame, repo_ids: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def repo_containment_pairs(
+    files: DataFrame,
+    min_containment: float = 0.9,
+    min_files: int = 3,
+    repo_col: str = "repo",
+    content_col: str = "content",
+    max_sha_repos: int | None = None,
+    shas: DataFrame | None = None,
+) -> DataFrame:
+    """DIRECTED repo containment: (repo_a, repo_b, n_a, n_b, n_shared,
+    containment) where containment = |A∩B| / |A| >= `min_containment` and
+    |A| >= `min_files` — repo_a is the CONTAINED side, and both directions
+    of a pair can appear (two exact mirrors contain each other).
+
+    The asymmetric complement of `repo_fork_pairs`: a 50-file library
+    vendored wholesale into a 10^5-file mega-repo has Jaccard ≈ 5e-4 —
+    invisible to any symmetric-similarity lane at any useful threshold —
+    but containment 1.0. Set-MinHash does NOT estimate containment (its
+    collision probability is Jaccard), so there is no honest LSH shortcut
+    here; the lane shares the exact sha self-join with `repo_fork_pairs`,
+    and at corpus scale the SAME two controls apply: `max_sha_repos`
+    stop-sha removal (with `ubiquitous_sha_census`) bounds per-sha fan-out,
+    and `min_files` drops the 1-file repos that are trivially contained
+    wherever their content appears. Pairs with zero shared content never
+    materialize (the join produces no row), so the output is sparse in the
+    number of actually-overlapping repo pairs, not |repos|².
+    """
+    if shas is None:
+        shas = repo_sha_sets(files, repo_col, content_col)
+    shas = _drop_ubiquitous(shas, max_sha_repos)
+    sizes = shas.groupBy("repo").agg(F.count("*").cast("long").alias("n"))
+    a = shas.select(F.col("repo").alias("repo_a"), "sha")
+    b = shas.select(F.col("repo").alias("repo_b"), "sha")
+    # one undirected intersection pass (repo_a < repo_b), both orientations
+    # emitted afterwards — half the join work of a directed self-join
+    und = (
+        a.join(b, "sha")
+        .where(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    directed = und.unionByName(
+        und.select(
+            F.col("repo_b").alias("repo_a"),
+            F.col("repo_a").alias("repo_b"),
+            "n_shared",
+        )
+    )
+    sa = sizes.select(F.col("repo").alias("repo_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("repo").alias("repo_b"), F.col("n").alias("n_b"))
+    return (
+        directed.join(sa, "repo_a")
+        .join(sb, "repo_b")
+        .where(F.col("n_a") >= min_files)
+        .withColumn(
+            "containment", F.round(F.col("n_shared") / F.col("n_a"), 6)
+        )
+        .where(F.col("containment") >= min_containment)
+        .select("repo_a", "repo_b", "n_a", "n_b", "n_shared", "containment")
+    )

@@ -138,3 +138,39 @@ def test_minhash_signature_is_one_groupby(files):
     sigs = repo_minhash_signatures(repo_sha_sets(files), n_hashes=8)
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("partial_min") == 8
+
+
+def test_containment_pinned(files, spark):
+    """Directed semantics: mirrors contain each other (1.0); the fork
+    contains 9/10 of alpha and vice versa (0.9, boundary-inclusive); a
+    2-file repo fully inside alpha is gated by min_files, not similarity."""
+    from db_lsh_spark.operators.repo_analysis import repo_containment_pairs
+
+    got = {
+        (r.repo_a, r.repo_b): (r.n_a, r.n_b, r.n_shared, float(r.containment))
+        for r in repo_containment_pairs(files, min_containment=0.9).collect()
+    }
+    assert got == {
+        ("alpha", "beta"): (10, 10, 10, 1.0),
+        ("beta", "alpha"): (10, 10, 10, 1.0),
+        ("alpha", "alpha-fork"): (10, 10, 9, 0.9),
+        ("alpha-fork", "alpha"): (10, 10, 9, 0.9),
+        ("alpha-fork", "beta"): (10, 10, 9, 0.9),
+        ("beta", "alpha-fork"): (10, 10, 9, 0.9),
+    }
+
+    tiny = files.unionByName(
+        spark.createDataFrame(
+            [(800, "tiny", "t0", "content-0"), (801, "tiny", "t1", "content-1")],
+            "file_id long, repo string, path string, content string",
+        )
+    )
+    at3 = repo_containment_pairs(tiny, min_containment=0.9, min_files=3)
+    assert not [r for r in at3.collect() if r.repo_a == "tiny"]
+    at2 = repo_containment_pairs(tiny, min_containment=0.9, min_files=2)
+    mine = {(r.repo_a, r.repo_b): float(r.containment)
+            for r in at2.collect() if r.repo_a == "tiny"}
+    # fully contained in each of the three overlapping repos (alpha-fork
+    # carries c0..c8, so both planted contents are present there too)
+    assert mine == {("tiny", "alpha"): 1.0, ("tiny", "beta"): 1.0,
+                    ("tiny", "alpha-fork"): 1.0}
