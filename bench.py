@@ -90,6 +90,8 @@ def main() -> None:
         "doc_cluster_split",
         "doc_cluster_license_conflicts_seeded",
         "doc_split_contamination_naive",
+        "repo_fork_pairs_lsh_seeded",
+        "repo_containment_pairs_seeded",
         "emb_knn_bruteforce",
         "emb_knn_lsh",
         "emb_knn_l2",
