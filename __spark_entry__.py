@@ -885,6 +885,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repo_containment_pairs_seeded"] = _containment
 
+    # latest-snapshot selection (The Stack's literal first step): the
+    # seeded snapshot view buckets documents into (source, doc_id % 100)
+    # paths — 5+ versions per path at every sf — ordered by doc_id, so the
+    # survivor per path is the max doc_id and the oracle is a plain argmax
+    def _snap_frame(s: SparkSession, d: str) -> DataFrame:
+        return _docs(s, d).select(
+            "doc_id",
+            F.col("source").alias("repo"),
+            F.concat(F.lit("p"), (F.col("doc_id") % 100).cast("string")).alias(
+                "path"
+            ),
+            F.col("doc_id").alias("commit_idx"),
+        )
+
+    def _latest_snap(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import latest_snapshot
+
+        return latest_snapshot(_snap_frame(s, d), id_col="doc_id").select(
+            "repo", "path", "doc_id"
+        )
+
+    q["doc_latest_snapshot_seeded"] = _latest_snap
+
+    def _snap_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import snapshot_census
+
+        return snapshot_census(_snap_frame(s, d))
+
+    q["doc_snapshot_census_seeded"] = _snap_census
+
     # ---- vector lane (embeddings) ----
     q["emb_norms"] = lambda s, d: ann_ops.norms(_emb(s, d))
     q["emb_knn_bruteforce"] = lambda s, d: ann_ops.knn_bruteforce(
@@ -2100,6 +2130,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN csizes sb ON repo_b = sb.repo
         WHERE sa.n >= {CONTAIN_MIN_FILES}
           AND round(n_shared::DOUBLE / sa.n, 6) >= {CONTAIN_MIN}
+    """
+    # latest-snapshot twins: survivor per (repo, path) = argmax (order, id)
+    # — with order = id in the seeded view, a plain max; census is one
+    # grouped-count subquery
+    _snap_cte = """
+        snaps AS (
+            SELECT doc_id, source AS repo,
+                   'p' || CAST(doc_id % 100 AS VARCHAR) AS path
+            FROM documents
+        )"""
+    sql["doc_latest_snapshot_seeded"] = f"""
+        WITH {_snap_cte}
+        SELECT repo, path, max(doc_id) AS doc_id
+        FROM snaps GROUP BY repo, path
+    """
+    sql["doc_snapshot_census_seeded"] = f"""
+        WITH {_snap_cte},
+        g AS (SELECT count(*) AS k FROM snaps GROUP BY repo, path)
+        SELECT sum(k)::BIGINT AS n_rows,
+               (sum(k) - count(*))::BIGINT AS n_snapshots_dropped,
+               count(*)::BIGINT AS n_files
+        FROM g
     """
     # leakage-safe split: per-CLUSTER seeded md5 threshold over the total
     # assignment (labels CTE) — the SQL twin of splits.cluster_split;

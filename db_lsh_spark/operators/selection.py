@@ -168,3 +168,64 @@ def dedup_savings(
             6,
         ).alias("chars_dropped_frac"),
     )
+
+
+def latest_snapshot(
+    files: DataFrame,
+    keys: tuple[str, ...] = ("repo", "path"),
+    order_col: str = "commit_idx",
+    id_col: str = "file_id",
+) -> DataFrame:
+    """Keep ONE row per `keys` group — the snapshot with the greatest
+    `order_col`, ties broken by the greatest `id_col` (total and
+    deterministic because ids are unique). Returns the surviving rows of
+    `files`, all columns intact.
+
+    The Stack's literal first pipeline step for code corpora: a source
+    table holding every (repo, path, commit) version reduces to the latest
+    version of each file BEFORE any curation/dedup work, or snapshot
+    near-dups (yesterday's copy of every file) swamp every downstream
+    lane. `order_col` must be a monotone version column — a commit
+    TIMESTAMP or index, never the commit hash itself (hash order is not
+    time order; callers with only hashes should derive an index first).
+
+    Shape at 10^12 rows: the same argmax discipline as `keepers_by_score`
+    — one partial-aggregatable max(struct(order, id)) groupBy on the keys
+    (a path with 10^5 snapshots reduces map-side, never a per-group window
+    sort), then one id equi-join to pull the surviving rows. NULL
+    `order_col` sorts below every non-NULL version (struct max on a
+    non-nullable long: NULL order is coalesced to LONG_MIN) so a
+    versionless row survives only if nothing versioned exists.
+    """
+    for c in (*keys, order_col, id_col):
+        if c not in files.columns:
+            raise ValueError(f"latest_snapshot: column {c!r} not on input")
+    long_min = -(2 ** 63)
+    winners = (
+        files.select(
+            *keys,
+            F.coalesce(F.col(order_col).cast("long"), F.lit(long_min)).alias(
+                "_ord"
+            ),
+            F.col(id_col),
+        )
+        .groupBy(*keys)
+        .agg(F.max(F.struct(F.col("_ord"), F.col(id_col))).alias("best"))
+        .select(F.col(f"best.{id_col}").alias(id_col))
+    )
+    return files.join(winners, id_col, "left_semi")
+
+
+def snapshot_census(
+    files: DataFrame,
+    keys: tuple[str, ...] = ("repo", "path"),
+) -> DataFrame:
+    """One row: (n_rows, n_snapshots_dropped, n_files) where n_files is
+    the distinct `keys` group count — the attrition line a latest-snapshot
+    reduction prints. Single aggregation pass."""
+    counted = files.groupBy(*keys).agg(F.count("*").alias("_k"))
+    return counted.agg(
+        F.sum("_k").cast("long").alias("n_rows"),
+        (F.sum("_k") - F.count("*")).cast("long").alias("n_snapshots_dropped"),
+        F.count("*").cast("long").alias("n_files"),
+    )

@@ -82,6 +82,8 @@ def run_dedup(
     mask_idents: bool = False,
     license_allow: tuple[str, ...] | None = None,
     license_allow_unknown: bool = True,
+    snapshot_order_col: str | None = None,
+    snapshot_keys: tuple[str, ...] = ("repo", "path"),
 ) -> DedupOutput:
     """Run the full pipeline. With ``checkpoint_root`` set, every stage is
     materialized + manifest-gated (resume-from-checkpoint); without it the
@@ -143,6 +145,15 @@ def run_dedup(
     exposed as ``DedupOutput.license_census``. Both knobs fork the
     checkpoint fingerprint — a normalized or license-gated run never
     resumes a raw one's stages.
+
+    ``snapshot_order_col`` turns on latest-snapshot reduction as the VERY
+    FIRST step (before even the license gate — The Stack's literal stage
+    order: one version per (repo, path), then everything else): the input
+    keeps only the row with the greatest ``snapshot_order_col`` per
+    ``snapshot_keys`` group (``operators/selection.latest_snapshot``; the
+    column must be a monotone version index/timestamp, never the commit
+    hash). Forks the checkpoint fingerprint like every other input-shaping
+    knob.
     """
     cfg = cfg or DedupConfig()
     extra = tuple(sorted(set(extra_lanes)))
@@ -205,6 +216,8 @@ def run_dedup(
         fp += "-lic" + _hl.md5(_lkey.encode()).hexdigest()[:8]
     elif not license_allow_unknown:
         raise ValueError("license_allow_unknown=False requires license_allow")
+    if snapshot_order_col is not None:
+        fp += f"-snap:{snapshot_order_col}:{','.join(snapshot_keys)}"
     store = StageStore(checkpoint_root, fp) if checkpoint_root else None
 
     def gate(name: str, builder, **kw) -> DataFrame:
@@ -220,6 +233,17 @@ def run_dedup(
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if files_ids.rdd.getNumPartitions() < max(2, target // 2):
         files_ids = files_ids.repartition(target, "file_id")
+
+    # ---- latest-snapshot reduction (one version per (repo, path)) ----
+    if snapshot_order_col is not None:
+        from db_lsh_spark.operators.selection import latest_snapshot
+
+        files_ids = latest_snapshot(
+            files_ids,
+            keys=snapshot_keys,
+            order_col=snapshot_order_col,
+            id_col="file_id",
+        )
 
     # ---- license gate pre-filter (The Stack-style keep-by-license) ----
     license_census_df: DataFrame | None = None

@@ -72,6 +72,17 @@ def main(argv: list[str] | None = None) -> None:
                         "<output>/fork_clusters; requires repo on the input")
     p.add_argument("--fork-min-jaccard", type=float, default=0.5,
                    help="content-set Jaccard threshold for a fork pair")
+    p.add_argument("--latest-only", action="store_true",
+                   help="keep only the latest snapshot per (repo, path) "
+                        "BEFORE any other work (The Stack's first step); "
+                        "requires --snapshot-order-col")
+    p.add_argument("--snapshot-order-col", default=None,
+                   help="monotone version column (commit index/timestamp — "
+                        "NEVER the commit hash) ordering snapshots for "
+                        "--latest-only")
+    p.add_argument("--snapshot-keys", default="repo,path",
+                   help="comma-separated key columns defining one file "
+                        "across snapshots (default repo,path)")
     p.add_argument("--fork-max-sha-repos", type=int, default=None,
                    help="stop-sha removal: exclude content present in more "
                         "than this many repos from the fork model "
@@ -287,6 +298,21 @@ def main(argv: list[str] | None = None) -> None:
                 f"input table (found: {files.columns}); failing before the "
                 "dedup run, not after it"
             )
+    snapshot_keys = tuple(
+        s.strip() for s in args.snapshot_keys.split(",") if s.strip()
+    )
+    if args.latest_only:
+        if not args.snapshot_order_col:
+            raise SystemExit("--latest-only requires --snapshot-order-col")
+        missing = (set(snapshot_keys) | {args.snapshot_order_col}) - set(
+            files.columns
+        )
+        if missing:
+            raise SystemExit(
+                f"--latest-only needs columns {sorted(missing)} on the "
+                f"input table (found: {files.columns}); failing before the "
+                "dedup run, not after it"
+            )
     if args.fork_report:
         missing = {"file_id", "repo", "content"} - set(files.columns)
         if missing:
@@ -376,7 +402,11 @@ def main(argv: list[str] | None = None) -> None:
                     normalize_code=args.normalize_code,
                     mask_idents=args.mask_idents,
                     license_allow=license_allow,
-                    license_allow_unknown=not args.license_strict)
+                    license_allow_unknown=not args.license_strict,
+                    snapshot_order_col=(
+                        args.snapshot_order_col if args.latest_only else None
+                    ),
+                    snapshot_keys=snapshot_keys)
     license_report: dict | None = None
     if license_allow is not None:
         out.license_census.write.mode("overwrite").parquet(
@@ -481,6 +511,12 @@ def main(argv: list[str] | None = None) -> None:
             ).count(),
             "report_sec": round(time.monotonic() - t_rep, 2),
         }
+    snapshot_report: dict | None = None
+    if args.latest_only:
+        from db_lsh_spark.operators.selection import snapshot_census
+
+        snapshot_report = snapshot_census(files, keys=snapshot_keys).first().asDict()
+        snapshot_report["order_col"] = args.snapshot_order_col
     fork_report: dict | None = None
     if args.fork_report:
         from pyspark.sql import functions as F
@@ -846,6 +882,7 @@ def main(argv: list[str] | None = None) -> None:
         "widening_rounds": out.widen_stats,
         "repo_report": repo_report,
         "fork_report": fork_report,
+        "snapshot": snapshot_report,
         "keep_list": keep_report,
         "curation": curation_report,
         "license": license_report,

@@ -1,0 +1,170 @@
+"""latest_snapshot / snapshot_census (operators/selection.py) — The
+Stack's one-version-per-(repo,path) first step — plus the run_dedup knob
+(reduction order, fingerprint fork) and the spark-submit job face."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.selection import latest_snapshot, snapshot_census
+
+
+@pytest.fixture(scope="module")
+def snaps(spark):
+    """(repo, path) groups with: three ordered versions; a tie on the
+    order column (id breaks it); a NULL order below every version; a
+    NULL-order-only group (survives); a single-version group."""
+    rows = [
+        # three versions: v3 (fid 12) wins
+        (10, "r1", "a.py", 1, "v1"),
+        (11, "r1", "a.py", 2, "v2"),
+        (12, "r1", "a.py", 3, "v3"),
+        # order tie at 5: greatest file_id (21) wins
+        (20, "r1", "b.py", 5, "tie-lo"),
+        (21, "r1", "b.py", 5, "tie-hi"),
+        # NULL order loses to any versioned row
+        (30, "r2", "a.py", None, "unversioned"),
+        (31, "r2", "a.py", 1, "versioned"),
+        # NULL-order-only group: its single row survives
+        (40, "r2", "c.py", None, "only"),
+        # single version
+        (50, "r3", "z.py", 7, "solo"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_id long, repo string, path string, commit_idx long, "
+        "content string",
+    )
+
+
+def test_latest_snapshot_pinned(snaps):
+    got = {
+        r.file_id: r.content
+        for r in latest_snapshot(snaps, id_col="file_id").collect()
+    }
+    assert got == {12: "v3", 21: "tie-hi", 31: "versioned",
+                   40: "only", 50: "solo"}
+
+
+def test_latest_snapshot_keeps_all_columns(snaps):
+    out = latest_snapshot(snaps.withColumn("extra", F.lit("x")))
+    assert set(out.columns) == set(snaps.columns) | {"extra"}
+
+
+def test_latest_snapshot_missing_column(snaps):
+    with pytest.raises(ValueError, match="commit_ts"):
+        latest_snapshot(snaps, order_col="commit_ts")
+
+
+def test_snapshot_census(snaps):
+    row = snapshot_census(snaps).first()
+    assert (row.n_rows, row.n_snapshots_dropped, row.n_files) == (9, 4, 5)
+
+
+def test_latest_snapshot_partial_agg_plan(snaps):
+    """The argmax is ONE partial-aggregatable groupBy (max(struct)) — no
+    per-group window sort anywhere in the plan."""
+    plan = (
+        latest_snapshot(snaps)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_run_dedup_snapshot_knob(spark, tmp_path):
+    """run_dedup(snapshot_order_col=...) reduces FIRST: two snapshots of
+    the same (repo, path) — raw near-dups of each other — collapse to the
+    latest before signatures, so the cluster assignment covers only
+    surviving ids; the knob forks the checkpoint fingerprint."""
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    rows = [
+        (0, "r1", "a.py", 1, base),                      # old snapshot
+        (1, "r1", "a.py", 2, base + " v2"),              # latest of a.py
+        (2, "r1", "b.py", 1, base + " v2"),              # exact dup of fid 1
+        (3, "r2", "solo.py", 1, "totally different content here"),
+    ]
+    files = spark.createDataFrame(
+        rows,
+        "file_id long, repo string, path string, commit_idx long, "
+        "content string",
+    )
+    cfg = DedupConfig()
+    out = run_dedup(spark, files, cfg, snapshot_order_col="commit_idx")
+    assign = {r.file_id: r.cluster_id for r in out.clusters.collect()}
+    # fid 0 never reaches clustering; fids 1 and 2 are exact dups
+    assert set(assign) == {1, 2, 3}
+    assert assign[1] == assign[2]
+    assert assign[3] != assign[1]
+
+    # without the knob, fid 0 participates (and near-dups its successor)
+    raw = run_dedup(spark, files, cfg)
+    raw_assign = {r.file_id: r.cluster_id for r in raw.clusters.collect()}
+    assert set(raw_assign) == {0, 1, 2, 3}
+    assert raw_assign[0] == raw_assign[1]
+
+    # fingerprint fork: a snapshot run never resumes a raw run's stages
+    ck = str(tmp_path / "ck")
+    run_dedup(spark, files, cfg, checkpoint_root=ck)
+    out2 = run_dedup(
+        spark, files, cfg, checkpoint_root=ck, snapshot_order_col="commit_idx"
+    )
+    assert not any(r.skipped for r in out2.store.results), (
+        "snapshot run resumed a raw run's checkpoint stages"
+    )
+
+
+def test_spark_submit_latest_only(tmp_path):
+    """Job face: --latest-only --snapshot-order-col reduces before dedup;
+    summary census reconciles; clusters cover only surviving ids."""
+    import json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+    from db_lsh_spark.sources.synth import SynthConfig, generate
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = generate(SynthConfig(n_files=300)).files
+    files["commit_idx"] = 1
+    # clone the first 40 rows as STALE snapshots (same repo/path, lower
+    # order, slightly edited content) at file_id+1_000_000
+    stale = files.head(40).copy()
+    stale["file_id"] = stale["file_id"] + 1_000_000
+    stale["commit_idx"] = 0
+    stale["content"] = stale["content"] + " stale"
+    stale["sha256"] = None  # force re-derivation from the edited content
+    corpus = pd.concat([files, stale], ignore_index=True)
+    d = tmp_path / "corpus"
+    d.mkdir()
+    corpus.to_parquet(str(d / "files.parquet"), index=False)
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", str(d), "--output", out_dir,
+            "--latest-only", "--snapshot-order-col", "commit_idx",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    assert summary["snapshot"] == {
+        "n_rows": 340, "n_snapshots_dropped": 40, "n_files": 300,
+        "order_col": "commit_idx",
+    }
+    clusters = pd.read_parquet(os.path.join(out_dir, "clusters"))
+    # exactly the 300 latest rows clustered; no stale id survived
+    assert len(clusters) == 300
+    assert (clusters.file_id < 1_000_000).all()
