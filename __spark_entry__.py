@@ -59,6 +59,16 @@ FORK_N_HASHES, FORK_BANDS = 64, 16
 # FORK_MIN_JACCARD, i.e. exactly the pair shape the fork lane cannot see
 MEGA_SOURCES = ("src2", "src3", "src4")
 CONTAIN_MIN, CONTAIN_MIN_FILES = 0.9, 3
+# code-quality seeds (The Stack basic filters): SQL expressions evaluated
+# IDENTICALLY by Spark and DuckDB (repeat/chr/|| in the common subset) —
+# one doc per rule in first-tripped order, plus a clean control
+CODE_QUALITY_SEEDS = (
+    "repeat('a', 1500)",                                      # long_line
+    "repeat(repeat('b', 200) || chr(10), 3) || repeat('b', 200)",  # avg_line
+    "repeat('<>!;' || chr(10), 50)",                          # low_alnum
+    "'// auto-generated do not edit' || chr(10) || repeat('x y z w ', 10)",
+    "repeat('ok line ', 8)",                                  # clean
+)
 # token-budget composition: per-language token budgets (real mixes are
 # specified in tokens, not documents); weight = whitespace token count
 BUDGET_MIX, BUDGET_SEED = {"en": 2000, "de": 500}, 13
@@ -281,6 +291,27 @@ def _docs_with_mega(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("mega0").alias("source"),
     )
     return docs.unionByName(clones)
+
+
+def _docs_with_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the five CODE_QUALITY_SEEDS plants at doc_id
+    11_000_000+i. The raw fixture's docs are single-line prose, so ~90%
+    trip avg_line naturally (measured: 450/463/4524 at the three sfs —
+    realistic for a CODE filter pointed at prose, and it makes the flags
+    query non-vacuous on its own); the plants add exactly one trip per
+    REMAINING rule (long_line / low_alnum / autogen, each attributed
+    first-tripped) plus a clean control. The oracle evaluates the SAME
+    SQL expressions."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = docs
+    for i, e in enumerate(CODE_QUALITY_SEEDS):
+        out = out.unionByName(
+            spark.range(1).select(
+                F.lit(11_000_000 + i).cast("long").alias("doc_id"),
+                F.expr(e).alias("text"),
+            )
+        )
+    return out
 
 
 def _docs_for_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,6 +945,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return snapshot_census(_snap_frame(s, d))
 
     q["doc_snapshot_census_seeded"] = _snap_census
+
+    # code-quality rules (The Stack basic filters): per-doc metrics + the
+    # sequential-attribution drop flags, each metric one codegen expression
+    def _cq_stats(s: SparkSession, d: str) -> DataFrame:
+        return text_ops.code_quality_stats(_docs_with_code_quality(s, d))
+
+    q["doc_code_quality_stats_seeded"] = _cq_stats
+
+    def _cq_flags(s: SparkSession, d: str) -> DataFrame:
+        return text_ops.code_quality_flags(_docs_with_code_quality(s, d))
+
+    q["doc_code_quality_flags_seeded"] = _cq_flags
 
     # ---- vector lane (embeddings) ----
     q["emb_norms"] = lambda s, d: ann_ops.norms(_emb(s, d))
@@ -2152,6 +2195,54 @@ def oracle_sql() -> dict[str, str]:
                (sum(k) - count(*))::BIGINT AS n_snapshots_dropped,
                count(*)::BIGINT AS n_files
         FROM g
+    """
+    # code-quality twins: identical metric arithmetic in DuckDB (NOTE the
+    # explicit 'g' flag — DuckDB regexp_replace is first-match by default
+    # where Spark is global) over the same seeded expression plants
+    _cq_plants = "\n            ".join(
+        f"UNION ALL SELECT {11_000_000 + i}, {e}"
+        for i, e in enumerate(CODE_QUALITY_SEEDS)
+    )
+    _cq_ctes = f"""
+        cqdocs AS (
+            SELECT doc_id, text FROM documents
+            {_cq_plants}
+        ),
+        cqstats AS (
+            SELECT doc_id,
+                   list_max(list_transform(string_split(text, chr(10)),
+                            x -> length(x)))::BIGINT AS max_line_len,
+                   round(list_sum(list_transform(string_split(text, chr(10)),
+                                  x -> length(x)))::DOUBLE
+                         / len(string_split(text, chr(10))), 6)
+                       AS avg_line_len,
+                   round(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                         ::DOUBLE / nullif(length(text), 0), 6)
+                       AS alnum_frac,
+                   (contains(lower(substr(text, 1, 512)), 'auto-generated')
+                    OR contains(lower(substr(text, 1, 512)),
+                                'automatically generated')
+                    OR contains(lower(substr(text, 1, 512)), 'do not edit')
+                    OR contains(lower(substr(text, 1, 512)), 'generated by'))
+                       AS is_autogen
+            FROM cqdocs
+        )"""
+    sql["doc_code_quality_stats_seeded"] = f"""
+        WITH {_cq_ctes}
+        SELECT * FROM cqstats
+    """
+    sql["doc_code_quality_flags_seeded"] = f"""
+        WITH {_cq_ctes},
+        cqreason AS (
+            SELECT doc_id,
+                   CASE WHEN max_line_len > 1000 THEN 'long_line'
+                        WHEN avg_line_len > 100 THEN 'avg_line'
+                        WHEN alnum_frac < 0.25 THEN 'low_alnum'
+                        WHEN coalesce(is_autogen, false) THEN 'autogen'
+                   END AS reason
+            FROM cqstats
+        )
+        SELECT doc_id, reason IS NOT NULL AS drop, reason FROM cqreason
     """
     # leakage-safe split: per-CLUSTER seeded md5 threshold over the total
     # assignment (labels CTE) — the SQL twin of splits.cluster_split;

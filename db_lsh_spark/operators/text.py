@@ -1204,3 +1204,93 @@ def type2_exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame
     return exact_dup_groups(
         docs.select("doc_id", mask_idents_col(text_col).alias("text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-quality rules — The Stack / BigCode "basic filters" for code corpora
+# (the prose quality lane above scores length x lexical diversity; these
+# catch what that can't: minified bundles, generated data blobs, vendored
+# build artifacts). Every metric is ONE whole-stage-codegen expression over
+# the text column — map-only, zero shuffle, zero Python — with patterns and
+# arithmetic in the Spark ∩ DuckDB common subset so the oracle twins are
+# bit-exact.
+# ---------------------------------------------------------------------------
+
+# first-512-chars markers (case-insensitive) identifying generated files;
+# checking only the head keeps the contains-chain cost constant per doc and
+# matches how generators actually stamp files
+AUTOGEN_MARKERS = (
+    "auto-generated",
+    "automatically generated",
+    "do not edit",
+    "generated by",
+)
+
+
+def code_quality_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc code-quality metrics → (doc_id, max_line_len, avg_line_len,
+    alnum_frac, is_autogen).
+
+    - ``max_line_len`` / ``avg_line_len``: codepoint lengths over
+      split(text, '\\n') — both engines keep the trailing empty segment, so
+      the line count (hence the average) agrees; avg rounded to 6.
+    - ``alnum_frac``: fraction of [A-Za-z0-9] codepoints (ASCII class by
+      contract — engine-identical, and the signal is "data blob vs code",
+      not linguistics); NULL for empty text (0/0), rounded to 6.
+    - ``is_autogen``: any AUTOGEN_MARKERS substring in lower(first 512
+      chars).
+    NULL text propagates NULL everywhere (the curation lanes' NULL-kept
+    contract: missing signal never drops a row).
+    """
+    lines = F.split(F.col("text"), "\n")
+    line_lens = F.transform(lines, lambda x: F.length(x))
+    head = F.lower(F.substring(F.col("text"), 1, 512))
+    autogen = None
+    for m in AUTOGEN_MARKERS:
+        c = F.contains(head, F.lit(m))
+        autogen = c if autogen is None else autogen | c
+    return docs.select(
+        "doc_id",
+        F.array_max(line_lens).cast("long").alias("max_line_len"),
+        F.round(
+            F.aggregate(
+                line_lens, F.lit(0).cast("long"), lambda a, x: a + x
+            )
+            / F.size(lines),
+            6,
+        ).alias("avg_line_len"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+            / F.nullif(F.length(F.col("text")), F.lit(0)),
+            6,
+        ).alias("alnum_frac"),
+        autogen.alias("is_autogen"),
+    )
+
+
+def code_quality_flags(
+    docs: DataFrame,
+    max_line_cap: int = 1000,
+    avg_line_cap: float = 100.0,
+    min_alnum: float = 0.25,
+    drop_autogen: bool = True,
+) -> DataFrame:
+    """Drop-side flags with SEQUENTIAL first-tripped attribution (the
+    curation funnel's census convention) → (doc_id, drop, reason); reason
+    in ('long_line', 'avg_line', 'low_alnum', 'autogen') or NULL. Default
+    caps are The Stack's published basic filters (max line > 1000, avg
+    line > 100, alnum fraction < 0.25). NULL metrics never trip a rule —
+    a NULL-text row is kept with reason NULL."""
+    s = code_quality_stats(docs)
+    reason = F.when(F.col("max_line_len") > max_line_cap, "long_line").when(
+        F.col("avg_line_len") > avg_line_cap, "avg_line"
+    ).when(F.col("alnum_frac") < min_alnum, "low_alnum")
+    if drop_autogen:
+        reason = reason.when(
+            F.coalesce(F.col("is_autogen"), F.lit(False)), "autogen"
+        )
+    return s.select(
+        "doc_id",
+        reason.isNotNull().alias("drop"),
+        reason.alias("reason"),
+    )
