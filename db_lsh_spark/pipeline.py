@@ -52,6 +52,7 @@ class DedupOutput:
     curation_flags: DataFrame | None = None   # (file_id, stage_idx, stage)
     curation_census: DataFrame | None = None  # funnel report (curate=True)
     license_census: DataFrame | None = None   # (license, n_docs) pre-filter report
+    code_quality_census: DataFrame | None = None  # (reason, n_docs) pre-filter report
 
 
 # extra detector lanes run_dedup can fold into the cluster edge union, with
@@ -84,6 +85,8 @@ def run_dedup(
     license_allow_unknown: bool = True,
     snapshot_order_col: str | None = None,
     snapshot_keys: tuple[str, ...] = ("repo", "path"),
+    code_quality: bool = False,
+    code_quality_caps: dict | None = None,
 ) -> DedupOutput:
     """Run the full pipeline. With ``checkpoint_root`` set, every stage is
     materialized + manifest-gated (resume-from-checkpoint); without it the
@@ -154,6 +157,14 @@ def run_dedup(
     column must be a monotone version index/timestamp, never the commit
     hash). Forks the checkpoint fingerprint like every other input-shaping
     knob.
+
+    ``code_quality=True`` applies The Stack's basic code filters
+    (``operators/text.code_quality_flags``: long/avg line caps, alnum
+    fraction, auto-generated markers; override caps via
+    ``code_quality_caps``) as a map-only pre-gate right after the license
+    gate — dropped files never reach curation or signature work — with
+    the per-reason attrition exposed as ``DedupOutput.
+    code_quality_census``. Forks the checkpoint fingerprint.
     """
     cfg = cfg or DedupConfig()
     extra = tuple(sorted(set(extra_lanes)))
@@ -218,6 +229,19 @@ def run_dedup(
         raise ValueError("license_allow_unknown=False requires license_allow")
     if snapshot_order_col is not None:
         fp += f"-snap:{snapshot_order_col}:{','.join(snapshot_keys)}"
+    cq_caps: dict = {}
+    if code_quality:
+        cq_caps = dict(code_quality_caps or ())
+        bad_q = set(cq_caps) - {
+            "max_line_cap", "avg_line_cap", "min_alnum", "drop_autogen"
+        }
+        if bad_q:
+            raise ValueError(
+                f"unknown code_quality_caps keys {sorted(bad_q)}"
+            )
+        fp += "-codeq" + repr(sorted(cq_caps.items()))
+    elif code_quality_caps:
+        raise ValueError("code_quality_caps requires code_quality=True")
     store = StageStore(checkpoint_root, fp) if checkpoint_root else None
 
     def gate(name: str, builder, **kw) -> DataFrame:
@@ -263,6 +287,31 @@ def run_dedup(
         # here never reach curation or signature work (The Stack's stage
         # order: license first, everything else over the survivors)
         files_ids = files_ids.where(license_col("content").isin(*ok))
+
+    # ---- code-quality pre-gate (The Stack basic filters) ----
+    code_quality_census_df: DataFrame | None = None
+    if code_quality:
+        from db_lsh_spark.operators.text import code_quality_flags
+
+        flags = code_quality_flags(
+            files_ids.select(
+                F.col("file_id").alias("doc_id"),
+                F.col("content").alias("text"),
+            ),
+            **cq_caps,
+        )
+        code_quality_census_df = (
+            flags.where(F.col("drop"))
+            .groupBy("reason")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+        keep_ids = flags.where(~F.col("drop")).select(
+            F.col("doc_id").alias("file_id")
+        )
+        # flags are a pure row function of content, so the semi-join is
+        # the only exchange this gate adds; the filter happens before any
+        # signature/curation work (stage order: license, code rules, rest)
+        files_ids = files_ids.join(keep_ids, "file_id", "left_semi")
 
     # ---- curation funnel pre-stage (filters BEFORE any signature work) ----
     curation_flags_df: DataFrame | None = None
@@ -514,6 +563,7 @@ def run_dedup(
         curation_flags=curation_flags_df,
         curation_census=curation_census_df,
         license_census=license_census_df,
+        code_quality_census=code_quality_census_df,
     )
 
 

@@ -72,6 +72,20 @@ def main(argv: list[str] | None = None) -> None:
                         "<output>/fork_clusters; requires repo on the input")
     p.add_argument("--fork-min-jaccard", type=float, default=0.5,
                    help="content-set Jaccard threshold for a fork pair")
+    p.add_argument("--code-quality", action="store_true",
+                   help="apply The Stack's basic code filters (long/avg "
+                        "line caps, alnum fraction, auto-generated markers) "
+                        "as a map-only pre-gate before curation/signatures; "
+                        "per-reason census in the summary")
+    p.add_argument("--code-max-line", type=int, default=None,
+                   help="override the max-line-length cap (default 1000)")
+    p.add_argument("--code-avg-line", type=float, default=None,
+                   help="override the avg-line-length cap (default 100)")
+    p.add_argument("--code-min-alnum", type=float, default=None,
+                   help="override the min alnum fraction (default 0.25)")
+    p.add_argument("--keep-autogen", action="store_true",
+                   help="do not drop auto-generated files under "
+                        "--code-quality")
     p.add_argument("--latest-only", action="store_true",
                    help="keep only the latest snapshot per (repo, path) "
                         "BEFORE any other work (The Stack's first step); "
@@ -301,6 +315,25 @@ def main(argv: list[str] | None = None) -> None:
     snapshot_keys = tuple(
         s.strip() for s in args.snapshot_keys.split(",") if s.strip()
     )
+    cq_caps: dict | None = None
+    if args.code_quality:
+        cq_caps = {}
+        if args.code_max_line is not None:
+            cq_caps["max_line_cap"] = args.code_max_line
+        if args.code_avg_line is not None:
+            cq_caps["avg_line_cap"] = args.code_avg_line
+        if args.code_min_alnum is not None:
+            cq_caps["min_alnum"] = args.code_min_alnum
+        if args.keep_autogen:
+            cq_caps["drop_autogen"] = False
+    elif any(
+        x is not None
+        for x in (args.code_max_line, args.code_avg_line, args.code_min_alnum)
+    ) or args.keep_autogen:
+        raise SystemExit(
+            "--code-max-line/--code-avg-line/--code-min-alnum/--keep-autogen "
+            "require --code-quality"
+        )
     if args.latest_only:
         if not args.snapshot_order_col:
             raise SystemExit("--latest-only requires --snapshot-order-col")
@@ -406,7 +439,9 @@ def main(argv: list[str] | None = None) -> None:
                     snapshot_order_col=(
                         args.snapshot_order_col if args.latest_only else None
                     ),
-                    snapshot_keys=snapshot_keys)
+                    snapshot_keys=snapshot_keys,
+                    code_quality=args.code_quality,
+                    code_quality_caps=cq_caps)
     license_report: dict | None = None
     if license_allow is not None:
         out.license_census.write.mode("overwrite").parquet(
@@ -421,6 +456,21 @@ def main(argv: list[str] | None = None) -> None:
                 r["license"]: r["n_docs"]
                 for r in spark.read.parquet(
                     f"{args.output}/license_census"
+                ).collect()
+            },
+        }
+    code_quality_report: dict | None = None
+    if args.code_quality:
+        out.code_quality_census.write.mode("overwrite").parquet(
+            f"{args.output}/code_quality_census"
+        )
+        code_quality_report = {
+            "caps": cq_caps or {},
+            # per-reason drop counts, read back (reason-count-sized)
+            "census": {
+                r["reason"]: r["n_docs"]
+                for r in spark.read.parquet(
+                    f"{args.output}/code_quality_census"
                 ).collect()
             },
         }
@@ -886,6 +936,7 @@ def main(argv: list[str] | None = None) -> None:
         "keep_list": keep_report,
         "curation": curation_report,
         "license": license_report,
+        "code_quality": code_quality_report,
         "license_audit": license_audit_report,
         "normalize_code": args.normalize_code or None,
         "mask_idents": args.mask_idents or None,
