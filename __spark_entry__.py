@@ -946,6 +946,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_snapshot_census_seeded"] = _snap_census
 
+    # language selection (The Stack's per-language collection gate): the
+    # seeded view assigns deterministic lang metadata — mixed-case
+    # 'Python' (exercises case-insensitive matching), an 'unknown' NULL
+    # bucket every 17th doc (exercises the census coalesce + the
+    # NULL-never-matches gate contract) — so both operators run their
+    # real code paths against a plain SQL twin
+    def _lang_frame(s: SparkSession, d: str) -> DataFrame:
+        did = F.col("doc_id")
+        return _docs(s, d).select(
+            "doc_id",
+            F.when(did % 17 == 0, F.lit(None).cast("string"))
+            .when(did % 4 == 0, F.lit("Python"))
+            .when(did % 4 == 1, F.lit("java"))
+            .when(did % 4 == 2, F.lit("c"))
+            .otherwise(F.lit("markdown"))
+            .alias("lang"),
+        )
+
+    def _lang_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import lang_census
+
+        return lang_census(_lang_frame(s, d))
+
+    q["code_lang_census_seeded"] = _lang_census
+
+    def _lang_gate(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import lang_gate
+
+        # mixed-case allow list: normalization must make 'python' match
+        # the planted 'Python' rows and 'Java' match 'java'
+        return lang_gate(_lang_frame(s, d), allow=("python", "Java"))
+
+    q["code_lang_gate_seeded"] = _lang_gate
+
     # code-quality rules (The Stack basic filters): per-doc metrics + the
     # sequential-attribution drop flags, each metric one codegen expression
     def _cq_stats(s: SparkSession, d: str) -> DataFrame:
@@ -2195,6 +2229,31 @@ def oracle_sql() -> dict[str, str]:
                (sum(k) - count(*))::BIGINT AS n_snapshots_dropped,
                count(*)::BIGINT AS n_files
         FROM g
+    """
+    # language-selection twins over the same seeded metadata view: the
+    # census coalesces NULL to 'unknown'; the gate lowercases both sides
+    # (allow list ('python','Java') normalizes to ('python','java')) and
+    # NULL labels never match
+    _lang_cte = """
+        langs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0 THEN NULL
+                        WHEN doc_id % 4 = 0 THEN 'Python'
+                        WHEN doc_id % 4 = 1 THEN 'java'
+                        WHEN doc_id % 4 = 2 THEN 'c'
+                        ELSE 'markdown' END AS lang
+            FROM documents
+        )"""
+    sql["code_lang_census_seeded"] = f"""
+        WITH {_lang_cte}
+        SELECT coalesce(nullif(lang, ''), 'unknown') AS lang,
+               count(*)::BIGINT AS n_docs
+        FROM langs GROUP BY 1
+    """
+    sql["code_lang_gate_seeded"] = f"""
+        WITH {_lang_cte}
+        SELECT doc_id, lang FROM langs
+        WHERE lower(lang) IN ('python', 'java')
     """
     # code-quality twins: identical metric arithmetic in DuckDB (NOTE the
     # explicit 'g' flag — DuckDB regexp_replace is first-match by default

@@ -216,6 +216,56 @@ def latest_snapshot(
     return files.join(winners, id_col, "left_semi")
 
 
+def lang_census(
+    files: DataFrame,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Corpus language census: (lang, n_docs), NULL/empty labels bucketed
+    as 'unknown'. The per-language attrition line a language-selected code
+    corpus publishes (The Stack reports exactly this table per release).
+
+    Labels are censused VERBATIM (no case folding) so the report shows
+    what the metadata actually says; only the NULL/empty coalesce is
+    applied. One partial-aggregated groupBy on the label — language
+    vocabularies are O(100), so map-side combine reduces 10^12 rows to
+    O(partitions x languages) before the only shuffle.
+    """
+    if lang_col not in files.columns:
+        raise ValueError(f"lang_census: column {lang_col!r} not on input")
+    label = F.coalesce(F.nullif(F.col(lang_col), F.lit("")), F.lit("unknown"))
+    return (
+        files.select(label.alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def lang_gate(
+    files: DataFrame,
+    allow: tuple[str, ...],
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Keep rows whose `lang_col` is in `allow` — the metadata-only
+    language selection every code corpus runs FIRST (The Stack keeps its
+    published language list at collection time, before any content scan).
+
+    Matching is case-insensitive on both sides ('Python' metadata matches
+    allow=('python',)) — language names have no case semantics and corpus
+    metadata is inconsistently cased in the wild. NULL / empty labels
+    never match (an unlabeled file is dropped by a language gate; callers
+    wanting them keep 'unknown' out-of-band via the census). Map-only:
+    one lower() + literal IN-list inside the scan filter, zero joins,
+    zero Python — the filter pushes into the parquet scan when `lang` is
+    a stored column.
+    """
+    if lang_col not in files.columns:
+        raise ValueError(f"lang_gate: column {lang_col!r} not on input")
+    ok = tuple(dict.fromkeys(s.strip().lower() for s in allow if s.strip()))
+    if not ok:
+        raise ValueError("lang_gate: empty allow list")
+    return files.where(F.lower(F.col(lang_col)).isin(*ok))
+
+
 def snapshot_census(
     files: DataFrame,
     keys: tuple[str, ...] = ("repo", "path"),

@@ -52,6 +52,7 @@ class DedupOutput:
     curation_flags: DataFrame | None = None   # (file_id, stage_idx, stage)
     curation_census: DataFrame | None = None  # funnel report (curate=True)
     license_census: DataFrame | None = None   # (license, n_docs) pre-filter report
+    lang_census: DataFrame | None = None      # (lang, n_docs) pre-gate report
     code_quality_census: DataFrame | None = None  # (reason, n_docs) pre-filter report
 
 
@@ -83,6 +84,7 @@ def run_dedup(
     mask_idents: bool = False,
     license_allow: tuple[str, ...] | None = None,
     license_allow_unknown: bool = True,
+    lang_allow: tuple[str, ...] | None = None,
     snapshot_order_col: str | None = None,
     snapshot_keys: tuple[str, ...] = ("repo", "path"),
     code_quality: bool = False,
@@ -158,6 +160,17 @@ def run_dedup(
     hash). Forks the checkpoint fingerprint like every other input-shaping
     knob.
 
+    ``lang_allow`` keeps only files whose ``lang`` metadata column is in
+    the list (case-insensitive; NULL/empty labels never match) — The
+    Stack's language selection, the first content-INDEPENDENT cut, applied
+    after snapshot reduction and before the license gate (metadata
+    predicates before content scans: the filter pushes into the source
+    scan and the dropped languages are never even read downstream). The
+    pre-gate per-language census is exposed as ``DedupOutput.lang_census``
+    and the knob forks the checkpoint fingerprint on the NORMALIZED
+    (lowercased, sorted, deduped) list, so equivalent spellings share a
+    lineage and different gates never resume each other.
+
     ``code_quality=True`` applies The Stack's basic code filters
     (``operators/text.code_quality_flags``: long/avg line caps, alnum
     fraction, auto-generated markers; override caps via
@@ -227,6 +240,14 @@ def run_dedup(
         fp += "-lic" + _hl.md5(_lkey.encode()).hexdigest()[:8]
     elif not license_allow_unknown:
         raise ValueError("license_allow_unknown=False requires license_allow")
+    if lang_allow is not None:
+        import hashlib as _hl
+
+        # normalized the same way lang_gate matches, so ('Python',) and
+        # ('python',) — identical gates — share a checkpoint lineage
+        _gkey = repr(tuple(sorted({s.strip().lower() for s in lang_allow
+                                   if s.strip()})))
+        fp += "-lang" + _hl.md5(_gkey.encode()).hexdigest()[:8]
     if snapshot_order_col is not None:
         fp += f"-snap:{snapshot_order_col}:{','.join(snapshot_keys)}"
     cq_caps: dict = {}
@@ -268,6 +289,16 @@ def run_dedup(
             order_col=snapshot_order_col,
             id_col="file_id",
         )
+
+    # ---- language gate (metadata-only, FIRST content-independent cut) ----
+    lang_census_df: DataFrame | None = None
+    if lang_allow is not None:
+        from db_lsh_spark.operators.selection import lang_census, lang_gate
+
+        # census BEFORE the cut — the attrition report must show what was
+        # there, including the languages the gate removes
+        lang_census_df = lang_census(files_ids)
+        files_ids = lang_gate(files_ids, lang_allow)
 
     # ---- license gate pre-filter (The Stack-style keep-by-license) ----
     license_census_df: DataFrame | None = None
@@ -563,6 +594,7 @@ def run_dedup(
         curation_flags=curation_flags_df,
         curation_census=curation_census_df,
         license_census=license_census_df,
+        lang_census=lang_census_df,
         code_quality_census=code_quality_census_df,
     )
 

@@ -236,6 +236,15 @@ def main(argv: list[str] | None = None) -> None:
                         "curation/signature work (SPDX tag wins, then "
                         "header phrases); the pre-filter corpus census is "
                         "written to <output>/license_census")
+    p.add_argument("--lang-allow", default=None,
+                   help="comma-separated allowed values of the 'lang' "
+                        "metadata column (case-insensitive; e.g. "
+                        "'python,java,c'). The Stack-style language "
+                        "selection — a map-only metadata gate applied "
+                        "after snapshot reduction and before the license "
+                        "gate; NULL/empty labels never match. The "
+                        "pre-gate per-language census is written to "
+                        "<output>/lang_census")
     p.add_argument("--license-strict", action="store_true",
                    help="drop 'unknown'-license files too (The Stack's "
                         "actual permissive-only policy; default keeps "
@@ -276,6 +285,13 @@ def main(argv: list[str] | None = None) -> None:
         )
         if not license_allow:
             raise SystemExit("--license-allow got an empty list")
+    lang_allow: tuple[str, ...] | None = None
+    if args.lang_allow is not None:
+        lang_allow = tuple(
+            s.strip() for s in args.lang_allow.split(",") if s.strip()
+        )
+        if not lang_allow:
+            raise SystemExit("--lang-allow got an empty list")
 
     from pyspark.sql import SparkSession
 
@@ -422,6 +438,12 @@ def main(argv: list[str] | None = None) -> None:
                 f"{files.columns}); failing before the dedup run, not "
                 "after it"
             )
+    if lang_allow is not None and "lang" not in files.columns:
+        raise SystemExit(
+            f"--lang-allow needs a 'lang' column on the input table "
+            f"(found: {files.columns}); failing before the dedup run, "
+            "not after it"
+        )
     curate_bench = (
         spark.read.parquet(args.curate_bench) if args.curate_bench else None
     )
@@ -436,6 +458,7 @@ def main(argv: list[str] | None = None) -> None:
                     mask_idents=args.mask_idents,
                     license_allow=license_allow,
                     license_allow_unknown=not args.license_strict,
+                    lang_allow=lang_allow,
                     snapshot_order_col=(
                         args.snapshot_order_col if args.latest_only else None
                     ),
@@ -456,6 +479,22 @@ def main(argv: list[str] | None = None) -> None:
                 r["license"]: r["n_docs"]
                 for r in spark.read.parquet(
                     f"{args.output}/license_census"
+                ).collect()
+            },
+        }
+    lang_report: dict | None = None
+    if lang_allow is not None:
+        out.lang_census.write.mode("overwrite").parquet(
+            f"{args.output}/lang_census"
+        )
+        lang_report = {
+            "allow": list(lang_allow),
+            # pre-gate per-language census, read back from the written
+            # artifact (language-vocabulary-sized — tiny by construction)
+            "census": {
+                r["lang"]: r["n_docs"]
+                for r in spark.read.parquet(
+                    f"{args.output}/lang_census"
                 ).collect()
             },
         }
@@ -936,6 +975,7 @@ def main(argv: list[str] | None = None) -> None:
         "keep_list": keep_report,
         "curation": curation_report,
         "license": license_report,
+        "langs": lang_report,
         "code_quality": code_quality_report,
         "license_audit": license_audit_report,
         "normalize_code": args.normalize_code or None,

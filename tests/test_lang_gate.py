@@ -1,0 +1,159 @@
+"""lang_census / lang_gate (operators/selection.py) — The Stack's
+per-language selection, the metadata-only first cut — plus the run_dedup
+knob (gate order, census, fingerprint fork) and the spark-submit job face.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.selection import lang_census, lang_gate
+
+
+@pytest.fixture(scope="module")
+def langs(spark):
+    """Mixed-case labels, a NULL and an empty label (both census as
+    'unknown' and never pass the gate), one language outside any gate."""
+    rows = [
+        (0, "Python", "a"),
+        (1, "python", "b"),
+        (2, "java", "c"),
+        (3, None, "d"),
+        (4, "", "e"),
+        (5, "go", "f"),
+    ]
+    return spark.createDataFrame(rows, "file_id long, lang string, content string")
+
+
+def test_lang_census_pinned(langs):
+    got = {r.lang: r.n_docs for r in lang_census(langs).collect()}
+    # labels censused verbatim (no case folding) — the report shows what
+    # the metadata actually says; NULL and '' coalesce to 'unknown'
+    assert got == {"Python": 1, "python": 1, "java": 1, "unknown": 2, "go": 1}
+
+
+def test_lang_gate_pinned(langs):
+    # case-insensitive both sides: allow 'PYTHON' matches 'Python'/'python';
+    # allow 'Java' matches 'java'; NULL/empty labels never match
+    kept = {r.file_id for r in lang_gate(langs, ("PYTHON", "Java")).collect()}
+    assert kept == {0, 1, 2}
+
+
+def test_lang_gate_validation(langs):
+    with pytest.raises(ValueError, match="empty allow"):
+        lang_gate(langs, ("", "  "))
+    with pytest.raises(ValueError, match="language"):
+        lang_gate(langs.drop("lang"), ("python",), lang_col="language")
+    with pytest.raises(ValueError, match="lang"):
+        lang_census(langs.drop("lang"))
+
+
+def test_lang_gate_map_only_plan(langs):
+    """The gate is one in-plan literal filter: no Exchange, no join, no
+    Python eval anywhere in its executed plan."""
+    plan = (
+        lang_gate(langs, ("python",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_run_dedup_lang_knob(spark, tmp_path):
+    """run_dedup(lang_allow=...) gates before any signature work: a
+    near-dup pair split across languages loses its non-allowed member, the
+    pre-gate census is exposed, and the knob forks the checkpoint
+    fingerprint (normalized, so equivalent spellings share a lineage)."""
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    rows = [
+        (0, "r1", "a.py", "Python", base),
+        (1, "r1", "b.py", "python", base + " v2"),   # near-dup of fid 0
+        (2, "r1", "c.go", "go", base + " v2"),       # exact dup of fid 1, gated lang
+        (3, "r2", "d.py", "python", "totally different content here"),
+    ]
+    files = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, lang string, content string"
+    )
+    cfg = DedupConfig()
+    out = run_dedup(spark, files, cfg, lang_allow=("python",))
+    assign = {r.file_id: r.cluster_id for r in out.clusters.collect()}
+    # fid 2 never reaches clustering; 0 and 1 still near-dup
+    assert set(assign) == {0, 1, 3}
+    assert assign[0] == assign[1]
+    assert assign[3] != assign[0]
+    # census is PRE-gate: it reports the dropped language too
+    census = {r.lang: r.n_docs for r in out.lang_census.collect()}
+    assert census == {"Python": 1, "python": 2, "go": 1}
+
+    # without the knob, fid 2 participates (exact dup of fid 1)
+    raw = run_dedup(spark, files, cfg)
+    raw_assign = {r.file_id: r.cluster_id for r in raw.clusters.collect()}
+    assert set(raw_assign) == {0, 1, 2, 3}
+    assert raw_assign[2] == raw_assign[1]
+    assert raw.lang_census is None
+
+    # fingerprint: a gated run never resumes a raw run's stages, but two
+    # spellings of the SAME gate share one lineage
+    ck = str(tmp_path / "ck")
+    run_dedup(spark, files, cfg, checkpoint_root=ck)
+    g1 = run_dedup(spark, files, cfg, checkpoint_root=ck, lang_allow=("python",))
+    assert not any(r.skipped for r in g1.store.results), (
+        "lang-gated run resumed a raw run's checkpoint stages"
+    )
+    g2 = run_dedup(spark, files, cfg, checkpoint_root=ck, lang_allow=("Python ",))
+    assert all(r.skipped for r in g2.store.results), (
+        "equivalent allow spellings did not share a checkpoint lineage"
+    )
+
+
+def test_spark_submit_lang_allow(tmp_path):
+    """Job face: --lang-allow gates before dedup; summary census covers the
+    full pre-gate corpus; clusters contain only allowed-language rows."""
+    import json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+    from db_lsh_spark.sources.synth import SynthConfig, generate
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = generate(SynthConfig(n_files=300)).files
+    pre_census = files["lang"].value_counts().to_dict()
+    keep_langs = {"python", "java"}
+    n_keep = int(files["lang"].isin(keep_langs).sum())
+    d = tmp_path / "corpus"
+    d.mkdir()
+    files.to_parquet(str(d / "files.parquet"), index=False)
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", str(d), "--output", out_dir,
+            "--lang-allow", "Python, java",   # mixed case + stray space
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    assert summary["langs"]["allow"] == ["Python", "java"]
+    assert summary["langs"]["census"] == pre_census
+    clusters = pd.read_parquet(os.path.join(out_dir, "clusters"))
+    assert len(clusters) == n_keep
+    kept_rows = files[files["file_id"].isin(clusters.file_id)]
+    assert set(kept_rows["lang"].unique()) <= keep_langs
+    # the census artifact reconciles with the summary
+    census_pq = pd.read_parquet(os.path.join(out_dir, "lang_census"))
+    assert dict(zip(census_pq.lang, census_pq.n_docs)) == pre_census
