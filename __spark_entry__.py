@@ -980,6 +980,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_lang_gate_seeded"] = _lang_gate
 
+    # path-convention rules (lockfiles / minified bundles / vendored
+    # dirs / extension allow-list): the seeded view assigns deterministic
+    # paths — mixed-case 'Node_Modules' and '.MIN.js' / '.PY' exercise the
+    # lowercasing on every rule, 'package-lock.json' sits where the ext
+    # rule would ALSO reject 'json' (pins the lockfile→ext precedence),
+    # and 'Makefile' has no extension (drops under an allow-list)
+    def _path_frame(s: SparkSession, d: str) -> DataFrame:
+        did = F.col("doc_id")
+        sid = did.cast("string")
+        return _docs(s, d).select(
+            "doc_id",
+            F.when(
+                did % 13 == 0,
+                F.concat(F.lit("src/Node_Modules/dep_"), sid, F.lit(".js")),
+            )
+            .when(
+                did % 11 == 0,
+                F.concat(F.lit("dist/app_"), sid, F.lit(".MIN.js")),
+            )
+            .when(
+                did % 7 == 0,
+                F.concat(F.lit("pkg_"), sid, F.lit("/package-lock.json")),
+            )
+            .when(
+                did % 5 == 0,
+                F.concat(F.lit("src/util_"), sid, F.lit(".PY")),
+            )
+            .when(did % 3 == 0, F.lit("Makefile"))
+            .otherwise(F.concat(F.lit("src/mod_"), sid, F.lit(".java")))
+            .alias("path"),
+        )
+
+    def _ext_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import ext_census
+
+        return ext_census(_path_frame(s, d))
+
+    q["code_ext_census_seeded"] = _ext_census
+
+    def _path_flags(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import path_flags
+
+        # mixed-case + dotted allow entries: normalization must equate
+        # '.py' / 'PY' / 'py', and 'JAVA' must match the '.java' files
+        return path_flags(
+            _path_frame(s, d), allow_exts=(".py", "JAVA"), id_col="doc_id"
+        )
+
+    q["code_path_flags_seeded"] = _path_flags
+
     # code-quality rules (The Stack basic filters): per-doc metrics + the
     # sequential-attribution drop flags, each metric one codegen expression
     def _cq_stats(s: SparkSession, d: str) -> DataFrame:
@@ -2254,6 +2304,67 @@ def oracle_sql() -> dict[str, str]:
         WITH {_lang_cte}
         SELECT doc_id, lang FROM langs
         WHERE lower(lang) IN ('python', 'java')
+    """
+    # path-rule twins: identical basename/ext regexes (Java-regex ∩ RE2
+    # common subset — both engines return '' on no match) over the same
+    # seeded path view; the reason CASE mirrors path_flags' pinned
+    # first-tripped order lockfile → minified → vendored → ext
+    _path_cte = r"""
+        paths AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0
+                          THEN 'src/Node_Modules/dep_' || CAST(doc_id AS VARCHAR) || '.js'
+                        WHEN doc_id % 11 = 0
+                          THEN 'dist/app_' || CAST(doc_id AS VARCHAR) || '.MIN.js'
+                        WHEN doc_id % 7 = 0
+                          THEN 'pkg_' || CAST(doc_id AS VARCHAR) || '/package-lock.json'
+                        WHEN doc_id % 5 = 0
+                          THEN 'src/util_' || CAST(doc_id AS VARCHAR) || '.PY'
+                        WHEN doc_id % 3 = 0 THEN 'Makefile'
+                        ELSE 'src/mod_' || CAST(doc_id AS VARCHAR) || '.java'
+                   END AS path
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, path,
+                   regexp_extract(lower(path), '([^/]*)$', 1) AS base,
+                   regexp_extract(regexp_extract(lower(path), '([^/]*)$', 1),
+                                  '\.([^.]+)$', 1) AS ext
+            FROM paths
+        )"""
+    sql["code_ext_census_seeded"] = f"""
+        WITH {_path_cte}
+        SELECT CASE WHEN path IS NULL THEN 'unknown'
+                    WHEN ext = '' THEN 'none'
+                    ELSE ext END AS ext,
+               count(*)::BIGINT AS n_docs
+        FROM parts GROUP BY 1
+    """
+    sql["code_path_flags_seeded"] = f"""
+        WITH {_path_cte},
+        flagged AS (
+            SELECT doc_id, ext,
+                   CASE WHEN base IN ('package-lock.json', 'yarn.lock',
+                                      'pnpm-lock.yaml', 'cargo.lock',
+                                      'composer.lock', 'pipfile.lock',
+                                      'poetry.lock', 'go.sum',
+                                      'gradle.lockfile', 'packages.lock.json',
+                                      'gemfile.lock') THEN 'lockfile'
+                        WHEN base LIKE '%.min.js' OR base LIKE '%.min.css'
+                             OR base LIKE '%.min.mjs' THEN 'minified'
+                        WHEN ('/' || lower(path)) LIKE '%/node_modules/%'
+                             OR ('/' || lower(path)) LIKE '%/vendor/%'
+                             OR ('/' || lower(path)) LIKE '%/vendored/%'
+                             OR ('/' || lower(path)) LIKE '%/third_party/%'
+                             OR ('/' || lower(path)) LIKE '%/thirdparty/%'
+                             OR ('/' || lower(path)) LIKE '%/bower_components/%'
+                             OR ('/' || lower(path)) LIKE '%/site-packages/%'
+                          THEN 'vendored'
+                        WHEN ext NOT IN ('py', 'java') THEN 'ext'
+                   END AS reason
+            FROM parts
+        )
+        SELECT doc_id, ext, reason IS NOT NULL AS drop, reason FROM flagged
     """
     # code-quality twins: identical metric arithmetic in DuckDB (NOTE the
     # explicit 'g' flag — DuckDB regexp_replace is first-match by default

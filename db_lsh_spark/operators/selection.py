@@ -266,6 +266,178 @@ def lang_gate(
     return files.where(F.lower(F.col(lang_col)).isin(*ok))
 
 
+# ---------------------------------------------------------------------------
+# Path / extension rules — the second metadata-only cut a code corpus runs
+# (after language selection, still before any content scan): drop artifact
+# files by PATH convention. The Stack prunes exactly these shapes at
+# collection time: dependency lockfiles (machine-written, near-identical
+# across 10^6 repos — the worst ubiquitous-content hazard the fork lane's
+# stop-sha cap exists for), minified bundles by their *.min.* naming (the
+# content-side rule in code_quality_flags catches un-named ones), and
+# vendored-dependency directories (node_modules/ etc. — wholesale copies
+# that otherwise dominate the near-dup graph; the repo-containment lane
+# MEASURES that shape, this gate REMOVES the conventional cases up front).
+# Every rule is a pure row function of `path` — one whole-stage-codegen
+# boolean, zero joins, zero Python.
+# ---------------------------------------------------------------------------
+
+#: dependency lockfile basenames (lowercased match)
+LOCKFILE_BASENAMES: tuple[str, ...] = (
+    "package-lock.json", "yarn.lock", "pnpm-lock.yaml", "cargo.lock",
+    "composer.lock", "pipfile.lock", "poetry.lock", "go.sum",
+    "gradle.lockfile", "packages.lock.json", "gemfile.lock",
+)
+
+#: minified-asset basename suffixes (lowercased match)
+MINIFIED_SUFFIXES: tuple[str, ...] = (".min.js", ".min.css", ".min.mjs")
+
+#: vendored-dependency directory segment names (lowercased match; a path
+#: matches when any '/'-delimited segment equals one of these)
+VENDORED_DIR_SEGMENTS: tuple[str, ...] = (
+    "node_modules", "vendor", "vendored", "third_party", "thirdparty",
+    "bower_components", "site-packages",
+)
+
+
+def _path_parts(path_col):
+    """(basename, ext) expressions over a lowercased path.
+
+    basename = text after the last '/'; ext = text after the basename's
+    last '.' ('' when there is no dot). Contract corner, documented: a
+    leading-dot-only name ('.gitignore') yields 'gitignore' as its ext —
+    both engines (Spark and the DuckDB twin) agree because the regex is
+    identical, and allow-lists simply never contain those tokens. NULL
+    path propagates NULL through both.
+    """
+    low = F.lower(path_col)
+    base = F.regexp_extract(low, r"([^/]*)$", 1)
+    ext = F.regexp_extract(base, r"\.([^.]+)$", 1)
+    return low, base, ext
+
+
+def _path_reason(
+    path_col_name: str,
+    allow_exts: tuple[str, ...] | None,
+    lockfiles: tuple[str, ...],
+    minified: tuple[str, ...],
+    vendored_dirs: tuple[str, ...],
+):
+    """(reason, ext) Column pair — the ONE source of truth both the flags
+    frame and the gate filter compile from, so the two can never drift."""
+    low, base, ext = _path_parts(F.col(path_col_name))
+    lockset = tuple(dict.fromkeys(s.strip().lower() for s in lockfiles))
+    is_lock = base.isin(*lockset) if lockset else F.lit(False)
+    is_min = F.lit(False)
+    for sfx in dict.fromkeys(s.strip().lower() for s in minified):
+        is_min = is_min | base.endswith(sfx)
+    slashed = F.concat(F.lit("/"), low)
+    is_vend = F.lit(False)
+    for seg in dict.fromkeys(s.strip().lower() for s in vendored_dirs):
+        is_vend = is_vend | slashed.contains(f"/{seg}/")
+    reason = (
+        F.when(is_lock, "lockfile")
+        .when(is_min, "minified")
+        .when(is_vend, "vendored")
+    )
+    if allow_exts is not None:
+        ok = tuple(
+            dict.fromkeys(s.strip().lower().lstrip(".") for s in allow_exts
+                          if s.strip().lstrip("."))
+        )
+        if not ok:
+            raise ValueError("path rules: empty allow_exts list")
+        # NULL path → NULL ext → condition NULL → when() skips → kept
+        reason = reason.when(~ext.isin(*ok), "ext")
+    return reason, ext
+
+
+def path_flags(
+    files: DataFrame,
+    allow_exts: tuple[str, ...] | None = None,
+    lockfiles: tuple[str, ...] = LOCKFILE_BASENAMES,
+    minified: tuple[str, ...] = MINIFIED_SUFFIXES,
+    vendored_dirs: tuple[str, ...] = VENDORED_DIR_SEGMENTS,
+    path_col: str = "path",
+    id_col: str = "file_id",
+) -> DataFrame:
+    """Drop-side path rules with the curation funnel's SEQUENTIAL
+    first-tripped attribution → (id, ext, drop, reason); reason in
+    ('lockfile', 'minified', 'vendored', 'ext') or NULL.
+
+    Precedence is pinned (lockfile → minified → vendored → ext) so a
+    package-lock.json censuses as 'lockfile' even when an ext allow-list
+    would also reject 'json' — attrition reports attribute each drop to
+    ONE rule. The 'ext' rule fires only when ``allow_exts`` is given:
+    keep extensions in the (lowercased) list; a no-dot basename has ext
+    '' and is dropped by an allow-list (Makefile is not on an extension
+    whitelist). NULL path never trips any rule — the funnel's
+    missing-signal-never-drops contract, same as code_quality_flags —
+    it is censused by ``ext_census`` as 'unknown' instead.
+
+    Pure row function of `path`: every rule is one codegen expression
+    (regexp_extract + IN-list / LIKE / contains), map-only, zero shuffle.
+    """
+    if path_col not in files.columns:
+        raise ValueError(f"path_flags: column {path_col!r} not on input")
+    reason, ext = _path_reason(
+        path_col, allow_exts, lockfiles, minified, vendored_dirs
+    )
+    return files.select(
+        F.col(id_col),
+        ext.alias("ext"),
+        reason.isNotNull().alias("drop"),
+        reason.alias("reason"),
+    )
+
+
+def path_gate(
+    files: DataFrame,
+    allow_exts: tuple[str, ...] | None = None,
+    lockfiles: tuple[str, ...] = LOCKFILE_BASENAMES,
+    minified: tuple[str, ...] = MINIFIED_SUFFIXES,
+    vendored_dirs: tuple[str, ...] = VENDORED_DIR_SEGMENTS,
+    path_col: str = "path",
+) -> DataFrame:
+    """Keep rows ``path_flags`` would not drop, ALL columns intact.
+
+    The rules are a pure row function of `path`, so this is ONE in-plan
+    filter on the input — no join, no second pass (the same reason
+    expression the flags frame compiles from is applied as a predicate);
+    it pushes toward the source scan like any literal filter.
+    """
+    if path_col not in files.columns:
+        raise ValueError(f"path_gate: column {path_col!r} not on input")
+    reason, _ = _path_reason(
+        path_col, allow_exts, lockfiles, minified, vendored_dirs
+    )
+    return files.where(reason.isNull())
+
+
+def ext_census(
+    files: DataFrame,
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-extension corpus census: (ext, n_docs). The basename's
+    extension lowercased; '' (no dot) buckets as 'none', NULL path as
+    'unknown'. Same scale shape as ``lang_census``: extension
+    vocabularies are O(1000), so the single groupBy combines map-side
+    before a tiny shuffle.
+    """
+    if path_col not in files.columns:
+        raise ValueError(f"ext_census: column {path_col!r} not on input")
+    _, _, ext = _path_parts(F.col(path_col))
+    label = (
+        F.when(F.col(path_col).isNull(), "unknown")
+        .when(ext == "", "none")
+        .otherwise(ext)
+    )
+    return (
+        files.select(label.alias("ext"))
+        .groupBy("ext")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def snapshot_census(
     files: DataFrame,
     keys: tuple[str, ...] = ("repo", "path"),

@@ -53,6 +53,7 @@ class DedupOutput:
     curation_census: DataFrame | None = None  # funnel report (curate=True)
     license_census: DataFrame | None = None   # (license, n_docs) pre-filter report
     lang_census: DataFrame | None = None      # (lang, n_docs) pre-gate report
+    path_census: DataFrame | None = None      # (reason, n_docs) path-rule drops
     code_quality_census: DataFrame | None = None  # (reason, n_docs) pre-filter report
 
 
@@ -85,6 +86,8 @@ def run_dedup(
     license_allow: tuple[str, ...] | None = None,
     license_allow_unknown: bool = True,
     lang_allow: tuple[str, ...] | None = None,
+    path_filter: bool = False,
+    path_allow_exts: tuple[str, ...] | None = None,
     snapshot_order_col: str | None = None,
     snapshot_keys: tuple[str, ...] = ("repo", "path"),
     code_quality: bool = False,
@@ -171,6 +174,16 @@ def run_dedup(
     (lowercased, sorted, deduped) list, so equivalent spellings share a
     lineage and different gates never resume each other.
 
+    ``path_filter=True`` applies the path-convention rules
+    (``operators/selection.path_flags``: dependency lockfiles, ``*.min.*``
+    bundles, vendored-dependency directories; optionally an extension
+    allow-list via ``path_allow_exts``) right after the language gate —
+    still metadata-only, still before any content scan. The per-reason
+    drop census is exposed as ``DedupOutput.path_census``; the knob and
+    the (normalized) allow-list fork the checkpoint fingerprint.
+    ``path_allow_exts`` without ``path_filter=True`` is an orphaned knob
+    and fails fast.
+
     ``code_quality=True`` applies The Stack's basic code filters
     (``operators/text.code_quality_flags``: long/avg line caps, alnum
     fraction, auto-generated markers; override caps via
@@ -248,6 +261,18 @@ def run_dedup(
         _gkey = repr(tuple(sorted({s.strip().lower() for s in lang_allow
                                    if s.strip()})))
         fp += "-lang" + _hl.md5(_gkey.encode()).hexdigest()[:8]
+    if path_filter:
+        import hashlib as _hl
+
+        # normalized like path_flags matches ('.py' == 'PY' == 'py'), so
+        # equivalent spellings share a checkpoint lineage
+        _pkey = repr(tuple(sorted(
+            {s.strip().lower().lstrip(".") for s in (path_allow_exts or ())
+             if s.strip().lstrip(".")}
+        )))
+        fp += "-path" + _hl.md5(_pkey.encode()).hexdigest()[:8]
+    elif path_allow_exts is not None:
+        raise ValueError("path_allow_exts requires path_filter=True")
     if snapshot_order_col is not None:
         fp += f"-snap:{snapshot_order_col}:{','.join(snapshot_keys)}"
     cq_caps: dict = {}
@@ -299,6 +324,21 @@ def run_dedup(
         # there, including the languages the gate removes
         lang_census_df = lang_census(files_ids)
         files_ids = lang_gate(files_ids, lang_allow)
+
+    # ---- path-convention rules (lockfiles / minified / vendored dirs) ----
+    path_census_df: DataFrame | None = None
+    if path_filter:
+        from db_lsh_spark.operators.selection import path_flags, path_gate
+
+        # reason census BEFORE the cut (flags and gate compile from the
+        # same reason expression, so the census reconciles exactly)
+        path_census_df = (
+            path_flags(files_ids, allow_exts=path_allow_exts)
+            .where(F.col("drop"))
+            .groupBy("reason")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+        files_ids = path_gate(files_ids, allow_exts=path_allow_exts)
 
     # ---- license gate pre-filter (The Stack-style keep-by-license) ----
     license_census_df: DataFrame | None = None
@@ -595,6 +635,7 @@ def run_dedup(
         curation_census=curation_census_df,
         license_census=license_census_df,
         lang_census=lang_census_df,
+        path_census=path_census_df,
         code_quality_census=code_quality_census_df,
     )
 

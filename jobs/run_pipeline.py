@@ -245,6 +245,21 @@ def main(argv: list[str] | None = None) -> None:
                         "gate; NULL/empty labels never match. The "
                         "pre-gate per-language census is written to "
                         "<output>/lang_census")
+    p.add_argument("--path-filter", action="store_true",
+                   help="drop files by path convention BEFORE any content "
+                        "scan: dependency lockfiles (package-lock.json, "
+                        "Cargo.lock, ...), *.min.js/*.min.css bundles, and "
+                        "vendored-dependency directories (node_modules/, "
+                        "vendor/, ...) — the artifact shapes that otherwise "
+                        "dominate the near-dup graph; per-reason drop "
+                        "census written to <output>/path_census")
+    p.add_argument("--path-allow-exts", default=None,
+                   help="with --path-filter: comma-separated extension "
+                        "allow-list (case-insensitive, leading dot "
+                        "optional; e.g. 'py,java,.c'); files whose "
+                        "basename extension is not on the list are "
+                        "dropped with reason 'ext' (no-extension names "
+                        "drop too)")
     p.add_argument("--license-strict", action="store_true",
                    help="drop 'unknown'-license files too (The Stack's "
                         "actual permissive-only policy; default keeps "
@@ -292,6 +307,15 @@ def main(argv: list[str] | None = None) -> None:
         )
         if not lang_allow:
             raise SystemExit("--lang-allow got an empty list")
+    path_allow_exts: tuple[str, ...] | None = None
+    if args.path_allow_exts is not None:
+        if not args.path_filter:
+            raise SystemExit("--path-allow-exts requires --path-filter")
+        path_allow_exts = tuple(
+            s.strip() for s in args.path_allow_exts.split(",") if s.strip()
+        )
+        if not path_allow_exts:
+            raise SystemExit("--path-allow-exts got an empty list")
 
     from pyspark.sql import SparkSession
 
@@ -444,6 +468,12 @@ def main(argv: list[str] | None = None) -> None:
             f"(found: {files.columns}); failing before the dedup run, "
             "not after it"
         )
+    if args.path_filter and "path" not in files.columns:
+        raise SystemExit(
+            f"--path-filter needs a 'path' column on the input table "
+            f"(found: {files.columns}); failing before the dedup run, "
+            "not after it"
+        )
     curate_bench = (
         spark.read.parquet(args.curate_bench) if args.curate_bench else None
     )
@@ -459,6 +489,8 @@ def main(argv: list[str] | None = None) -> None:
                     license_allow=license_allow,
                     license_allow_unknown=not args.license_strict,
                     lang_allow=lang_allow,
+                    path_filter=args.path_filter,
+                    path_allow_exts=path_allow_exts,
                     snapshot_order_col=(
                         args.snapshot_order_col if args.latest_only else None
                     ),
@@ -495,6 +527,24 @@ def main(argv: list[str] | None = None) -> None:
                 r["lang"]: r["n_docs"]
                 for r in spark.read.parquet(
                     f"{args.output}/lang_census"
+                ).collect()
+            },
+        }
+    path_report: dict | None = None
+    if args.path_filter:
+        out.path_census.write.mode("overwrite").parquet(
+            f"{args.output}/path_census"
+        )
+        path_report = {
+            "allow_exts": (
+                list(path_allow_exts) if path_allow_exts else None
+            ),
+            # per-reason drop census, read back from the written artifact
+            # (at most 4 rows by construction)
+            "dropped": {
+                r["reason"]: r["n_docs"]
+                for r in spark.read.parquet(
+                    f"{args.output}/path_census"
                 ).collect()
             },
         }
@@ -976,6 +1026,7 @@ def main(argv: list[str] | None = None) -> None:
         "curation": curation_report,
         "license": license_report,
         "langs": lang_report,
+        "path_rules": path_report,
         "code_quality": code_quality_report,
         "license_audit": license_audit_report,
         "normalize_code": args.normalize_code or None,

@@ -1,0 +1,219 @@
+"""path_flags / path_gate / ext_census (operators/selection.py) — the
+path-convention rules a code corpus applies before any content scan
+(lockfiles, minified bundles, vendored dirs, extension allow-list) — plus
+the run_dedup knob (gate order, census, fingerprint fork) and the
+spark-submit job face.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.selection import ext_census, path_flags, path_gate
+
+
+@pytest.fixture(scope="module")
+def paths(spark):
+    """One path per rule + controls: mixed case everywhere the rules
+    lowercase, a lockfile whose ext would ALSO fail an allow-list
+    (precedence pin), a no-extension name, and a NULL path."""
+    rows = [
+        (0, "src/app.py", "x"),
+        (1, "pkg/Package-Lock.JSON", "x"),       # lockfile (case-folded)
+        (2, "dist/bundle.MIN.js", "x"),          # minified
+        (3, "Node_Modules/lib/a.py", "x"),       # vendored (leading segment)
+        (4, "src/vendor/b.java", "x"),           # vendored (mid segment)
+        (5, "Makefile", "x"),                    # no ext
+        (6, "src/Main.JAVA", "x"),               # allowed ext, mixed case
+        (7, None, "x"),                          # NULL path
+        (8, "src/vendorly/c.py", "x"),           # 'vendorly' is NOT a segment match
+    ]
+    return spark.createDataFrame(rows, "file_id long, path string, content string")
+
+
+def test_path_flags_pinned(paths):
+    got = {
+        r.file_id: (r.ext, r.drop, r.reason)
+        for r in path_flags(paths, allow_exts=("py", ".Java")).collect()
+    }
+    assert got == {
+        0: ("py", False, None),
+        1: ("json", True, "lockfile"),    # lockfile wins over ext('json')
+        2: ("js", True, "minified"),
+        3: ("py", True, "vendored"),      # vendored wins over allowed ext
+        4: ("java", True, "vendored"),
+        5: ("", True, "ext"),             # no-dot basename fails an allow-list
+        6: ("java", False, None),
+        7: (None, False, None),           # NULL path never trips a rule
+        8: ("py", False, None),           # substring != segment
+    }
+
+
+def test_path_flags_no_allow_list(paths):
+    # without allow_exts the 'ext' rule never fires: Makefile is kept
+    got = {r.file_id: r.drop for r in path_flags(paths).collect()}
+    assert got == {0: False, 1: True, 2: True, 3: True, 4: True,
+                   5: False, 6: False, 7: False, 8: False}
+
+
+def test_path_gate_matches_flags(paths):
+    kept = {r.file_id for r in path_gate(paths, allow_exts=("py", "java")).collect()}
+    flags = path_flags(paths, allow_exts=("py", "java"))
+    expect = {r.file_id for r in flags.where(~F.col("drop")).collect()}
+    assert kept == expect == {0, 6, 7, 8}
+    # all columns intact
+    assert path_gate(paths).columns == paths.columns
+
+
+def test_path_rules_validation(paths):
+    with pytest.raises(ValueError, match="empty allow_exts"):
+        path_flags(paths, allow_exts=(".", " ")).collect()
+    with pytest.raises(ValueError, match="filepath"):
+        path_flags(paths.drop("path"), path_col="filepath")
+    with pytest.raises(ValueError, match="path"):
+        path_gate(paths.drop("path"))
+    with pytest.raises(ValueError, match="path"):
+        ext_census(paths.drop("path"))
+
+
+def test_ext_census_pinned(paths):
+    got = {r.ext: r.n_docs for r in ext_census(paths).collect()}
+    # lowercased exts; Makefile buckets 'none', NULL path 'unknown'
+    assert got == {"py": 3, "json": 1, "js": 1, "java": 2,
+                   "none": 1, "unknown": 1}
+
+
+def test_path_gate_map_only_plan(paths):
+    """The gate is one in-plan filter: no Exchange, no join, no Python."""
+    plan = (
+        path_gate(paths, allow_exts=("py",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_run_dedup_path_knob(spark, tmp_path):
+    """run_dedup(path_filter=True) gates before any signature work: a
+    vendored wholesale copy loses its vendored member, the per-reason
+    census is exposed, the orphaned-knob call fails fast, and the knob
+    forks the checkpoint fingerprint (normalized allow list shares a
+    lineage across spellings)."""
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    rows = [
+        (0, "r1", "src/a.py", base),
+        (1, "r1", "src/b.py", base + " v2"),                  # near-dup of 0
+        (2, "r2", "node_modules/lib/a.py", base + " v2"),     # exact dup of 1, vendored
+        (3, "r2", "package-lock.json", "lock " * 40),
+        (4, "r2", "src/d.py", "totally different content here"),
+    ]
+    files = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, content string"
+    )
+    cfg = DedupConfig()
+    out = run_dedup(spark, files, cfg, path_filter=True)
+    assign = {r.file_id: r.cluster_id for r in out.clusters.collect()}
+    # fids 2 and 3 never reach clustering; 0 and 1 still near-dup
+    assert set(assign) == {0, 1, 4}
+    assert assign[0] == assign[1]
+    assert assign[4] != assign[0]
+    census = {r.reason: r.n_docs for r in out.path_census.collect()}
+    assert census == {"vendored": 1, "lockfile": 1}
+
+    # without the knob, fid 2 participates (exact dup of fid 1)
+    raw = run_dedup(spark, files, cfg)
+    raw_assign = {r.file_id: r.cluster_id for r in raw.clusters.collect()}
+    assert raw_assign[2] == raw_assign[1]
+    assert raw.path_census is None
+
+    # orphaned knob fails fast
+    with pytest.raises(ValueError, match="path_filter"):
+        run_dedup(spark, files, cfg, path_allow_exts=("py",))
+
+    # fingerprint: a gated run never resumes a raw run's stages; two
+    # spellings of the SAME allow list share one lineage
+    ck = str(tmp_path / "ck")
+    run_dedup(spark, files, cfg, checkpoint_root=ck)
+    g1 = run_dedup(spark, files, cfg, checkpoint_root=ck,
+                   path_filter=True, path_allow_exts=("py",))
+    assert not any(r.skipped for r in g1.store.results), (
+        "path-gated run resumed a raw run's checkpoint stages"
+    )
+    g2 = run_dedup(spark, files, cfg, checkpoint_root=ck,
+                   path_filter=True, path_allow_exts=(".PY ",))
+    assert all(r.skipped for r in g2.store.results), (
+        "equivalent allow_exts spellings did not share a checkpoint lineage"
+    )
+
+
+def test_spark_submit_path_filter(tmp_path):
+    """Job face: --path-filter drops planted artifact files before dedup;
+    the summary census reconciles with the parquet artifact and the
+    survivor arithmetic is exact."""
+    import json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+    from db_lsh_spark.sources.synth import SynthConfig, generate
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = generate(SynthConfig(n_files=300)).files
+    # plant one trip for the two rules the synth corpus lacks (it already
+    # plants vendor/ directories for the repo-analysis lanes — those are
+    # REAL vendored paths and must census as such, so expectations below
+    # are computed from the corpus, not hard-coded)
+    files.loc[files.index[0], "path"] = "node_modules/dep/index.js"
+    files.loc[files.index[1], "path"] = "yarn.lock"
+    files.loc[files.index[2], "path"] = "static/app.min.js"
+    low = ("/" + files["path"].str.lower())
+    base = low.str.rsplit("/", n=1).str[-1]
+    is_lock = base.isin(["package-lock.json", "yarn.lock", "pnpm-lock.yaml",
+                         "cargo.lock", "composer.lock", "pipfile.lock",
+                         "poetry.lock", "go.sum", "gradle.lockfile",
+                         "packages.lock.json", "gemfile.lock"])
+    is_min = base.str.endswith((".min.js", ".min.css", ".min.mjs"))
+    segs = ["node_modules", "vendor", "vendored", "third_party",
+            "thirdparty", "bower_components", "site-packages"]
+    is_vend = low.apply(lambda p: any(f"/{s}/" in p for s in segs))
+    reason = is_lock.map({True: "lockfile"}).fillna(
+        is_min.map({True: "minified"})
+    ).fillna(is_vend.map({True: "vendored"}))
+    expect_census = reason.value_counts().to_dict()
+    dropped_ids = set(files.loc[reason.notna(), "file_id"])
+    assert expect_census["lockfile"] >= 1 and expect_census["minified"] >= 1
+    assert expect_census["vendored"] >= 1
+    d = tmp_path / "corpus"
+    d.mkdir()
+    files.to_parquet(str(d / "files.parquet"), index=False)
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", str(d), "--output", out_dir,
+            "--path-filter",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    assert summary["path_rules"]["dropped"] == expect_census
+    assert summary["path_rules"]["allow_exts"] is None
+    clusters = pd.read_parquet(os.path.join(out_dir, "clusters"))
+    assert len(clusters) == len(files) - len(dropped_ids)
+    assert not dropped_ids & set(clusters.file_id)
+    census_pq = pd.read_parquet(os.path.join(out_dir, "path_census"))
+    assert dict(zip(census_pq.reason, census_pq.n_docs)) == expect_census
