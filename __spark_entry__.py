@@ -69,6 +69,16 @@ CODE_QUALITY_SEEDS = (
     "'// auto-generated do not edit' || chr(10) || repeat('x y z w ', 10)",
     "repeat('ok line ', 8)",                                  # clean
 )
+# comment-density seeds (StarCoder-family signal): SQL expressions both
+# engines evaluate identically — one near-all-comment doc (trips
+# high_comment at the 0.8 cap), one lightly-commented control (above the
+# 0.01 min bound, below the cap), one comment-free doc (trips
+# low_comment under the opt-in min bound the flags query sets)
+COMMENT_SEEDS = (
+    "'// banner line' || chr(10) || repeat('// all comment ', 30)",
+    "'int x = 1 ; /* note */ ' || repeat('code token ', 20)",
+    "repeat('plain code ', 12)",
+)
 # token-budget composition: per-language token budgets (real mixes are
 # specified in tokens, not documents); weight = whitespace token count
 BUDGET_MIX, BUDGET_SEED = {"en": 2000, "de": 500}, 13
@@ -308,6 +318,26 @@ def _docs_with_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(
             spark.range(1).select(
                 F.lit(11_000_000 + i).cast("long").alias("doc_id"),
+                F.expr(e).alias("text"),
+            )
+        )
+    return out
+
+
+def _docs_with_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the three COMMENT_SEEDS plants at doc_id 12_000_000+i.
+    The raw fixture is prose, so most docs measure ratio ~0 and trip the
+    opt-in low_comment bound the flags query sets (non-vacuous on its
+    own — and honest: a documentation-selection filter pointed at
+    comment-free text drops it); prose containing '#' or '//' strips
+    identically in both engines. The plants cover high-trip, clean
+    control, and zero-comment."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = docs
+    for i, e in enumerate(COMMENT_SEEDS):
+        out = out.unionByName(
+            spark.range(1).select(
+                F.lit(12_000_000 + i).cast("long").alias("doc_id"),
                 F.expr(e).alias("text"),
             )
         )
@@ -1030,6 +1060,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_path_flags_seeded"] = _path_flags
 
+    # repo opt-out removal (The Stack's takedown list): the seeded view
+    # assigns mixed-case 'OwnerK/projM' repos with a NULL bucket every
+    # 23rd doc (NULL repo never matches — kept). The entry list exercises
+    # all three contract corners: an owner-level entry ('owner3'), a
+    # repo-level entry whose owner is ALSO opted out ('OWNER5/proj7' +
+    # 'owner5' — pins the repo→owner precedence), and case folding on
+    # both sides
+    def _optout_frame(s: SparkSession, d: str) -> DataFrame:
+        did = F.col("doc_id")
+        return _docs(s, d).select(
+            "doc_id",
+            F.when(did % 23 == 0, F.lit(None).cast("string"))
+            .otherwise(
+                F.concat(
+                    F.lit("Owner"), (did % 7).cast("string"),
+                    F.lit("/proj"), (did % 13).cast("string"),
+                )
+            )
+            .alias("repo"),
+        )
+
+    OPTOUT_ENTRIES = ("owner3", "OWNER5/proj7", "owner5")
+
+    def _optout_flags(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import optout_flags
+
+        return optout_flags(
+            _optout_frame(s, d), OPTOUT_ENTRIES, id_col="doc_id"
+        )
+
+    q["code_optout_flags_seeded"] = _optout_flags
+
+    def _optout_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import optout_census
+
+        return optout_census(_optout_frame(s, d), OPTOUT_ENTRIES)
+
+    q["code_optout_census_seeded"] = _optout_census
+
+    # repo-metadata stars gate (StarCoder popularity selection): the dim
+    # covers owners 0-5 only (owner6 = the 'missing' coverage path, and
+    # NULL repos bucket there too), is UPPERCASED on the dim side (case
+    # fold exercised both directions), and carries one deliberate
+    # duplicate row — Owner0/proj0 at stars 24 over its base 0 — so the
+    # max-per-repo dim dedup is observable (kept at min_stars 12 instead
+    # of dropped)
+    def _meta_frame(s: SparkSession) -> DataFrame:
+        k = F.expr("id div 13")
+        m = F.col("id") % 13
+        base = (
+            s.range(91)
+            .where(k < 6)
+            .select(
+                F.concat(
+                    F.lit("OWNER"), k.cast("string"),
+                    F.lit("/PROJ"), m.cast("string"),
+                ).alias("repo"),
+                ((k * 7 + m * 3) % 25).cast("long").alias("stars"),
+            )
+        )
+        extra = s.range(1).select(
+            F.lit("Owner0/proj0").alias("repo"),
+            F.lit(24).cast("long").alias("stars"),
+        )
+        return base.unionByName(extra)
+
+    META_MIN_STARS = 12
+
+    def _meta_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import repo_meta_census
+
+        return repo_meta_census(
+            _optout_frame(s, d), _meta_frame(s), META_MIN_STARS
+        )
+
+    q["code_repo_meta_census_seeded"] = _meta_census
+
+    def _meta_gate(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import repo_meta_gate
+
+        # non-strict: owner6 (no metadata) and NULL repos survive
+        return repo_meta_gate(
+            _optout_frame(s, d), _meta_frame(s), META_MIN_STARS
+        )
+
+    q["code_repo_meta_gate_seeded"] = _meta_gate
+
     # code-quality rules (The Stack basic filters): per-doc metrics + the
     # sequential-attribution drop flags, each metric one codegen expression
     def _cq_stats(s: SparkSession, d: str) -> DataFrame:
@@ -1041,6 +1158,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text_ops.code_quality_flags(_docs_with_code_quality(s, d))
 
     q["doc_code_quality_flags_seeded"] = _cq_flags
+
+    # comment-density rules (StarCoder-family): exact comment-char count
+    # via the Type-1 strip patterns, one map-only expression chain
+    def _cmt_stats(s: SparkSession, d: str) -> DataFrame:
+        return text_ops.comment_stats(_docs_with_comments(s, d))
+
+    q["doc_comment_stats_seeded"] = _cmt_stats
+
+    def _cmt_flags(s: SparkSession, d: str) -> DataFrame:
+        # min_ratio opt-in exercised here so BOTH reasons appear
+        return text_ops.comment_ratio_flags(
+            _docs_with_comments(s, d), max_ratio=0.8, min_ratio=0.01
+        )
+
+    q["doc_comment_flags_seeded"] = _cmt_flags
 
     # ---- vector lane (embeddings) ----
     q["emb_norms"] = lambda s, d: ann_ops.norms(_emb(s, d))
@@ -2366,6 +2498,85 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, ext, reason IS NOT NULL AS drop, reason FROM flagged
     """
+    # opt-out twins: same seeded repo view, same lowercased keys, same
+    # pinned repo→owner precedence (the CASE order IS the contract —
+    # owner5/proj7 censuses 'repo' even though 'owner5' is also listed);
+    # NULL repo yields NULL reason via the CASE (kept / never censused)
+    _oo_cte = """
+        oorepos AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 23 = 0 THEN NULL
+                        ELSE 'Owner' || CAST(doc_id % 7 AS VARCHAR)
+                             || '/proj' || CAST(doc_id % 13 AS VARCHAR)
+                   END AS repo
+            FROM documents
+        ),
+        ookeys AS (
+            SELECT doc_id, lower(repo) AS low,
+                   CASE WHEN repo IS NULL THEN NULL
+                        ELSE regexp_extract(lower(repo), '^([^/]*)', 1)
+                   END AS owner
+            FROM oorepos
+        ),
+        ooflag AS (
+            SELECT doc_id, low,
+                   CASE WHEN low IN ('owner5/proj7') THEN 'repo'
+                        WHEN owner IN ('owner3', 'owner5') THEN 'owner'
+                   END AS reason
+            FROM ookeys
+        )"""
+    sql["code_optout_flags_seeded"] = f"""
+        WITH {_oo_cte}
+        SELECT doc_id, reason IS NOT NULL AS drop, reason FROM ooflag
+    """
+    sql["code_optout_census_seeded"] = f"""
+        WITH {_oo_cte}
+        SELECT reason, count(*)::BIGINT AS n_docs,
+               count(DISTINCT low)::BIGINT AS n_repos
+        FROM ooflag WHERE reason IS NOT NULL GROUP BY 1
+    """
+    # repo-metadata twins: same seeded repo view, same uppercased dim
+    # with the owner6 coverage hole and the duplicate Owner0/proj0 row
+    # (max-per-repo dim dedup), same non-strict missing-kept gate
+    _meta_cte = """
+        oometa AS (
+            SELECT 'OWNER' || CAST(i // 13 AS VARCHAR)
+                   || '/PROJ' || CAST(i % 13 AS VARCHAR) AS repo,
+                   ((i // 13) * 7 + (i % 13) * 3) % 25 AS stars
+            FROM range(0, 91) t(i) WHERE i // 13 < 6
+            UNION ALL SELECT 'Owner0/proj0', 24
+        ),
+        oodim AS (
+            SELECT lower(repo) AS r, max(stars)::BIGINT AS stars
+            FROM oometa GROUP BY 1
+        ),
+        oojoin AS (
+            SELECT o.doc_id, o.repo, d.stars
+            FROM oorepos o LEFT JOIN oodim d ON lower(o.repo) = d.r
+        )"""
+    sql["code_repo_meta_census_seeded"] = f"""
+        WITH {_oo_cte},
+        {_meta_cte},
+        oostat AS (
+            SELECT CASE WHEN stars IS NULL THEN 'missing'
+                        WHEN stars >= 12 THEN 'kept'
+                        ELSE 'dropped' END AS status,
+                   coalesce(lower(repo), '<null>') AS r
+            FROM oojoin
+        ),
+        ooper AS (
+            SELECT status, r, count(*) AS n FROM oostat GROUP BY 1, 2
+        )
+        SELECT status, sum(n)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_repos
+        FROM ooper GROUP BY 1
+    """
+    sql["code_repo_meta_gate_seeded"] = f"""
+        WITH {_oo_cte},
+        {_meta_cte}
+        SELECT doc_id, repo FROM oojoin
+        WHERE stars IS NULL OR stars >= 12
+    """
     # code-quality twins: identical metric arithmetic in DuckDB (NOTE the
     # explicit 'g' flag — DuckDB regexp_replace is first-match by default
     # where Spark is global) over the same seeded expression plants
@@ -2413,6 +2624,47 @@ def oracle_sql() -> dict[str, str]:
             FROM cqstats
         )
         SELECT doc_id, reason IS NOT NULL AS drop, reason FROM cqreason
+    """
+    # comment-density twins: the SAME Type-1 comment patterns replaced
+    # with '' (exact char count) and the identical ratio/CASE arithmetic;
+    # DuckDB needs the explicit 'g' flag where Spark is global by default
+    _cmt_plants = "\n            ".join(
+        f"UNION ALL SELECT {12_000_000 + i}, {e}"
+        for i, e in enumerate(COMMENT_SEEDS)
+    )
+    _cmt_strip = "text"
+    for _pat in CODE_COMMENT_PATTERNS:
+        _cmt_strip = f"regexp_replace({_cmt_strip}, '{_pat}', '', 'g')"
+    _cmt_ctes = f"""
+        cmtdocs AS (
+            SELECT doc_id, text FROM documents
+            {_cmt_plants}
+        ),
+        cmtstats AS (
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   (length(text) - length({_cmt_strip}))::BIGINT
+                       AS comment_chars,
+                   CASE WHEN length(text) > 0 THEN
+                       (length(text) - length({_cmt_strip}))::DOUBLE
+                       / length(text)
+                   END AS comment_ratio
+            FROM cmtdocs
+        )"""
+    sql["doc_comment_stats_seeded"] = f"""
+        WITH {_cmt_ctes}
+        SELECT * FROM cmtstats
+    """
+    sql["doc_comment_flags_seeded"] = f"""
+        WITH {_cmt_ctes},
+        cmtreason AS (
+            SELECT doc_id,
+                   CASE WHEN comment_ratio > 0.8 THEN 'high_comment'
+                        WHEN comment_ratio < 0.01 THEN 'low_comment'
+                   END AS reason
+            FROM cmtstats
+        )
+        SELECT doc_id, reason IS NOT NULL AS drop, reason FROM cmtreason
     """
     # leakage-safe split: per-CLUSTER seeded md5 threshold over the total
     # assignment (labels CTE) — the SQL twin of splits.cluster_split;

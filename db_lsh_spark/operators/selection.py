@@ -451,3 +451,367 @@ def snapshot_census(
         (F.sum("_k") - F.count("*")).cast("long").alias("n_snapshots_dropped"),
         F.count("*").cast("long").alias("n_files"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repo opt-out removal — the takedown mechanism a public code corpus MUST
+# run before anything else (The Stack publishes exactly this: repository
+# owners request removal, and every release excludes the opted-out repos
+# up front). An entry is either 'owner/name' (one repository) or 'owner'
+# (every repository under that owner). Matching is case-insensitive on
+# both sides — GitHub treats owner and repo names case-insensitively and
+# takedown lists are typed by humans. NULL repo never matches (a file
+# with no attribution cannot be the subject of a repo-scoped request —
+# the funnel's missing-signal-never-drops contract; surface those rows
+# out-of-band if provenance is required).
+#
+# Two physically different match paths with ONE semantics, auto-selected
+# by list size (equivalence-tested):
+#   * inline — the entries compile to literal IN-lists inside the scan
+#     filter (map-only, zero joins; Catalyst turns large IN into a hash
+#     InSet). Right for the common 10^2-10^4-entry list.
+#   * join — beyond `inline_threshold` entries the list becomes a tiny
+#     DataFrame BROADCAST to every executor and matched with hash joins;
+#     the driver never ships a megabyte expression tree into the plan.
+# ---------------------------------------------------------------------------
+
+
+def _optout_entries(entries: tuple[str, ...]) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Normalize (strip, drop surrounding '/', lowercase, dedup) and split
+    into (repo_entries, owner_entries) by the presence of '/'."""
+    norm = tuple(dict.fromkeys(
+        s.strip().strip("/").lower() for s in entries if s.strip().strip("/")
+    ))
+    if not norm:
+        raise ValueError("optout: empty entry list")
+    repos = tuple(e for e in norm if "/" in e)
+    owners = tuple(e for e in norm if "/" not in e)
+    return repos, owners
+
+
+def _optout_key_cols(repo_col: str):
+    """(lowered repo, owner segment) expressions. Owner = text before the
+    first '/' (a slashless repo value is its own owner — documented; an
+    owner-level entry matches it either way). NULL repo → NULL both."""
+    low = F.lower(F.col(repo_col))
+    owner = F.regexp_extract(low, r"^([^/]*)", 1)
+    # regexp_extract returns '' on NULL input only via NULL propagation;
+    # guard explicitly so NULL repo yields NULL owner (never matches)
+    owner = F.when(F.col(repo_col).isNull(), F.lit(None)).otherwise(owner)
+    return low, owner
+
+
+def _optout_reason_inline(repo_col: str, repos, owners):
+    """Reason Column ('repo' | 'owner' | NULL) from literal IN-lists —
+    the ONE source of truth flags and gate compile from on the inline
+    path. Precedence pinned repo → owner: a repository matched by its own
+    'owner/name' entry censuses 'repo' even when its owner is ALSO opted
+    out wholesale."""
+    low, owner = _optout_key_cols(repo_col)
+    is_repo = low.isin(*repos) if repos else F.lit(False)
+    is_owner = owner.isin(*owners) if owners else F.lit(False)
+    return F.when(is_repo, "repo").when(is_owner, "owner")
+
+
+def _optout_hits_join(files: DataFrame, repo_col: str, repos, owners) -> DataFrame:
+    """(id-preserving) files + 'reason' column via two BROADCAST left
+    joins against the entry lists — the large-list path. Same precedence
+    and NULL contract as the inline expression."""
+    spark = files.sparkSession
+    low, owner = _optout_key_cols(repo_col)
+    out = files.withColumn("_oo_low", low).withColumn("_oo_owner", owner)
+    if repos:
+        rdf = spark.createDataFrame([(e,) for e in repos], "_oo_r string")
+        out = out.join(
+            F.broadcast(rdf), out["_oo_low"] == rdf["_oo_r"], "left"
+        )
+    else:
+        out = out.withColumn("_oo_r", F.lit(None).cast("string"))
+    if owners:
+        odf = spark.createDataFrame([(e,) for e in owners], "_oo_o string")
+        out = out.join(
+            F.broadcast(odf), out["_oo_owner"] == odf["_oo_o"], "left"
+        )
+    else:
+        out = out.withColumn("_oo_o", F.lit(None).cast("string"))
+    reason = (
+        F.when(F.col("_oo_r").isNotNull(), "repo")
+        .when(F.col("_oo_o").isNotNull(), "owner")
+    )
+    return out.withColumn("_oo_reason", reason).drop(
+        "_oo_low", "_oo_owner", "_oo_r", "_oo_o"
+    )
+
+
+#: above this many normalized entries the match switches from literal
+#: IN-lists to broadcast joins (plan size vs join cost trade; both paths
+#: are semantically identical and equivalence-tested)
+OPTOUT_INLINE_THRESHOLD = 2048
+
+
+def optout_flags(
+    files: DataFrame,
+    entries: tuple[str, ...],
+    repo_col: str = "repo",
+    id_col: str = "file_id",
+    inline_threshold: int = OPTOUT_INLINE_THRESHOLD,
+) -> DataFrame:
+    """Opt-out drop flags → (id, drop, reason); reason in ('repo',
+    'owner') or NULL. See the module note for entry syntax, precedence
+    (repo → owner, pinned) and the NULL-repo-kept contract."""
+    if repo_col not in files.columns:
+        raise ValueError(f"optout_flags: column {repo_col!r} not on input")
+    repos, owners = _optout_entries(entries)
+    if len(repos) + len(owners) <= inline_threshold:
+        reason = _optout_reason_inline(repo_col, repos, owners)
+        return files.select(
+            F.col(id_col),
+            reason.isNotNull().alias("drop"),
+            reason.alias("reason"),
+        )
+    hit = _optout_hits_join(files, repo_col, repos, owners)
+    return hit.select(
+        F.col(id_col),
+        F.col("_oo_reason").isNotNull().alias("drop"),
+        F.col("_oo_reason").alias("reason"),
+    )
+
+
+def optout_gate(
+    files: DataFrame,
+    entries: tuple[str, ...],
+    repo_col: str = "repo",
+    inline_threshold: int = OPTOUT_INLINE_THRESHOLD,
+) -> DataFrame:
+    """Keep rows no opt-out entry matches, ALL columns intact. Inline
+    path: one in-plan literal filter (map-only, pushes toward the scan).
+    Join path: two broadcast LEFT ANTI joins (repo entries, then owner
+    entries) — the 10^5-entry takedown list ships once per executor."""
+    if repo_col not in files.columns:
+        raise ValueError(f"optout_gate: column {repo_col!r} not on input")
+    repos, owners = _optout_entries(entries)
+    if len(repos) + len(owners) <= inline_threshold:
+        return files.where(
+            _optout_reason_inline(repo_col, repos, owners).isNull()
+        )
+    spark = files.sparkSession
+    low, owner = _optout_key_cols(repo_col)
+    out = files
+    if repos:
+        rdf = spark.createDataFrame([(e,) for e in repos], "_oo_r string")
+        out = out.join(F.broadcast(rdf), low == rdf["_oo_r"], "left_anti")
+    if owners:
+        odf = spark.createDataFrame([(e,) for e in owners], "_oo_o string")
+        out = out.join(F.broadcast(odf), owner == odf["_oo_o"], "left_anti")
+    return out
+
+
+def optout_census(
+    files: DataFrame,
+    entries: tuple[str, ...],
+    repo_col: str = "repo",
+    inline_threshold: int = OPTOUT_INLINE_THRESHOLD,
+) -> DataFrame:
+    """Attrition report → (reason, n_docs, n_repos): how many files and
+    how many DISTINCT repositories each rule class removes — the line a
+    corpus release publishes next to its opt-out list. Two-level
+    aggregation (reason × repo partial count, then reason rollup) so the
+    distinct-repo count never needs a count-distinct expand over 10^12
+    rows; both levels combine map-side."""
+    if repo_col not in files.columns:
+        raise ValueError(f"optout_census: column {repo_col!r} not on input")
+    repos, owners = _optout_entries(entries)
+    if len(repos) + len(owners) <= inline_threshold:
+        reason = _optout_reason_inline(repo_col, repos, owners)
+        hits = files.select(
+            reason.alias("reason"), F.lower(F.col(repo_col)).alias("_r")
+        ).where(F.col("reason").isNotNull())
+    else:
+        hit = _optout_hits_join(files, repo_col, repos, owners)
+        hits = hit.select(
+            F.col("_oo_reason").alias("reason"),
+            F.lower(F.col(repo_col)).alias("_r"),
+        ).where(F.col("reason").isNotNull())
+    per_repo = hits.groupBy("reason", "_r").agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    return per_repo.groupBy("reason").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_repos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repo-metadata gate — the popularity signal (StarCoder's "repos with
+# enough stars" selection) and the general pattern behind it: file-level
+# facts gated by a REPO-LEVEL dimension table (repo, stars, ...) that
+# lives beside the corpus. The dim is O(#repos) — orders of magnitude
+# smaller than the file table — so the join ships the dim to the
+# executors (broadcast hash join) and the 10^12-row side never shuffles;
+# at 10^8-repo scale pass ``broadcast=False`` and let AQE pick the
+# strategy. Matching is case-insensitive on the repo key (same contract
+# as the opt-out gate). Missing metadata — a repo absent from the dim,
+# or a NULL stars value — KEEPS the row by default (the funnel's
+# missing-signal-never-drops contract, mirroring the license gate's
+# unknown-kept default); ``strict=True`` drops it.
+# ---------------------------------------------------------------------------
+
+
+def _meta_joined(
+    files: DataFrame,
+    meta: DataFrame,
+    repo_col: str,
+    broadcast: bool,
+) -> DataFrame:
+    """files LEFT JOIN meta on lowercased repo → files + '_meta_stars'.
+    The dim is pre-aggregated to one row per lowercased repo (max stars —
+    duplicate dim rows must not fan out the fact side)."""
+    if repo_col not in files.columns:
+        raise ValueError(f"repo_meta: column {repo_col!r} not on input")
+    if "repo" not in meta.columns or "stars" not in meta.columns:
+        raise ValueError(
+            "repo_meta: the dim table needs 'repo' and 'stars' columns"
+        )
+    dim = (
+        meta.select(
+            F.lower(F.col("repo")).alias("_meta_repo"),
+            F.col("stars").cast("long").alias("_meta_stars"),
+        )
+        .groupBy("_meta_repo")
+        .agg(F.max("_meta_stars").alias("_meta_stars"))
+    )
+    if broadcast:
+        dim = F.broadcast(dim)
+    return files.join(
+        dim, F.lower(F.col(repo_col)) == dim["_meta_repo"], "left"
+    ).drop("_meta_repo")
+
+
+def repo_meta_gate(
+    files: DataFrame,
+    meta: DataFrame,
+    min_stars: int,
+    strict: bool = False,
+    repo_col: str = "repo",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Keep rows whose repo has ``stars >= min_stars`` in the dim table,
+    ALL original columns intact. Missing metadata (repo not in the dim,
+    NULL stars, or NULL repo) keeps the row unless ``strict=True``. One
+    broadcast left join + one filter — the fact side never shuffles."""
+    joined = _meta_joined(files, meta, repo_col, broadcast)
+    stars = F.col("_meta_stars")
+    if strict:
+        keep = stars >= min_stars          # NULL → filtered out
+    else:
+        keep = stars.isNull() | (stars >= min_stars)
+    return joined.where(keep).drop("_meta_stars")
+
+
+def repo_meta_census(
+    files: DataFrame,
+    meta: DataFrame,
+    min_stars: int,
+    repo_col: str = "repo",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Coverage + attrition report → (status, n_docs, n_repos) with
+    status in ('kept', 'dropped', 'missing'): how the min-stars rule
+    lands on the corpus, and how much of it has no metadata at all (the
+    number a strict gate would additionally remove). Distinct-repo
+    counting via the same two-level aggregation as ``optout_census`` —
+    never a count-distinct expand over the fact table. NULL repo buckets
+    as 'missing' (one synthetic repo key)."""
+    joined = _meta_joined(files, meta, repo_col, broadcast)
+    stars = F.col("_meta_stars")
+    status = (
+        F.when(stars.isNull(), "missing")
+        .when(stars >= min_stars, "kept")
+        .otherwise("dropped")
+    )
+    per_repo = (
+        joined.select(
+            status.alias("status"),
+            F.coalesce(
+                F.lower(F.col(repo_col)), F.lit("<null>")
+            ).alias("_r"),
+        )
+        .groupBy("status", "_r")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    return per_repo.groupBy("status").agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_repos"),
+    )
+
+
+def corpus_policy_reason(
+    columns,
+    optout: tuple[str, ...] | None = None,
+    lang_allow: tuple[str, ...] | None = None,
+    path_filter: bool = False,
+    path_allow_exts: tuple[str, ...] | None = None,
+    repo_col: str = "repo",
+    lang_col: str = "lang",
+    path_col: str = "path",
+):
+    """ONE sequential first-tripped reason Column composing the
+    metadata-only gates in the batch pipeline's stage order — opt-out →
+    language → path rules — for callers that apply corpus policy in a
+    single pass (the streaming filter-on-ingest lane). NULL = keep.
+    Reasons are namespaced ('optout:repo', 'optout:owner', 'lang',
+    'path:lockfile', ...) so a combined census stays attributable.
+
+    Per-gate semantics are EXACTLY the standalone operators': opt-out
+    keeps NULL repos; the language gate DROPS NULL/empty labels (an
+    unlabeled file fails an allow-list); path rules keep NULL paths.
+    ``columns`` (the frame's column list) is validated up front so a
+    missing metadata column fails loudly before any batch runs.
+    """
+    pairs = []
+    if optout is not None:
+        if repo_col not in columns:
+            raise ValueError(
+                f"corpus_policy_reason: optout needs column {repo_col!r}"
+            )
+        repos, owners = _optout_entries(optout)
+        r = _optout_reason_inline(repo_col, repos, owners)
+        pairs.append((r.isNotNull(), F.concat(F.lit("optout:"), r)))
+    if lang_allow is not None:
+        if lang_col not in columns:
+            raise ValueError(
+                f"corpus_policy_reason: lang_allow needs column {lang_col!r}"
+            )
+        ok = tuple(dict.fromkeys(
+            s.strip().lower() for s in lang_allow if s.strip()
+        ))
+        if not ok:
+            raise ValueError("corpus_policy_reason: empty lang allow list")
+        matched = F.lower(F.col(lang_col)).isin(*ok)
+        # NULL label → matched NULL → coalesce false → dropped (the
+        # lang_gate contract: NULL never passes an allow-list)
+        pairs.append(
+            (~F.coalesce(matched, F.lit(False)), F.lit("lang"))
+        )
+    if path_filter:
+        if path_col not in columns:
+            raise ValueError(
+                f"corpus_policy_reason: path_filter needs column {path_col!r}"
+            )
+        pr, _ = _path_reason(
+            path_col, path_allow_exts,
+            LOCKFILE_BASENAMES, MINIFIED_SUFFIXES, VENDORED_DIR_SEGMENTS,
+        )
+        pairs.append((pr.isNotNull(), F.concat(F.lit("path:"), pr)))
+    elif path_allow_exts is not None:
+        raise ValueError(
+            "corpus_policy_reason: path_allow_exts requires path_filter"
+        )
+    if not pairs:
+        raise ValueError("corpus_policy_reason: no gate enabled")
+    reason = None
+    for cond, label in pairs:
+        reason = (
+            F.when(cond, label) if reason is None else reason.when(cond, label)
+        )
+    return reason

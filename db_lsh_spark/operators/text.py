@@ -1294,3 +1294,72 @@ def code_quality_flags(
         reason.isNotNull().alias("drop"),
         reason.alias("reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Comment-density rules — the StarCoder-family signal the line-geometry
+# rules above cannot express: the fraction of a file that is COMMENTS.
+# Near-1 ratios are license-banner spam, commented-out code, or
+# generated doc dumps (StarCoder's pipeline drops the high tail); a
+# near-0 ratio is the opt-in documentation-selection signal (used when
+# composing doc-rich subsets, off by default). Comment chars are counted
+# with the SAME three comment patterns the Type-1 normalization strips
+# (``CODE_COMMENT_PATTERNS`` — block first, so ``/* // */`` resolves as
+# one block comment), replaced with '' so the count is exact:
+# comment_chars = len(text) - len(stripped). One map-only
+# regexp_replace + length expression chain, zero Python, zero shuffle;
+# the DuckDB twin runs the identical chain with the explicit 'g' flag.
+# ---------------------------------------------------------------------------
+
+
+def _comment_stripped_col(text_col: str):
+    c = F.col(text_col)
+    for pat in CODE_COMMENT_PATTERNS:
+        c = F.regexp_replace(c, pat, "")
+    return c
+
+
+def comment_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc comment census → (doc_id, n_chars, comment_chars,
+    comment_ratio). NULL text propagates NULL everywhere; empty text is
+    0 chars with NULL ratio (0/0 — no signal, same contract as
+    ``code_quality_stats``)."""
+    n = F.char_length(F.col(text_col))
+    stripped = F.char_length(_comment_stripped_col(text_col))
+    cchars = (n - stripped).cast("long")
+    ratio = F.when(
+        n > 0, cchars.cast("double") / n.cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        cchars.alias("comment_chars"),
+        ratio.alias("comment_ratio"),
+    )
+
+
+def comment_ratio_flags(
+    docs: DataFrame,
+    max_ratio: float = 0.8,
+    min_ratio: float | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop flags on comment density → (doc_id, drop, reason); reason in
+    ('high_comment', 'low_comment') or NULL, first-tripped precedence
+    high → low (pinned like every funnel rule). The high rule fires at
+    ratio > ``max_ratio`` (default 0.8 — the StarCoder-shaped
+    banner/commented-out-code tail); the low rule ONLY when
+    ``min_ratio`` is given (documentation selection is a composition
+    choice, not a default filter) and fires at ratio < ``min_ratio``.
+    NULL ratio (NULL/empty text) never trips — kept with reason NULL."""
+    s = comment_stats(docs, text_col)
+    reason = F.when(F.col("comment_ratio") > max_ratio, "high_comment")
+    if min_ratio is not None:
+        reason = reason.when(
+            F.col("comment_ratio") < min_ratio, "low_comment"
+        )
+    return s.select(
+        "doc_id",
+        reason.isNotNull().alias("drop"),
+        reason.alias("reason"),
+    )

@@ -53,8 +53,11 @@ class DedupOutput:
     curation_census: DataFrame | None = None  # funnel report (curate=True)
     license_census: DataFrame | None = None   # (license, n_docs) pre-filter report
     lang_census: DataFrame | None = None      # (lang, n_docs) pre-gate report
+    optout_census: DataFrame | None = None    # (reason, n_docs, n_repos) opt-out drops
+    repo_meta_census: DataFrame | None = None  # (status, n_docs, n_repos) stars gate
     path_census: DataFrame | None = None      # (reason, n_docs) path-rule drops
     code_quality_census: DataFrame | None = None  # (reason, n_docs) pre-filter report
+    comment_census: DataFrame | None = None   # (reason, n_docs) comment-ratio drops
 
 
 # extra detector lanes run_dedup can fold into the cluster edge union, with
@@ -86,12 +89,18 @@ def run_dedup(
     license_allow: tuple[str, ...] | None = None,
     license_allow_unknown: bool = True,
     lang_allow: tuple[str, ...] | None = None,
+    optout: tuple[str, ...] | None = None,
+    repo_meta: DataFrame | None = None,
+    min_stars: int | None = None,
+    meta_strict: bool = False,
     path_filter: bool = False,
     path_allow_exts: tuple[str, ...] | None = None,
     snapshot_order_col: str | None = None,
     snapshot_keys: tuple[str, ...] = ("repo", "path"),
     code_quality: bool = False,
     code_quality_caps: dict | None = None,
+    comment_filter: bool = False,
+    comment_caps: dict | None = None,
 ) -> DedupOutput:
     """Run the full pipeline. With ``checkpoint_root`` set, every stage is
     materialized + manifest-gated (resume-from-checkpoint); without it the
@@ -162,6 +171,17 @@ def run_dedup(
     column must be a monotone version index/timestamp, never the commit
     hash). Forks the checkpoint fingerprint like every other input-shaping
     knob.
+
+    ``optout`` removes opted-out repositories — the takedown mechanism a
+    public code corpus runs before ANYTHING else (The Stack's opt-out
+    list), applied even before snapshot reduction: entries are
+    ``'owner/name'`` (one repo) or ``'owner'`` (every repo under the
+    owner), matched case-insensitively against the ``repo`` column
+    (``operators/selection.optout_gate``; NULL repo is kept — a file with
+    no attribution cannot be the subject of a repo-scoped request). The
+    (reason, n_docs, n_repos) attrition report is exposed as
+    ``DedupOutput.optout_census``; the knob forks the checkpoint
+    fingerprint on the normalized entry list.
 
     ``lang_allow`` keeps only files whose ``lang`` metadata column is in
     the list (case-insensitive; NULL/empty labels never match) — The
@@ -261,6 +281,28 @@ def run_dedup(
         _gkey = repr(tuple(sorted({s.strip().lower() for s in lang_allow
                                    if s.strip()})))
         fp += "-lang" + _hl.md5(_gkey.encode()).hexdigest()[:8]
+    if optout is not None:
+        import hashlib as _hl
+
+        from db_lsh_spark.operators.selection import _optout_entries
+
+        # normalized + split the same way the gate matches, so
+        # ('Owner/Repo',) and ('owner/repo',) share a checkpoint lineage
+        _okey = repr(tuple(sorted(sum(_optout_entries(optout), ()))))
+        fp += "-optout" + _hl.md5(_okey.encode()).hexdigest()[:8]
+    if repo_meta is not None or min_stars is not None or meta_strict:
+        if repo_meta is None or min_stars is None:
+            raise ValueError(
+                "repo_meta and min_stars must be passed together "
+                "(meta_strict modifies them)"
+            )
+        import hashlib as _hl
+
+        # the dim TABLE itself is not fingerprinted (same stance as
+        # curate_bench: external inputs are the caller's identity
+        # problem); the rule parameters are
+        _mkey = repr((int(min_stars), bool(meta_strict)))
+        fp += "-meta" + _hl.md5(_mkey.encode()).hexdigest()[:8]
     if path_filter:
         import hashlib as _hl
 
@@ -288,6 +330,15 @@ def run_dedup(
         fp += "-codeq" + repr(sorted(cq_caps.items()))
     elif code_quality_caps:
         raise ValueError("code_quality_caps requires code_quality=True")
+    cmt_caps: dict = {}
+    if comment_filter:
+        cmt_caps = dict(comment_caps or ())
+        bad_c = set(cmt_caps) - {"max_ratio", "min_ratio"}
+        if bad_c:
+            raise ValueError(f"unknown comment_caps keys {sorted(bad_c)}")
+        fp += "-cmt" + repr(sorted(cmt_caps.items()))
+    elif comment_caps:
+        raise ValueError("comment_caps requires comment_filter=True")
     store = StageStore(checkpoint_root, fp) if checkpoint_root else None
 
     def gate(name: str, builder, **kw) -> DataFrame:
@@ -303,6 +354,40 @@ def run_dedup(
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if files_ids.rdd.getNumPartitions() < max(2, target // 2):
         files_ids = files_ids.repartition(target, "file_id")
+
+    # ---- repo opt-out removal (the takedown list — the VERY first cut:
+    # an opted-out repo's snapshots/languages/licenses are all moot) ----
+    optout_census_df: DataFrame | None = None
+    if optout is not None:
+        from db_lsh_spark.operators.selection import (
+            optout_census as _oo_census,
+            optout_gate,
+        )
+
+        if "repo" not in files_ids.columns:
+            raise ValueError(
+                "optout requires a 'repo' column on the input table"
+            )
+        # census BEFORE the cut — the report must show what was removed
+        optout_census_df = _oo_census(files_ids, optout)
+        files_ids = optout_gate(files_ids, optout)
+
+    # ---- repo-metadata stars gate (popularity selection via the dim) ----
+    repo_meta_census_df: DataFrame | None = None
+    if repo_meta is not None:
+        from db_lsh_spark.operators.selection import (
+            repo_meta_census as _meta_census,
+            repo_meta_gate,
+        )
+
+        if "repo" not in files_ids.columns:
+            raise ValueError(
+                "repo_meta requires a 'repo' column on the input table"
+            )
+        repo_meta_census_df = _meta_census(files_ids, repo_meta, min_stars)
+        files_ids = repo_meta_gate(
+            files_ids, repo_meta, min_stars, strict=meta_strict
+        )
 
     # ---- latest-snapshot reduction (one version per (repo, path)) ----
     if snapshot_order_col is not None:
@@ -383,6 +468,30 @@ def run_dedup(
         # the only exchange this gate adds; the filter happens before any
         # signature/curation work (stage order: license, code rules, rest)
         files_ids = files_ids.join(keep_ids, "file_id", "left_semi")
+
+    # ---- comment-density pre-gate (StarCoder-family signal) ----
+    comment_census_df: DataFrame | None = None
+    if comment_filter:
+        from db_lsh_spark.operators.text import comment_ratio_flags
+
+        cflags = comment_ratio_flags(
+            files_ids.select(
+                F.col("file_id").alias("doc_id"),
+                F.col("content").alias("text"),
+            ),
+            **cmt_caps,
+        )
+        comment_census_df = (
+            cflags.where(F.col("drop"))
+            .groupBy("reason")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+        )
+        ckeep = cflags.where(~F.col("drop")).select(
+            F.col("doc_id").alias("file_id")
+        )
+        # same shape as the code-quality gate: a pure row function of
+        # content, applied via one semi-join before any signature work
+        files_ids = files_ids.join(ckeep, "file_id", "left_semi")
 
     # ---- curation funnel pre-stage (filters BEFORE any signature work) ----
     curation_flags_df: DataFrame | None = None
@@ -635,6 +744,9 @@ def run_dedup(
         curation_census=curation_census_df,
         license_census=license_census_df,
         lang_census=lang_census_df,
+        optout_census=optout_census_df,
+        repo_meta_census=repo_meta_census_df,
+        comment_census=comment_census_df,
         path_census=path_census_df,
         code_quality_census=code_quality_census_df,
     )

@@ -86,6 +86,18 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--keep-autogen", action="store_true",
                    help="do not drop auto-generated files under "
                         "--code-quality")
+    p.add_argument("--comment-filter", action="store_true",
+                   help="drop files by comment density (StarCoder-family "
+                        "signal): comment chars counted with the Type-1 "
+                        "comment patterns, ratio > max dropped as "
+                        "'high_comment' (banner spam / commented-out "
+                        "code); per-reason census to "
+                        "<output>/comment_census")
+    p.add_argument("--comment-max-ratio", type=float, default=None,
+                   help="override the high-comment ratio cap (default 0.8)")
+    p.add_argument("--comment-min-ratio", type=float, default=None,
+                   help="ALSO drop files with comment ratio below this "
+                        "(documentation selection; off by default)")
     p.add_argument("--latest-only", action="store_true",
                    help="keep only the latest snapshot per (repo, path) "
                         "BEFORE any other work (The Stack's first step); "
@@ -245,6 +257,30 @@ def main(argv: list[str] | None = None) -> None:
                         "gate; NULL/empty labels never match. The "
                         "pre-gate per-language census is written to "
                         "<output>/lang_census")
+    p.add_argument("--opt-out", default=None,
+                   help="comma-separated opt-out entries: 'owner/name' "
+                        "removes one repository, 'owner' removes every "
+                        "repository under that owner (case-insensitive "
+                        "match on the 'repo' column). The Stack-style "
+                        "takedown list, applied before EVERY other stage; "
+                        "the (reason, n_docs, n_repos) attrition census "
+                        "is written to <output>/optout_census")
+    p.add_argument("--opt-out-file", default=None,
+                   help="file of opt-out entries, one per line (blank "
+                        "lines and '#' comments skipped); unioned with "
+                        "--opt-out")
+    p.add_argument("--repo-meta", default=None,
+                   help="parquet path of a repo-level dimension table "
+                        "(repo, stars, ...): files whose repo has stars "
+                        ">= --min-stars are kept (StarCoder-style "
+                        "popularity selection); repos with NO metadata "
+                        "are kept unless --meta-strict; coverage census "
+                        "to <output>/repo_meta_census")
+    p.add_argument("--min-stars", type=int, default=None,
+                   help="stars threshold for --repo-meta")
+    p.add_argument("--meta-strict", action="store_true",
+                   help="with --repo-meta: ALSO drop files whose repo has "
+                        "no metadata / NULL stars")
     p.add_argument("--path-filter", action="store_true",
                    help="drop files by path convention BEFORE any content "
                         "scan: dependency lockfiles (package-lock.json, "
@@ -307,6 +343,21 @@ def main(argv: list[str] | None = None) -> None:
         )
         if not lang_allow:
             raise SystemExit("--lang-allow got an empty list")
+    optout: tuple[str, ...] | None = None
+    if args.opt_out is not None or args.opt_out_file is not None:
+        entries: list[str] = []
+        if args.opt_out:
+            entries += [s.strip() for s in args.opt_out.split(",")]
+        if args.opt_out_file:
+            with open(args.opt_out_file) as fh:
+                for line in fh:
+                    line = line.split("#", 1)[0].strip()
+                    if line:
+                        entries.append(line)
+        entries = [s for s in entries if s.strip().strip("/")]
+        if not entries:
+            raise SystemExit("--opt-out/--opt-out-file got an empty list")
+        optout = tuple(entries)
     path_allow_exts: tuple[str, ...] | None = None
     if args.path_allow_exts is not None:
         if not args.path_filter:
@@ -373,6 +424,21 @@ def main(argv: list[str] | None = None) -> None:
         raise SystemExit(
             "--code-max-line/--code-avg-line/--code-min-alnum/--keep-autogen "
             "require --code-quality"
+        )
+    cmt_caps: dict | None = None
+    if args.comment_filter:
+        cmt_caps = {}
+        if args.comment_max_ratio is not None:
+            cmt_caps["max_ratio"] = args.comment_max_ratio
+        if args.comment_min_ratio is not None:
+            cmt_caps["min_ratio"] = args.comment_min_ratio
+    elif any(
+        x is not None
+        for x in (args.comment_max_ratio, args.comment_min_ratio)
+    ):
+        raise SystemExit(
+            "--comment-max-ratio/--comment-min-ratio require "
+            "--comment-filter"
         )
     if args.latest_only:
         if not args.snapshot_order_col:
@@ -468,6 +534,22 @@ def main(argv: list[str] | None = None) -> None:
             f"(found: {files.columns}); failing before the dedup run, "
             "not after it"
         )
+    if (args.repo_meta is None) != (args.min_stars is None):
+        raise SystemExit("--repo-meta and --min-stars go together")
+    if args.meta_strict and args.repo_meta is None:
+        raise SystemExit("--meta-strict requires --repo-meta")
+    if args.repo_meta is not None and "repo" not in files.columns:
+        raise SystemExit(
+            f"--repo-meta needs a 'repo' column on the input table "
+            f"(found: {files.columns}); failing before the dedup run, "
+            "not after it"
+        )
+    if optout is not None and "repo" not in files.columns:
+        raise SystemExit(
+            f"--opt-out needs a 'repo' column on the input table "
+            f"(found: {files.columns}); failing before the dedup run, "
+            "not after it"
+        )
     if args.path_filter and "path" not in files.columns:
         raise SystemExit(
             f"--path-filter needs a 'path' column on the input table "
@@ -489,6 +571,13 @@ def main(argv: list[str] | None = None) -> None:
                     license_allow=license_allow,
                     license_allow_unknown=not args.license_strict,
                     lang_allow=lang_allow,
+                    optout=optout,
+                    repo_meta=(
+                        spark.read.parquet(args.repo_meta)
+                        if args.repo_meta else None
+                    ),
+                    min_stars=args.min_stars,
+                    meta_strict=args.meta_strict,
                     path_filter=args.path_filter,
                     path_allow_exts=path_allow_exts,
                     snapshot_order_col=(
@@ -496,7 +585,9 @@ def main(argv: list[str] | None = None) -> None:
                     ),
                     snapshot_keys=snapshot_keys,
                     code_quality=args.code_quality,
-                    code_quality_caps=cq_caps)
+                    code_quality_caps=cq_caps,
+                    comment_filter=args.comment_filter,
+                    comment_caps=cmt_caps)
     license_report: dict | None = None
     if license_allow is not None:
         out.license_census.write.mode("overwrite").parquet(
@@ -530,6 +621,39 @@ def main(argv: list[str] | None = None) -> None:
                 ).collect()
             },
         }
+    optout_report: dict | None = None
+    if optout is not None:
+        out.optout_census.write.mode("overwrite").parquet(
+            f"{args.output}/optout_census"
+        )
+        optout_report = {
+            "n_entries": len(optout),
+            # per-reason (files, distinct repos) removed, read back from
+            # the written artifact (at most 2 rows by construction)
+            "dropped": {
+                r["reason"]: {"n_docs": r["n_docs"], "n_repos": r["n_repos"]}
+                for r in spark.read.parquet(
+                    f"{args.output}/optout_census"
+                ).collect()
+            },
+        }
+    meta_report: dict | None = None
+    if args.repo_meta is not None:
+        out.repo_meta_census.write.mode("overwrite").parquet(
+            f"{args.output}/repo_meta_census"
+        )
+        meta_report = {
+            "min_stars": args.min_stars,
+            "strict": args.meta_strict,
+            # per-status (files, distinct repos), read back from the
+            # written artifact (at most 3 rows by construction)
+            "census": {
+                r["status"]: {"n_docs": r["n_docs"], "n_repos": r["n_repos"]}
+                for r in spark.read.parquet(
+                    f"{args.output}/repo_meta_census"
+                ).collect()
+            },
+        }
     path_report: dict | None = None
     if args.path_filter:
         out.path_census.write.mode("overwrite").parquet(
@@ -560,6 +684,21 @@ def main(argv: list[str] | None = None) -> None:
                 r["reason"]: r["n_docs"]
                 for r in spark.read.parquet(
                     f"{args.output}/code_quality_census"
+                ).collect()
+            },
+        }
+    comment_report: dict | None = None
+    if args.comment_filter:
+        out.comment_census.write.mode("overwrite").parquet(
+            f"{args.output}/comment_census"
+        )
+        comment_report = {
+            "caps": cmt_caps or {},
+            # per-reason drop counts, read back (at most 2 rows)
+            "census": {
+                r["reason"]: r["n_docs"]
+                for r in spark.read.parquet(
+                    f"{args.output}/comment_census"
                 ).collect()
             },
         }
@@ -1026,8 +1165,11 @@ def main(argv: list[str] | None = None) -> None:
         "curation": curation_report,
         "license": license_report,
         "langs": lang_report,
+        "opt_out": optout_report,
+        "repo_meta": meta_report,
         "path_rules": path_report,
         "code_quality": code_quality_report,
+        "comment_filter": comment_report,
         "license_audit": license_audit_report,
         "normalize_code": args.normalize_code or None,
         "mask_idents": args.mask_idents or None,

@@ -1,0 +1,169 @@
+"""comment_stats / comment_ratio_flags (operators/text.py) — the
+StarCoder-family comment-density signal: exact comment-char count via the
+Type-1 strip patterns, high/low ratio drop rules with pinned precedence
+and the NULL/empty missing-signal-never-drops contract — plus the
+run_dedup pre-gate knob and the spark-submit job face.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.text import comment_ratio_flags, comment_stats
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (0, None),                                   # NULL text
+        (1, ""),                                     # empty (0/0 ratio)
+        (2, "// all comment"),                       # ratio 1.0
+        (3, "int x = 1 ; /* ten chars */ done"),     # mixed
+        (4, "plain code with no comments at all"),   # ratio 0.0
+        (5, "x /* a */ y // tail"),                  # block + line
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_comment_stats_pinned(docs):
+    got = {
+        r.doc_id: (r.n_chars, r.comment_chars, r.comment_ratio)
+        for r in comment_stats(docs).collect()
+    }
+    assert got[0] == (None, None, None)
+    assert got[1] == (0, 0, None)           # empty: counts 0, ratio NULL
+    assert got[2] == (14, 14, 1.0)
+    n3, c3, r3 = got[3]
+    assert (n3, c3) == (32, 15) and abs(r3 - 15 / 32) < 1e-12
+    assert got[4] == (34, 0, 0.0)
+    n5, c5, r5 = got[5]
+    # '/* a */' (7) + '// tail' (7)
+    assert (n5, c5) == (19, 14) and abs(r5 - 14 / 19) < 1e-12
+
+
+def test_comment_flags_high_only_by_default(docs):
+    got = {r.doc_id: r.reason for r in comment_ratio_flags(docs).collect()}
+    # min bound is opt-in: zero-comment docs are KEPT by default
+    assert got == {0: None, 1: None, 2: "high_comment", 3: None, 4: None,
+                   5: None}
+
+
+def test_comment_flags_min_bound_and_null_kept(docs):
+    got = {
+        r.doc_id: (r.drop, r.reason)
+        for r in comment_ratio_flags(docs, min_ratio=0.05).collect()
+    }
+    assert got[2] == (True, "high_comment")
+    assert got[4] == (True, "low_comment")
+    assert got[3] == (False, None)           # mid ratio passes both bounds
+    assert got[0] == (False, None)           # NULL text never drops
+    assert got[1] == (False, None)           # empty text (NULL ratio) kept
+
+
+def test_comment_stats_map_only_plan(docs):
+    for frame in (comment_stats(docs), comment_ratio_flags(docs)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_run_dedup_comment_knob(spark, tmp_path):
+    """run_dedup(comment_filter=True) drops the banner-spam file before
+    any signature work, exposes the census, validates caps, and forks the
+    checkpoint fingerprint."""
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    banner = "// " + "all comment here " * 40
+    rows = [
+        (0, "r1", "a.py", base),
+        (1, "r1", "b.py", base + " v2"),   # near-dup of fid 0
+        (2, "r1", "c.py", banner),         # ~100% comments — dropped
+        (3, "r2", "d.py", "totally different content here"),
+    ]
+    files = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, content string"
+    )
+    cfg = DedupConfig()
+    out = run_dedup(spark, files, cfg, comment_filter=True)
+    assign = {r.file_id: r.cluster_id for r in out.clusters.collect()}
+    assert set(assign) == {0, 1, 3}
+    assert assign[0] == assign[1]
+    census = {r.reason: r.n_docs for r in out.comment_census.collect()}
+    assert census == {"high_comment": 1}
+
+    raw = run_dedup(spark, files, cfg)
+    assert {r.file_id for r in raw.clusters.collect()} == {0, 1, 2, 3}
+    assert raw.comment_census is None
+
+    with pytest.raises(ValueError, match="comment_caps"):
+        run_dedup(spark, files, cfg, comment_caps={"max_ratio": 0.5})
+    with pytest.raises(ValueError, match="unknown"):
+        run_dedup(spark, files, cfg, comment_filter=True,
+                  comment_caps={"ratio": 0.5})
+
+    # a raised cap keeps the banner file
+    kept = run_dedup(spark, files, cfg, comment_filter=True,
+                     comment_caps={"max_ratio": 1.1})
+    assert {r.file_id for r in kept.clusters.collect()} == {0, 1, 2, 3}
+
+    # fingerprint fork: gated run never resumes a raw run's stages
+    ck = str(tmp_path / "ck")
+    run_dedup(spark, files, cfg, checkpoint_root=ck)
+    g1 = run_dedup(spark, files, cfg, checkpoint_root=ck,
+                   comment_filter=True)
+    assert not any(r.skipped for r in g1.store.results)
+
+
+def test_spark_submit_comment_filter(tmp_path):
+    """Job face: --comment-filter drops a planted banner file; census
+    artifact and summary reconcile; cap override flags validated."""
+    import json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+    from db_lsh_spark.sources.synth import SynthConfig, generate
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = generate(SynthConfig(n_files=200)).files
+    banner_id = int(files["file_id"].max()) + 1
+    plant = pd.DataFrame([{
+        "repo": "org0/banner", "path": "b.js", "commit": "c0",
+        "lang": "javascript", "content": "// " + "spam " * 200,
+        "file_id": banner_id, "sha256": "x", "size": 1000,
+    }])
+    files = pd.concat([files, plant], ignore_index=True)
+    d = tmp_path / "corpus"
+    d.mkdir()
+    files.to_parquet(str(d / "files.parquet"), index=False)
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", str(d), "--output", out_dir,
+            "--comment-filter", "--comment-max-ratio", "0.9",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    assert summary["comment_filter"]["caps"] == {"max_ratio": 0.9}
+    dropped = summary["comment_filter"]["census"]
+    assert dropped.get("high_comment", 0) >= 1
+    clusters = pd.read_parquet(os.path.join(out_dir, "clusters"))
+    assert banner_id not in set(clusters.file_id)
+    # every survivor + every censused drop accounted for, none twice
+    census_pq = pd.read_parquet(os.path.join(out_dir, "comment_census"))
+    n_census = int(census_pq.n_docs.sum())
+    assert len(clusters) + n_census == len(files)

@@ -1,0 +1,248 @@
+"""optout_flags / optout_gate / optout_census (operators/selection.py) —
+The Stack's repo takedown mechanism: 'owner/name' removes one repository,
+'owner' removes every repository under the owner, matched
+case-insensitively against the `repo` column with NULL-repo-kept
+semantics — plus the inline-vs-broadcast-join path equivalence, the
+run_dedup knob (very-first-cut order, census, fingerprint fork) and the
+spark-submit job face (--opt-out / --opt-out-file).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.selection import (
+    optout_census,
+    optout_flags,
+    optout_gate,
+)
+
+
+@pytest.fixture
+def repos(spark):
+    rows = [
+        (0, "Alice/Widgets", "a"),   # repo entry, mixed case on the data side
+        (1, "alice/widgets", "b"),   # same repo, lowercase spelling
+        (2, "alice/gadgets", "c"),   # same owner — NOT opted out
+        (3, "Bob/Tools", "d"),       # owner-level entry
+        (4, "bob/other", "e"),       # same owner, second repo
+        (5, None, "f"),              # NULL repo — always kept
+        (6, "carol/keep", "g"),
+        (7, "bobcat/keep", "h"),     # 'bob' is a full owner segment, not a prefix
+    ]
+    return spark.createDataFrame(
+        rows, "file_id long, repo string, content string"
+    )
+
+
+#: case + surrounding-slash normalization on the entry side; the third
+#: entry matches nothing (an opt-out for a repo not in the corpus is fine)
+ENTRIES = ("ALICE/widgets", "Bob", "/carol/absent/")
+
+
+def test_optout_flags_pinned(repos):
+    got = {r.file_id: (r.drop, r.reason) for r in optout_flags(repos, ENTRIES).collect()}
+    assert got == {
+        0: (True, "repo"),
+        1: (True, "repo"),
+        2: (False, None),
+        3: (True, "owner"),
+        4: (True, "owner"),
+        5: (False, None),   # NULL repo never matches
+        6: (False, None),
+        7: (False, None),   # owner match is the full first segment
+    }
+
+
+def test_optout_precedence_repo_before_owner(repos):
+    """A repository matched by its own 'owner/name' entry censuses 'repo'
+    even when its owner is ALSO opted out wholesale — pinned order."""
+    got = {
+        r.file_id: r.reason
+        for r in optout_flags(repos, ("bob/tools", "bob")).collect()
+    }
+    assert got[3] == "repo"
+    assert got[4] == "owner"
+
+
+def test_optout_gate_is_flags_complement(repos):
+    kept = optout_gate(repos, ENTRIES)
+    assert kept.columns == repos.columns  # ALL columns intact
+    flags = optout_flags(repos, ENTRIES)
+    expect = {r.file_id for r in flags.where(~F.col("drop")).collect()}
+    assert {r.file_id for r in kept.collect()} == expect == {2, 5, 6, 7}
+
+
+def test_optout_inline_gate_map_only_plan(repos):
+    plan = (
+        optout_gate(repos, ENTRIES)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_optout_join_path_equivalent(repos):
+    """inline_threshold=0 forces the broadcast-join path; flags, gate and
+    census must be row-identical to the inline expressions."""
+    f_in = {tuple(r) for r in optout_flags(repos, ENTRIES).collect()}
+    f_jn = {
+        tuple(r)
+        for r in optout_flags(repos, ENTRIES, inline_threshold=0).collect()
+    }
+    assert f_in == f_jn
+    g_jn = optout_gate(repos, ENTRIES, inline_threshold=0)
+    assert g_jn.columns == repos.columns
+    assert {r.file_id for r in g_jn.collect()} == {2, 5, 6, 7}
+    c_in = {tuple(r) for r in optout_census(repos, ENTRIES).collect()}
+    c_jn = {
+        tuple(r)
+        for r in optout_census(repos, ENTRIES, inline_threshold=0).collect()
+    }
+    assert c_in == c_jn
+
+
+def test_optout_census_pinned(repos):
+    got = {
+        r.reason: (r.n_docs, r.n_repos)
+        for r in optout_census(repos, ENTRIES).collect()
+    }
+    # alice/widgets counts as ONE distinct repo across its two spellings
+    assert got == {"repo": (2, 1), "owner": (2, 2)}
+
+
+def test_optout_validation(repos):
+    with pytest.raises(ValueError, match="empty"):
+        optout_gate(repos, ("", "  ", "//"))
+    with pytest.raises(ValueError, match="repo"):
+        optout_flags(repos.drop("repo"), ENTRIES)
+    with pytest.raises(ValueError, match="repo"):
+        optout_census(repos.drop("repo"), ENTRIES)
+
+
+def test_run_dedup_optout_knob(spark, tmp_path):
+    """run_dedup(optout=...) removes opted-out repos before ANY other
+    stage: an exact-dup pair loses its opted-out member, the census is
+    exposed, and the knob forks the checkpoint fingerprint (normalized,
+    so equivalent spellings share a lineage)."""
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    rows = [
+        (0, "keep/r1", "a.py", base),
+        (1, "keep/r1", "b.py", base + " v2"),     # near-dup of fid 0
+        (2, "Gone/r2", "c.py", base + " v2"),     # exact dup of fid 1, opted out
+        (3, "keep/r3", "d.py", "totally different content here"),
+    ]
+    files = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, content string"
+    )
+    cfg = DedupConfig()
+    out = run_dedup(spark, files, cfg, optout=("gone",))
+    assign = {r.file_id: r.cluster_id for r in out.clusters.collect()}
+    assert set(assign) == {0, 1, 3}
+    assert assign[0] == assign[1]
+    census = {
+        r.reason: (r.n_docs, r.n_repos) for r in out.optout_census.collect()
+    }
+    assert census == {"owner": (1, 1)}
+
+    # without the knob fid 2 participates (exact dup of fid 1)
+    raw = run_dedup(spark, files, cfg)
+    raw_assign = {r.file_id: r.cluster_id for r in raw.clusters.collect()}
+    assert set(raw_assign) == {0, 1, 2, 3}
+    assert raw_assign[2] == raw_assign[1]
+    assert raw.optout_census is None
+
+    # missing repo column fails loudly
+    with pytest.raises(ValueError, match="repo"):
+        run_dedup(spark, files.drop("repo"), cfg, optout=("gone",))
+
+    # fingerprint: opted run never resumes a raw run; equivalent entry
+    # spellings share one lineage
+    ck = str(tmp_path / "ck")
+    run_dedup(spark, files, cfg, checkpoint_root=ck)
+    g1 = run_dedup(spark, files, cfg, checkpoint_root=ck, optout=("gone",))
+    assert not any(r.skipped for r in g1.store.results), (
+        "opt-out run resumed a raw run's checkpoint stages"
+    )
+    g2 = run_dedup(
+        spark, files, cfg, checkpoint_root=ck, optout=(" GONE/ ",)
+    )
+    assert all(r.skipped for r in g2.store.results), (
+        "equivalent opt-out spellings did not share a checkpoint lineage"
+    )
+
+
+def test_spark_submit_opt_out(tmp_path):
+    """Job face: --opt-out (one owner) + --opt-out-file (one repo entry,
+    with comments) remove the repos before dedup; the census artifact and
+    summary reconcile; clusters contain no opted-out rows."""
+    import json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+    from db_lsh_spark.sources.synth import SynthConfig, generate
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = generate(SynthConfig(n_files=300)).files
+    repos_present = files["repo"].dropna().unique().tolist()
+    owner_entry = "org0"                       # owner-level: every org0/* repo
+    repo_entry = next(r for r in repos_present if not r.startswith("org0/"))
+    dropped = files["repo"].notna() & (
+        files["repo"].str.startswith("org0/") | (files["repo"] == repo_entry)
+    )
+    n_keep = int((~dropped).sum())
+    n_docs_owner = int(files["repo"].str.startswith("org0/").fillna(False).sum())
+    n_repos_owner = len([r for r in repos_present if r.startswith("org0/")])
+    n_docs_repo = int((files["repo"] == repo_entry).sum())
+    d = tmp_path / "corpus"
+    d.mkdir()
+    files.to_parquet(str(d / "files.parquet"), index=False)
+    oo_file = tmp_path / "optout.txt"
+    oo_file.write_text(
+        f"# takedown requests\n\n{repo_entry.upper()}  # case-folded\n"
+    )
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", str(d), "--output", out_dir,
+            "--opt-out", f" {owner_entry} ,",   # stray space + empty token
+            "--opt-out-file", str(oo_file),
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    assert summary["opt_out"]["n_entries"] == 2
+    assert summary["opt_out"]["dropped"]["owner"] == {
+        "n_docs": n_docs_owner, "n_repos": n_repos_owner,
+    }
+    assert summary["opt_out"]["dropped"]["repo"] == {
+        "n_docs": n_docs_repo, "n_repos": 1,
+    }
+    clusters = pd.read_parquet(os.path.join(out_dir, "clusters"))
+    assert len(clusters) == n_keep
+    kept_rows = files[files["file_id"].isin(clusters.file_id)]
+    assert not kept_rows["repo"].str.startswith("org0/").fillna(False).any()
+    assert not (kept_rows["repo"] == repo_entry).any()
+    # the census artifact reconciles with the summary
+    census_pq = pd.read_parquet(os.path.join(out_dir, "optout_census"))
+    got = {
+        r.reason: {"n_docs": int(r.n_docs), "n_repos": int(r.n_repos)}
+        for r in census_pq.itertuples()
+    }
+    assert got == summary["opt_out"]["dropped"]

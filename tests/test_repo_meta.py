@@ -1,0 +1,209 @@
+"""repo_meta_gate / repo_meta_census (operators/selection.py) — the
+StarCoder-style popularity selection: file-level facts gated by a
+repo-level dimension table (repo, stars) via a broadcast left join, with
+case-insensitive repo keys, max-per-repo dim dedup (no fact fan-out),
+and the missing-metadata-kept default (strict opt-in) — plus the
+run_dedup knob and the spark-submit job face.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.selection import repo_meta_census, repo_meta_gate
+
+
+@pytest.fixture
+def facts(spark):
+    rows = [
+        (0, "Alice/Widgets", "a"),   # stars 50 — kept
+        (1, "alice/widgets", "b"),   # same repo, other case — kept
+        (2, "alice/gadgets", "c"),   # stars 2 — dropped
+        (3, "bob/tools", "d"),       # dup dim rows 1 and 40 → max 40 — kept
+        (4, "carol/lonely", "e"),    # NULL stars in dim — missing
+        (5, None, "f"),              # NULL repo — missing
+        (6, "dave/nometa", "g"),     # not in dim — missing
+    ]
+    return spark.createDataFrame(
+        rows, "file_id long, repo string, content string"
+    )
+
+
+@pytest.fixture
+def dim(spark):
+    rows = [
+        ("ALICE/widgets", 50),       # case-folded key
+        ("alice/gadgets", 2),
+        ("bob/tools", 1),
+        ("Bob/Tools", 40),           # duplicate repo — max wins, no fan-out
+        ("carol/lonely", None),
+    ]
+    return spark.createDataFrame(rows, "repo string, stars int")
+
+
+def test_repo_meta_gate_pinned(facts, dim):
+    kept = repo_meta_gate(facts, dim, min_stars=10)
+    assert kept.columns == facts.columns   # ALL columns intact
+    # non-strict: missing metadata (4, 5, 6) kept; only the known-low
+    # repo (2) drops; dup-dim bob/tools resolves to max 40 and NO fan-out
+    got = sorted(r.file_id for r in kept.collect())
+    assert got == [0, 1, 3, 4, 5, 6]
+
+
+def test_repo_meta_gate_strict(facts, dim):
+    got = sorted(
+        r.file_id
+        for r in repo_meta_gate(facts, dim, min_stars=10, strict=True).collect()
+    )
+    assert got == [0, 1, 3]
+
+
+def test_repo_meta_census_pinned(facts, dim):
+    got = {
+        r.status: (r.n_docs, r.n_repos)
+        for r in repo_meta_census(facts, dim, min_stars=10).collect()
+    }
+    # kept: alice/widgets (2 docs, 1 repo) + bob/tools; dropped: gadgets;
+    # missing: carol/lonely + NULL repo + dave/nometa
+    assert got == {
+        "kept": (3, 2),
+        "dropped": (1, 1),
+        "missing": (3, 3),
+    }
+
+
+def test_repo_meta_broadcast_plan(facts, dim):
+    plan = (
+        repo_meta_gate(facts, dim, min_stars=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repo_meta_validation(facts, dim):
+    with pytest.raises(ValueError, match="repo"):
+        repo_meta_gate(facts.drop("repo"), dim, min_stars=1)
+    with pytest.raises(ValueError, match="stars"):
+        repo_meta_gate(facts, dim.drop("stars"), min_stars=1)
+
+
+def test_run_dedup_repo_meta_knob(spark, tmp_path):
+    """run_dedup(repo_meta=..., min_stars=...) gates before any signature
+    work, exposes the census, validates the paired args, and forks the
+    checkpoint fingerprint on the rule parameters."""
+    from db_lsh_spark.config import DedupConfig
+    from db_lsh_spark.pipeline import run_dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    rows = [
+        (0, "pop/r1", "a.py", base),
+        (1, "pop/r1", "b.py", base + " v2"),    # near-dup of fid 0
+        (2, "tiny/r2", "c.py", base + " v2"),   # exact dup of fid 1, 0 stars
+        (3, "pop/r3", "d.py", "totally different content here"),
+    ]
+    files = spark.createDataFrame(
+        rows, "file_id long, repo string, path string, content string"
+    )
+    meta = spark.createDataFrame(
+        [("pop/r1", 100), ("tiny/r2", 0), ("pop/r3", 100)],
+        "repo string, stars int",
+    )
+    cfg = DedupConfig()
+    out = run_dedup(spark, files, cfg, repo_meta=meta, min_stars=5)
+    assign = {r.file_id: r.cluster_id for r in out.clusters.collect()}
+    assert set(assign) == {0, 1, 3}
+    assert assign[0] == assign[1]
+    census = {
+        r.status: (r.n_docs, r.n_repos)
+        for r in out.repo_meta_census.collect()
+    }
+    assert census == {"kept": (3, 2), "dropped": (1, 1)}
+
+    raw = run_dedup(spark, files, cfg)
+    assert {r.file_id for r in raw.clusters.collect()} == {0, 1, 2, 3}
+    assert raw.repo_meta_census is None
+
+    # paired-args validation
+    with pytest.raises(ValueError, match="together"):
+        run_dedup(spark, files, cfg, repo_meta=meta)
+    with pytest.raises(ValueError, match="together"):
+        run_dedup(spark, files, cfg, min_stars=5)
+    with pytest.raises(ValueError, match="together"):
+        run_dedup(spark, files, cfg, meta_strict=True)
+
+    # fingerprint fork: a gated run never resumes a raw run's stages;
+    # a different threshold forks again
+    ck = str(tmp_path / "ck")
+    run_dedup(spark, files, cfg, checkpoint_root=ck)
+    g1 = run_dedup(spark, files, cfg, checkpoint_root=ck,
+                   repo_meta=meta, min_stars=5)
+    assert not any(r.skipped for r in g1.store.results)
+    g2 = run_dedup(spark, files, cfg, checkpoint_root=ck,
+                   repo_meta=meta, min_stars=50)
+    assert not any(r.skipped for r in g2.store.results)
+
+
+def test_spark_submit_repo_meta(tmp_path):
+    """Job face: --repo-meta/--min-stars gate from a dim parquet; census
+    artifact and summary reconcile; missing-metadata repos kept."""
+    import json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+    from db_lsh_spark.sources.synth import SynthConfig, generate
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = generate(SynthConfig(n_files=300)).files
+    repos = sorted(files["repo"].dropna().unique().tolist())
+    # stars: org0/* low (dropped), org1/* high (kept), the rest NO
+    # metadata (missing — kept under the non-strict default)
+    meta = pd.DataFrame([
+        {"repo": r, "stars": 1 if r.startswith("org0/") else 100}
+        for r in repos
+        if r.startswith("org0/") or r.startswith("org1/")
+    ])
+    covered = files["repo"].str.startswith(("org0/", "org1/")).fillna(False)
+    is_dropped = files["repo"].str.startswith("org0/").fillna(False)
+    n_keep = int((~is_dropped).sum())
+    d = tmp_path / "corpus"
+    d.mkdir()
+    files.to_parquet(str(d / "files.parquet"), index=False)
+    meta_dir = tmp_path / "meta"
+    meta_dir.mkdir()
+    meta.to_parquet(str(meta_dir / "meta.parquet"), index=False)
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", str(d), "--output", out_dir,
+            "--repo-meta", str(meta_dir), "--min-stars", "10",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    rep = summary["repo_meta"]
+    assert rep["min_stars"] == 10 and rep["strict"] is False
+    assert rep["census"]["dropped"]["n_docs"] == int(is_dropped.sum())
+    assert rep["census"]["missing"]["n_docs"] == int((~covered).sum())
+    clusters = pd.read_parquet(os.path.join(out_dir, "clusters"))
+    assert len(clusters) == n_keep
+    kept_rows = files[files["file_id"].isin(clusters.file_id)]
+    assert not kept_rows["repo"].str.startswith("org0/").fillna(False).any()
+    census_pq = pd.read_parquet(os.path.join(out_dir, "repo_meta_census"))
+    got = {
+        r.status: {"n_docs": int(r.n_docs), "n_repos": int(r.n_repos)}
+        for r in census_pq.itertuples()
+    }
+    assert got == rep["census"]
