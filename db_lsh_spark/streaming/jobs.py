@@ -1351,6 +1351,10 @@ def incremental_curation_query(
     bench: DataFrame | None,
     out_dir: str,
     checkpoint_dir: str,
+    optout: tuple[str, ...] | None = None,
+    lang_allow: tuple[str, ...] | None = None,
+    path_filter: bool = False,
+    path_allow_exts: tuple[str, ...] | None = None,
     **knobs,
 ) -> StreamingQuery:
     """Filter-on-INGEST: the curation funnel (quality → repetition →
@@ -1368,8 +1372,36 @@ def incremental_curation_query(
     directory idempotent sink as the dedup lanes (at-least-once replay
     rewrites identical rows; offsets checkpoint ⇒ exactly-once across
     restarts). ``bench=None`` skips decontamination, like the batch
-    operator; ``knobs`` pass through to ``curation_flags``."""
+    operator; ``knobs`` pass through to ``curation_flags``.
+
+    The metadata-only POLICY gates compose in front of the funnel (the
+    batch pipeline's stage order: opt-out → language → path rules, via
+    ``selection.corpus_policy_reason``) when their knobs are set:
+    policy-dropped docs land in ``out_dir/policy/batch-N`` as (doc_id,
+    reason, batch_id) with namespaced reasons ('optout:owner', 'lang',
+    'path:vendored', ...) and never reach the funnel or the keep list.
+    The gates are pure row functions of the batch's own metadata
+    columns — stateless like the funnel, so stream output still equals
+    the batch composition over the union of landings. Required metadata
+    columns are validated BEFORE the stream starts."""
     from db_lsh_spark.operators.curation import curation_flags
+
+    policy_on = (
+        optout is not None or lang_allow is not None or path_filter
+    )
+    if path_allow_exts is not None and not path_filter:
+        raise ValueError("path_allow_exts requires path_filter=True")
+    policy_reason = None
+    if policy_on:
+        from db_lsh_spark.operators.selection import corpus_policy_reason
+
+        policy_reason = corpus_policy_reason(
+            doc_stream.columns,
+            optout=optout,
+            lang_allow=lang_allow,
+            path_filter=path_filter,
+            path_allow_exts=path_allow_exts,
+        )
 
     if bench is not None:
         # any frame with a text/content column works; bench ids are never
@@ -1385,8 +1417,27 @@ def incremental_curation_query(
         if batch_df.isEmpty():
             return
         # one row per doc_id within the batch (same contract as the dedup
-        # lanes: duplicate landings in one trigger resolve deterministically)
-        docs = batch_df.groupBy("doc_id").agg(F.max("text").alias("text"))
+        # lanes: duplicate landings in one trigger resolve deterministically);
+        # metadata columns ride along only while the policy gate needs them
+        meta_cols = (
+            [c for c in ("repo", "lang", "path") if c in batch_df.columns]
+            if policy_on else []
+        )
+        docs = batch_df.groupBy("doc_id").agg(
+            F.max("text").alias("text"),
+            *[F.max(c).alias(c) for c in meta_cols],
+        )
+        if policy_reason is not None:
+            flagged = docs.withColumn("_policy", policy_reason)
+            (flagged.where(F.col("_policy").isNotNull())
+             .select("doc_id", F.col("_policy").alias("reason"))
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .parquet(f"{out_dir}/policy/batch-{batch_id}"))
+            docs = (
+                flagged.where(F.col("_policy").isNull())
+                .select("doc_id", "text")
+            )
         flags = curation_flags(docs, bench, **knobs).persist()
         try:
             (flags.withColumn("batch_id", F.lit(batch_id))

@@ -1,0 +1,156 @@
+"""corpus_policy_reason (operators/selection.py) — the one-pass
+composition of the metadata-only gates (opt-out → language → path rules,
+the batch pipeline's stage order, namespaced reasons) — and the
+filter-on-ingest streaming lane growing the same policy pre-gate:
+policy-dropped docs land in <out>/policy per batch and never reach the
+curation funnel, so stream output equals the batch composition over the
+union of landings (the lane stays stateless).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_lsh_spark.operators.selection import corpus_policy_reason
+
+COLS = ["doc_id", "text", "repo", "lang", "path"]
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (0, "keep me", "ok/r1", "python", "src/a.py"),
+        (1, "keep me too", None, "Python", None),        # NULL repo+path kept
+        (2, "gone repo", "Gone/r2", "python", "src/b.py"),
+        (3, "bad lang", "ok/r1", "go", "src/c.py"),
+        (4, "no lang", "ok/r1", None, "src/d.py"),       # NULL lang DROPS
+        (5, "vendored", "ok/r1", "python", "node_modules/x.py"),
+        (6, "all three", "gone/r3", "go", "vendor/y.py"),  # first-tripped
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, text string, repo string, lang string, path string",
+    )
+
+
+def _reason_map(docs, **kw):
+    col = corpus_policy_reason(docs.columns, **kw)
+    return {
+        r.doc_id: r.reason
+        for r in docs.select("doc_id", col.alias("reason")).collect()
+    }
+
+
+def test_policy_reason_composed_pinned(docs):
+    got = _reason_map(
+        docs, optout=("gone",), lang_allow=("python",), path_filter=True
+    )
+    assert got == {
+        0: None,
+        1: None,               # NULL repo (optout keeps) + NULL path (path keeps)
+        2: "optout:owner",
+        3: "lang",
+        4: "lang",             # NULL label fails an allow-list
+        5: "path:vendored",
+        6: "optout:owner",     # first-tripped: optout before lang/path
+    }
+
+
+def test_policy_reason_single_gates(docs):
+    assert _reason_map(docs, optout=("gone/r3",))[6] == "optout:repo"
+    got = _reason_map(docs, path_filter=True, path_allow_exts=("py",))
+    assert got[5] == "path:vendored" and got[0] is None
+    # lang-only: the optout/path columns are not even required
+    slim = docs.select("doc_id", "lang")
+    col = corpus_policy_reason(slim.columns, lang_allow=("PYTHON",))
+    kept = {
+        r.doc_id
+        for r in slim.where(col.isNull()).collect()
+    }
+    assert kept == {0, 1, 2, 5}
+
+
+def test_policy_reason_validation(docs):
+    with pytest.raises(ValueError, match="no gate"):
+        corpus_policy_reason(docs.columns)
+    with pytest.raises(ValueError, match="repo"):
+        corpus_policy_reason(["doc_id", "text"], optout=("x",))
+    with pytest.raises(ValueError, match="lang"):
+        corpus_policy_reason(["doc_id"], lang_allow=("python",))
+    with pytest.raises(ValueError, match="path"):
+        corpus_policy_reason(["doc_id"], path_filter=True)
+    with pytest.raises(ValueError, match="path_allow_exts"):
+        corpus_policy_reason(COLS, path_allow_exts=("py",))
+
+
+def test_stream_policy_gate_equals_batch(spark, tmp_path):
+    """The filter-on-ingest lane with the policy pre-gate: dropped docs
+    land in policy/batch-N with namespaced reasons and never reach the
+    funnel; survivors match the batch composition over the union."""
+    import pandas as pd
+
+    from db_lsh_spark.streaming.jobs import incremental_curation_query
+    from tests.test_curation import BASE
+
+    rows = [
+        (1, BASE, "ok/r1", "python", "src/a.py"),            # kept
+        (2, "tiny doc", "ok/r1", "python", "src/b.py"),      # funnel: quality
+        (3, BASE + " x", "Gone/r2", "python", "src/c.py"),   # policy: optout
+        (4, BASE + " y", "ok/r1", "go", "src/d.py"),         # policy: lang
+        (5, BASE + " z", "ok/r1", "python", "vendor/e.py"),  # policy: path
+        (6, " ".join(f"solo{i}" for i in range(130)),
+         "ok/r3", "Python", "src/f.py"),                     # kept
+    ]
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    pd.DataFrame(rows[:3], columns=COLS).to_parquet(
+        f"{src}/a.parquet", index=False
+    )
+    pd.DataFrame(rows[3:], columns=COLS).to_parquet(
+        f"{src}/b.parquet", index=False
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, repo string, lang string, path string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_curation_query(
+        spark, stream, None, out, ck,
+        optout=("gone",), lang_allow=("python",), path_filter=True,
+    )
+    q.awaitTermination(600)
+
+    policy = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/policy")
+    )
+    got = {r.doc_id: r.reason for r in policy.collect()}
+    assert got == {3: "optout:owner", 4: "lang", 5: "path:vendored"}
+    keep = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/keep")
+    )
+    assert {r.doc_id for r in keep.collect()} == {1, 6}
+    flags = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/flags")
+    )
+    # policy-dropped docs never reached the funnel: only doc 2 is flagged
+    assert {r.doc_id for r in flags.collect()} == {2}
+
+    # missing metadata column fails BEFORE the stream starts
+    slim = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="repo"):
+        incremental_curation_query(
+            spark, slim, None, str(tmp_path / "o2"), str(tmp_path / "c2"),
+            optout=("gone",),
+        )
