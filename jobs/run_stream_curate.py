@@ -1,0 +1,189 @@
+"""spark-submit entry for streaming CURATION — filter-on-INGEST (the
+production face of ``streaming.jobs.incremental_curation_query``): the
+metadata policy gates (opt-out → language → path rules) and the curation
+funnel (quality → repetition → secrets → url_blocklist → decontam)
+applied per micro-batch as documents land, so rejected files never reach
+the storage the dedup pipeline would later have to anti-join against.
+
+    spark-submit --py-files db_lsh_spark.zip jobs/run_stream_curate.py \
+        --stream /data/doc_landing \
+        --output /data/curated \
+        --checkpoint /data/ckpt \
+        [--bench /data/benchmarks_parquet] \
+        [--min-quality 0.35] [--max-files-per-trigger 4] \
+        [--opt-out owner1,owner2/repo] [--opt-out-file takedowns.txt] \
+        [--lang-allow python,java] \
+        [--path-filter] [--path-allow-exts py,java]
+
+``--stream`` is a landing directory of parquet files carrying (doc_id
+long, text string) rows plus whatever metadata columns the enabled
+policy gates need (repo / lang / path — validated BEFORE the stream
+starts); the schema is inferred from the files already landed.
+``availableNow`` trigger: drain everything currently landed, then stop —
+re-run the job to pick up later arrivals; the offsets checkpoint makes
+replays exactly-once. Per batch, policy drops land in
+``<output>/policy/batch-N`` (namespaced reasons), funnel flags in
+``<output>/flags/batch-N``, survivors in ``<output>/keep/batch-N``.
+The summary JSON reconciles all three against the landed total.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stream", required=True,
+                   help="landing directory of parquet doc files")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--bench", default=None,
+                   help="parquet of benchmark docs (text/content column) "
+                        "for the decontamination stage; omitted = stage "
+                        "present with zero drops")
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="override the funnel's quality threshold")
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--opt-out", default=None,
+                   help="comma-separated opt-out entries ('owner/name' or "
+                        "'owner'), applied at ingest before the funnel")
+    p.add_argument("--opt-out-file", default=None,
+                   help="file of opt-out entries, one per line ('#' "
+                        "comments); unioned with --opt-out")
+    p.add_argument("--lang-allow", default=None,
+                   help="comma-separated language allow-list (metadata "
+                        "gate, case-insensitive; NULL labels dropped)")
+    p.add_argument("--path-filter", action="store_true",
+                   help="drop lockfiles / *.min.* bundles / vendored dirs "
+                        "by path convention at ingest")
+    p.add_argument("--path-allow-exts", default=None,
+                   help="with --path-filter: extension allow-list")
+    return p.parse_args(argv)
+
+
+def _csv(value: str | None) -> tuple[str, ...] | None:
+    if value is None:
+        return None
+    out = tuple(s.strip() for s in value.split(",") if s.strip())
+    if not out:
+        raise SystemExit("empty comma-separated list")
+    return out
+
+
+def run(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from db_lsh_spark.streaming.jobs import incremental_curation_query
+
+    optout: tuple[str, ...] | None = None
+    if args.opt_out is not None or args.opt_out_file is not None:
+        entries: list[str] = []
+        if args.opt_out:
+            entries += [s.strip() for s in args.opt_out.split(",")]
+        if args.opt_out_file:
+            with open(args.opt_out_file) as fh:
+                for line in fh:
+                    line = line.split("#", 1)[0].strip()
+                    if line:
+                        entries.append(line)
+        entries = [s for s in entries if s.strip().strip("/")]
+        if not entries:
+            raise SystemExit("--opt-out/--opt-out-file got an empty list")
+        optout = tuple(entries)
+    lang_allow = _csv(args.lang_allow)
+    path_allow_exts = _csv(args.path_allow_exts)
+    if path_allow_exts is not None and not args.path_filter:
+        raise SystemExit("--path-allow-exts requires --path-filter")
+
+    # schema comes from what already landed — an empty landing dir has
+    # nothing to curate AND nothing to infer from, so fail loudly
+    try:
+        static = spark.read.parquet(args.stream)
+    except Exception as exc:  # noqa: BLE001 - surfaced verbatim
+        raise SystemExit(
+            f"--stream {args.stream}: cannot infer schema from landed "
+            f"files ({exc})"
+        )
+    n_landed = static.count()
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", args.max_files_per_trigger)
+        .parquet(args.stream)
+    )
+    bench = spark.read.parquet(args.bench) if args.bench else None
+    knobs = (
+        {"min_quality": args.min_quality}
+        if args.min_quality is not None else {}
+    )
+    q = incremental_curation_query(
+        spark, stream, bench, args.output, args.checkpoint,
+        optout=optout, lang_allow=lang_allow,
+        path_filter=args.path_filter, path_allow_exts=path_allow_exts,
+        **knobs,
+    )
+    q.awaitTermination()
+
+    def _read_count(sub: str):
+        path = os.path.join(args.output, sub)
+        if not os.path.isdir(path):
+            return None
+        return (
+            spark.read.option("recursiveFileLookup", "true").parquet(path)
+        )
+
+    keep = _read_count("keep")
+    flags = _read_count("flags")
+    policy = _read_count("policy")
+    n_keep = keep.count() if keep is not None else 0
+    flag_census = (
+        {r["stage"]: r["n"] for r in
+         flags.groupBy("stage").agg(F.count("*").alias("n")).collect()}
+        if flags is not None else {}
+    )
+    policy_census = (
+        {r["reason"]: r["n"] for r in
+         policy.groupBy("reason").agg(F.count("*").alias("n")).collect()}
+        if policy is not None else {}
+    )
+    return {
+        "n_landed": n_landed,
+        "n_kept": n_keep,
+        "n_flagged": sum(flag_census.values()),
+        "n_policy_dropped": sum(policy_census.values()),
+        "flag_census": flag_census,
+        "policy_census": policy_census,
+        "policy": {
+            "opt_out_entries": len(optout) if optout else 0,
+            "lang_allow": list(lang_allow) if lang_allow else None,
+            "path_filter": args.path_filter,
+            "path_allow_exts": (
+                list(path_allow_exts) if path_allow_exts else None
+            ),
+        },
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("db-lsh-spark-stream-curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    print(json.dumps(run(spark, args)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,83 @@
+"""jobs/run_stream_curate.py — the spark-submit face of filter-on-ingest:
+policy gates + curation funnel per micro-batch over a landing directory,
+with a summary JSON that reconciles keep/flags/policy against the landed
+total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+
+def test_spark_submit_stream_curate(tmp_path):
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+    from tests.test_curation import BASE
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cols = ["doc_id", "text", "repo", "lang", "path"]
+    rows = [
+        (1, BASE, "ok/r1", "python", "src/a.py"),            # kept
+        (2, "tiny doc", "ok/r1", "python", "src/b.py"),      # funnel: quality
+        (3, BASE + " x", "Gone/r2", "python", "src/c.py"),   # policy: optout
+        (4, BASE + " y", "ok/r1", "go", "src/d.py"),         # policy: lang
+        (5, BASE + " z", "ok/r1", "python", "vendor/e.py"),  # policy: path
+        (6, " ".join(f"solo{i}" for i in range(130)),
+         "ok/r3", "Python", "src/f.py"),                     # kept
+    ]
+    src = tmp_path / "landing"
+    src.mkdir()
+    pd.DataFrame(rows[:3], columns=cols).to_parquet(
+        str(src / "a.parquet"), index=False
+    )
+    pd.DataFrame(rows[3:], columns=cols).to_parquet(
+        str(src / "b.parquet"), index=False
+    )
+    oo_file = tmp_path / "optout.txt"
+    oo_file.write_text("# takedowns\ngone\n")
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_stream_curate.py"),
+            "--stream", str(src), "--output", out_dir,
+            "--checkpoint", str(tmp_path / "ck"),
+            "--max-files-per-trigger", "1",
+            "--opt-out-file", str(oo_file),
+            "--lang-allow", "python",
+            "--path-filter",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    assert summary["n_landed"] == 6
+    assert summary["n_kept"] == 2
+    assert summary["n_flagged"] == 1
+    assert summary["flag_census"] == {"quality": 1}
+    assert summary["policy_census"] == {
+        "optout:owner": 1, "lang": 1, "path:vendored": 1,
+    }
+    assert summary["n_policy_dropped"] == 3
+    assert summary["policy"]["opt_out_entries"] == 1
+    # the artifacts agree with the summary
+    keep = pd.concat([
+        pd.read_parquet(os.path.join(out_dir, "keep", d))
+        for d in os.listdir(os.path.join(out_dir, "keep"))
+    ])
+    assert sorted(keep.doc_id) == [1, 6]
+    policy = pd.concat([
+        pd.read_parquet(os.path.join(out_dir, "policy", d))
+        for d in os.listdir(os.path.join(out_dir, "policy"))
+    ])
+    assert dict(zip(policy.doc_id, policy.reason)) == {
+        3: "optout:owner", 4: "lang", 5: "path:vendored",
+    }
