@@ -1,0 +1,165 @@
+"""spark-submit entry for RETROACTIVE opt-out — redact a new takedown
+list from an EXISTING pipeline output without recomputing it (the
+versioned-release operation: The Stack ships new releases that apply
+opt-out requests received since the last one; between releases, consumers
+redact in place).
+
+    spark-submit --py-files db_lsh_spark.zip jobs/apply_optout.py \
+        --input /data/corpus_parquet \
+        --artifacts /data/prior_run_output \
+        --output /data/redacted_output \
+        --opt-out owner1,owner2/repo [--opt-out-file takedowns.txt]
+
+Semantics — ROW REDACTION, not recomputation: every artifact directory
+found under ``--artifacts`` is rewritten to ``--output/<name>`` with the
+rows referencing an opted-out file or repo removed. File-keyed columns
+(file_id / doc_id / id_a / id_b) are redacted via anti-joins against the
+dropped-id set derived from the corpus; repo-keyed columns (repo /
+repo_a / repo_b) via the opt-out gate itself on that column. A pair row
+dies if EITHER endpoint is opted out. Cluster ids, split labels and
+sequence geometry are NOT re-derived — a cluster that loses members
+keeps its id, and a training sequence that loses a slice keeps its
+numbering (a downstream loader must treat redacted slices as padding).
+The CLEAN path remains a fresh ``run_pipeline --opt-out`` run, whose
+checkpoint fingerprint forks on the entry list; this job is the fast
+audit-grade redaction between releases. The dropped file ids are
+written to ``--output/redacted_ids`` and the summary JSON reports the
+corpus census plus per-artifact before/after/removed counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: file-keyed columns an artifact may carry (each present one is
+#: anti-joined against the dropped-id set)
+ID_COLS = ("file_id", "doc_id", "id_a", "id_b")
+#: repo-keyed columns (each present one goes through the opt-out gate)
+REPO_COLS = ("repo", "repo_a", "repo_b")
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="corpus parquet (needs repo + file_id columns)")
+    p.add_argument("--artifacts", required=True,
+                   help="prior run_pipeline output directory; every "
+                        "parquet subdirectory found is redacted")
+    p.add_argument("--output", required=True)
+    p.add_argument("--opt-out", default=None,
+                   help="comma-separated opt-out entries ('owner/name' "
+                        "or 'owner')")
+    p.add_argument("--opt-out-file", default=None,
+                   help="file of entries, one per line ('#' comments); "
+                        "unioned with --opt-out")
+    return p.parse_args(argv)
+
+
+def run(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from db_lsh_spark.operators.selection import (
+        optout_census,
+        optout_flags,
+        optout_gate,
+    )
+
+    entries: list[str] = []
+    if args.opt_out:
+        entries += [s.strip() for s in args.opt_out.split(",")]
+    if args.opt_out_file:
+        with open(args.opt_out_file) as fh:
+            for line in fh:
+                line = line.split("#", 1)[0].strip()
+                if line:
+                    entries.append(line)
+    entries = [s for s in entries if s.strip().strip("/")]
+    if not entries:
+        raise SystemExit("--opt-out/--opt-out-file got an empty list")
+    optout = tuple(entries)
+
+    files = spark.read.parquet(args.input)
+    missing = {"repo", "file_id"} - set(files.columns)
+    if missing:
+        raise SystemExit(
+            f"--input needs columns {sorted(missing)} (found: "
+            f"{files.columns})"
+        )
+    # the dropped-id set, persisted once and reused by every artifact's
+    # anti-join; also written out as the audit artifact
+    dropped = (
+        optout_flags(files, optout)
+        .where(F.col("drop"))
+        .select("file_id")
+        .persist()
+    )
+    n_dropped_ids = dropped.count()
+    dropped.write.mode("overwrite").parquet(
+        f"{args.output}/redacted_ids"
+    )
+    census = {
+        r["reason"]: {"n_docs": r["n_docs"], "n_repos": r["n_repos"]}
+        for r in optout_census(files, optout).collect()
+    }
+
+    artifact_report: dict[str, dict] = {}
+    for name in sorted(os.listdir(args.artifacts)):
+        path = os.path.join(args.artifacts, name)
+        if not os.path.isdir(path) or name == "redacted_ids":
+            continue
+        try:
+            df = spark.read.option(
+                "recursiveFileLookup", "true"
+            ).parquet(path)
+        except Exception:  # noqa: BLE001 - non-parquet dirs are skipped
+            continue
+        before = df.count()
+        out = df
+        for c in ID_COLS:
+            if c in out.columns:
+                out = out.join(
+                    dropped.select(F.col("file_id").alias(c)), c, "left_anti"
+                )
+        for c in REPO_COLS:
+            if c in out.columns:
+                out = optout_gate(out, optout, repo_col=c)
+        after_path = f"{args.output}/{name}"
+        out.write.mode("overwrite").parquet(after_path)
+        after = spark.read.parquet(after_path).count()
+        artifact_report[name] = {
+            "rows_before": before,
+            "rows_after": after,
+            "rows_removed": before - after,
+        }
+    dropped.unpersist()
+    return {
+        "n_entries": len(optout),
+        "n_redacted_ids": n_dropped_ids,
+        "census": census,
+        "artifacts": artifact_report,
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("db-lsh-spark-apply-optout")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    print(json.dumps(run(spark, args)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

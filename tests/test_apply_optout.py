@@ -1,0 +1,101 @@
+"""jobs/apply_optout.py — retroactive takedown over an existing pipeline
+output: every artifact is rewritten with rows referencing opted-out files
+or repos removed (pairs die if EITHER endpoint is opted out), the
+dropped-id set lands as an audit artifact, and the summary reconciles
+per-artifact before/after/removed counts against a pandas recomputation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+
+
+def _submit(REPO, script, argv):
+    from db_lsh_spark.session import package_zip
+
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", script),
+        ] + argv,
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    return json.loads(lines[-1])
+
+
+def test_apply_optout_redacts_prior_run(tmp_path):
+    import pandas as pd
+
+    from db_lsh_spark.sources.synth import SynthConfig, generate
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = generate(SynthConfig(n_files=300)).files
+    d = tmp_path / "corpus"
+    d.mkdir()
+    files.to_parquet(str(d / "files.parquet"), index=False)
+
+    # a prior pipeline run producing clusters + verified_pairs + splits
+    run1 = str(tmp_path / "run1")
+    _submit(REPO, "run_pipeline.py", [
+        "--input", str(d), "--output", run1,
+        "--holdout-fraction", "0.3",
+    ])
+
+    # the takedown: one whole owner
+    summary = _submit(REPO, "apply_optout.py", [
+        "--input", str(d), "--artifacts", run1,
+        "--output", str(tmp_path / "run1_redacted"),
+        "--opt-out", "org0",
+    ])
+
+    dropped_ids = set(
+        files.loc[
+            files["repo"].str.startswith("org0/").fillna(False), "file_id"
+        ]
+    )
+    assert summary["n_redacted_ids"] == len(dropped_ids)
+    assert summary["census"]["owner"]["n_docs"] == len(dropped_ids)
+
+    out = str(tmp_path / "run1_redacted")
+    red_ids = set(
+        pd.read_parquet(os.path.join(out, "redacted_ids")).file_id
+    )
+    assert red_ids == dropped_ids
+
+    # clusters: exactly the opted-out members vanish, everything else
+    # survives with its ORIGINAL cluster id (row redaction, no re-CC)
+    before = pd.read_parquet(os.path.join(run1, "clusters"))
+    after = pd.read_parquet(os.path.join(out, "clusters"))
+    expect = before[~before.file_id.isin(dropped_ids)]
+    assert len(after) == len(expect)
+    merged = after.merge(expect, on="file_id", suffixes=("", "_x"))
+    assert (merged.cluster_id == merged.cluster_id_x).all()
+    rep = summary["artifacts"]["clusters"]
+    assert rep == {
+        "rows_before": len(before),
+        "rows_after": len(after),
+        "rows_removed": len(before) - len(after),
+    }
+
+    # verified_pairs: a pair dies if EITHER endpoint is opted out
+    vp_before = pd.read_parquet(os.path.join(run1, "verified_pairs"))
+    vp_after = pd.read_parquet(os.path.join(out, "verified_pairs"))
+    vp_expect = vp_before[
+        ~vp_before.id_a.isin(dropped_ids) & ~vp_before.id_b.isin(dropped_ids)
+    ]
+    assert len(vp_after) == len(vp_expect)
+    assert set(map(tuple, vp_after[["id_a", "id_b"]].values)) == set(
+        map(tuple, vp_expect[["id_a", "id_b"]].values)
+    )
+
+    # splits: labels survive for non-dropped files only
+    sp_before = pd.read_parquet(os.path.join(run1, "splits"))
+    sp_after = pd.read_parquet(os.path.join(out, "splits"))
+    assert set(sp_after.file_id) == set(sp_before.file_id) - dropped_ids
