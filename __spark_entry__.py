@@ -1147,6 +1147,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["code_repo_meta_gate_seeded"] = _meta_gate
 
+    # composed policy reason (the filter-on-ingest pre-gate): ALL THREE
+    # metadata gates over one joined seeded view, first-tripped in the
+    # batch stage order (optout → lang → path) with namespaced reasons —
+    # the single-pass composition corpus_policy_reason compiles, proven
+    # equal to the DuckDB CASE chain over the same three seeded CTEs
+    def _policy_reason(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.selection import corpus_policy_reason
+
+        frame = (
+            _optout_frame(s, d)
+            .join(_lang_frame(s, d), "doc_id")
+            .join(_path_frame(s, d), "doc_id")
+        )
+        reason = corpus_policy_reason(
+            frame.columns,
+            optout=OPTOUT_ENTRIES,
+            lang_allow=("python", "Java"),
+            path_filter=True,
+        )
+        return frame.select("doc_id", reason.alias("reason"))
+
+    q["code_policy_reason_seeded"] = _policy_reason
+
     # code-quality rules (The Stack basic filters): per-doc metrics + the
     # sequential-attribution drop flags, each metric one codegen expression
     def _cq_stats(s: SparkSession, d: str) -> DataFrame:
@@ -2576,6 +2599,43 @@ def oracle_sql() -> dict[str, str]:
         {_meta_cte}
         SELECT doc_id, repo FROM oojoin
         WHERE stars IS NULL OR stars >= 12
+    """
+    # composed policy twin: the same three seeded views joined on doc_id,
+    # ONE first-tripped CASE in the batch stage order (optout repo →
+    # optout owner → lang → path rules); NULL repo skips the optout arms,
+    # NULL lang trips 'lang' (allow-lists drop unlabeled rows), path
+    # rules keep NULL paths by never matching
+    sql["code_policy_reason_seeded"] = f"""
+        WITH {_oo_cte},
+        {_lang_cte},
+        {_path_cte}
+        SELECT k.doc_id,
+               CASE WHEN k.low IN ('owner5/proj7') THEN 'optout:repo'
+                    WHEN k.owner IN ('owner3', 'owner5')
+                      THEN 'optout:owner'
+                    WHEN NOT coalesce(
+                        lower(l.lang) IN ('python', 'java'), false)
+                      THEN 'lang'
+                    WHEN pa.base IN ('package-lock.json', 'yarn.lock',
+                                     'pnpm-lock.yaml', 'cargo.lock',
+                                     'composer.lock', 'pipfile.lock',
+                                     'poetry.lock', 'go.sum',
+                                     'gradle.lockfile', 'packages.lock.json',
+                                     'gemfile.lock') THEN 'path:lockfile'
+                    WHEN pa.base LIKE '%.min.js' OR pa.base LIKE '%.min.css'
+                         OR pa.base LIKE '%.min.mjs' THEN 'path:minified'
+                    WHEN ('/' || lower(pa.path)) LIKE '%/node_modules/%'
+                         OR ('/' || lower(pa.path)) LIKE '%/vendor/%'
+                         OR ('/' || lower(pa.path)) LIKE '%/vendored/%'
+                         OR ('/' || lower(pa.path)) LIKE '%/third_party/%'
+                         OR ('/' || lower(pa.path)) LIKE '%/thirdparty/%'
+                         OR ('/' || lower(pa.path)) LIKE '%/bower_components/%'
+                         OR ('/' || lower(pa.path)) LIKE '%/site-packages/%'
+                      THEN 'path:vendored'
+               END AS reason
+        FROM ookeys k
+        JOIN langs l USING (doc_id)
+        JOIN parts pa USING (doc_id)
     """
     # code-quality twins: identical metric arithmetic in DuckDB (NOTE the
     # explicit 'g' flag — DuckDB regexp_replace is first-match by default

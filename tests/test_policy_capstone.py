@@ -1,0 +1,171 @@
+"""Capstone composition for the final-round policy surface: ONE
+spark-submit run with every repo/file-level gate on — opt-out, stars
+dim, language allow-list, path rules, code-quality caps, comment
+density — plus split + sample, whose survivor set is recomputed rule by
+rule in pandas and must match the written clusters EXACTLY; every
+census in the summary reconciles against the same recomputation at the
+stage it runs (each gate sees the previous gates' survivors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+
+
+#: the same three Type-1 comment patterns (RE2 ∩ Python-re safe; parity
+#: with the JVM chain is pinned in test_license_norm)
+COMMENT_PATS = (r"/\*([^*]|\*+[^*/])*\*+/", r"//[^\n]*", r"#[^\n]*")
+
+LOCKFILES = {
+    "package-lock.json", "yarn.lock", "pnpm-lock.yaml", "cargo.lock",
+    "composer.lock", "pipfile.lock", "poetry.lock", "go.sum",
+    "gradle.lockfile", "packages.lock.json", "gemfile.lock",
+}
+VENDORED = {
+    "node_modules", "vendor", "vendored", "third_party", "thirdparty",
+    "bower_components", "site-packages",
+}
+
+
+def _comment_ratio(t):
+    if t is None or len(t) == 0:
+        return None
+    s = t
+    for p in COMMENT_PATS:
+        s = re.sub(p, "", s)
+    return (len(t) - len(s)) / len(t)
+
+
+def _path_drops(path):
+    low = path.lower()
+    base = low.rsplit("/", 1)[-1]
+    if base in LOCKFILES:
+        return True
+    if base.endswith((".min.js", ".min.css", ".min.mjs")):
+        return True
+    segs = low.split("/")[:-1]
+    return any(s in VENDORED for s in segs)
+
+
+def test_full_policy_funnel_capstone(tmp_path):
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+    from db_lsh_spark.sources.synth import SynthConfig, generate
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = generate(SynthConfig(n_files=300)).files
+    next_id = int(files["file_id"].max()) + 1
+    base = ("alpha beta gamma delta epsilon zeta eta theta " * 8).strip()
+    plants = pd.DataFrame([
+        # a surviving near-dup pair (kept repo/lang/path, clean content)
+        {"repo": "org9/keep", "path": "src/a.py", "commit": "c", "lang":
+         "python", "content": base, "file_id": next_id, "sha256": "x",
+         "size": 1},
+        {"repo": "org9/keep", "path": "src/b.py", "commit": "c", "lang":
+         "python", "content": base + " v2", "file_id": next_id + 1,
+         "sha256": "x", "size": 1},
+        # trips the comment-density gate (ratio ~1 > 0.9)
+        {"repo": "org9/keep", "path": "src/c.py", "commit": "c", "lang":
+         "python", "content": "# " + "all comment " * 60, "file_id":
+         next_id + 2, "sha256": "x", "size": 1},
+        # trips the code-quality long_line cap (one 2000-char line)
+        {"repo": "org9/keep", "path": "src/d.py", "commit": "c", "lang":
+         "python", "content": "z" * 2000, "file_id": next_id + 3,
+         "sha256": "x", "size": 1},
+    ])
+    files = pd.concat([files, plants], ignore_index=True)
+    repos = sorted(files["repo"].dropna().unique())
+    # stars: org1/* low (dropped by the dim), everything else high; org9
+    # deliberately ABSENT from the dim (missing → kept, non-strict)
+    meta = pd.DataFrame([
+        {"repo": r, "stars": 1 if r.startswith("org1/") else 100}
+        for r in repos if not r.startswith("org9/")
+    ])
+    d = tmp_path / "corpus"
+    d.mkdir()
+    files.to_parquet(str(d / "files.parquet"), index=False)
+    meta_dir = tmp_path / "meta"
+    meta_dir.mkdir()
+    meta.to_parquet(str(meta_dir / "meta.parquet"), index=False)
+
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", str(d), "--output", out,
+            "--opt-out", "org0",
+            "--repo-meta", str(meta_dir), "--min-stars", "10",
+            "--lang-allow", "python,java,go,c,js",
+            "--path-filter",
+            "--code-quality", "--code-avg-line", "1000000",
+            "--comment-filter", "--comment-max-ratio", "0.9",
+            "--holdout-fraction", "0.25",
+            "--sample-fraction", "0.5",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+
+    # ---- pandas recomputation, rule by rule in the pipeline's order ----
+    s0 = files
+    s1 = s0[~s0["repo"].str.startswith("org0/").fillna(False)]  # opt-out
+    covered = s1["repo"].isin(set(meta["repo"]))
+    low_star = s1["repo"].str.startswith("org1/").fillna(False)
+    s2 = s1[~(covered & low_star)]                              # stars dim
+    s3 = s2[s2["lang"].str.lower().isin(
+        {"python", "java", "go", "c", "js"})]                   # lang
+    s4 = s3[~s3["path"].map(_path_drops)]                       # path rules
+    long_line = s4["content"].map(
+        lambda t: max(len(x) for x in t.split("\n")) > 1000
+        if isinstance(t, str) else False
+    )
+    s5 = s4[~long_line]                                         # code quality
+    high_comment = s5["content"].map(
+        lambda t: (_comment_ratio(t) or 0) > 0.9
+    )
+    s6 = s5[~high_comment]                                      # comment gate
+
+    clusters = pd.read_parquet(os.path.join(out, "clusters"))
+    assert set(clusters.file_id) == set(s6.file_id)
+
+    # the surviving planted near-dup pair clusters together
+    assign = dict(zip(clusters.file_id, clusters.cluster_id))
+    assert assign[next_id] == assign[next_id + 1]
+
+    # ---- censuses reconcile at the stage each gate actually ran ----
+    assert summary["opt_out"]["dropped"]["owner"]["n_docs"] == (
+        len(s0) - len(s1)
+    )
+    assert summary["repo_meta"]["census"]["dropped"]["n_docs"] == (
+        len(s1) - len(s2)
+    )
+    # lang census is PRE-gate over the stars-gate survivors
+    assert summary["langs"]["census"] == (
+        s2["lang"].value_counts().to_dict()
+    )
+    assert sum(summary["path_rules"]["dropped"].values()) == (
+        len(s3) - len(s4)
+    )
+    assert summary["code_quality"]["census"] == {
+        "long_line": int(long_line.sum())
+    }
+    assert summary["comment_filter"]["census"] == {
+        "high_comment": int(high_comment.sum())
+    }
+
+    # split covers exactly the survivors; the sample draws from train only
+    splits = pd.read_parquet(os.path.join(out, "splits"))
+    assert set(splits.file_id) == set(s6.file_id)
+    sample = pd.read_parquet(os.path.join(out, "sample"))
+    train = set(splits[splits.split == "train"].file_id)
+    assert set(sample.file_id) <= train
