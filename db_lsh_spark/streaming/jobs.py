@@ -1355,6 +1355,10 @@ def incremental_curation_query(
     lang_allow: tuple[str, ...] | None = None,
     path_filter: bool = False,
     path_allow_exts: tuple[str, ...] | None = None,
+    code_quality: bool = False,
+    code_quality_caps: dict | None = None,
+    comment_filter: bool = False,
+    comment_caps: dict | None = None,
     **knobs,
 ) -> StreamingQuery:
     """Filter-on-INGEST: the curation funnel (quality → repetition →
@@ -1383,7 +1387,17 @@ def incremental_curation_query(
     The gates are pure row functions of the batch's own metadata
     columns — stateless like the funnel, so stream output still equals
     the batch composition over the union of landings. Required metadata
-    columns are validated BEFORE the stream starts."""
+    columns are validated BEFORE the stream starts.
+
+    The CONTENT pre-gates compose behind the metadata ones with the
+    batch pipeline's order and namespacing: ``code_quality=True`` (The
+    Stack basic filters, reasons 'codeq:long_line' ...) then
+    ``comment_filter=True`` (comment density, 'comment:high_comment'
+    ...), both stateless row functions of the batch's own text, with
+    their drops landing in the SAME ``out_dir/policy`` sink — so the
+    whole pre-funnel cut (metadata + content rules) is one attributed
+    artifact per batch. Caps dicts are validated up front exactly like
+    ``run_dedup``'s knobs."""
     from db_lsh_spark.operators.curation import curation_flags
 
     policy_on = (
@@ -1402,6 +1416,25 @@ def incremental_curation_query(
             path_filter=path_filter,
             path_allow_exts=path_allow_exts,
         )
+    cq_caps: dict = {}
+    if code_quality:
+        cq_caps = dict(code_quality_caps or ())
+        bad_q = set(cq_caps) - {
+            "max_line_cap", "avg_line_cap", "min_alnum", "drop_autogen"
+        }
+        if bad_q:
+            raise ValueError(f"unknown code_quality_caps keys {sorted(bad_q)}")
+    elif code_quality_caps:
+        raise ValueError("code_quality_caps requires code_quality=True")
+    cmt_caps: dict = {}
+    if comment_filter:
+        cmt_caps = dict(comment_caps or ())
+        bad_c = set(cmt_caps) - {"max_ratio", "min_ratio"}
+        if bad_c:
+            raise ValueError(f"unknown comment_caps keys {sorted(bad_c)}")
+    elif comment_caps:
+        raise ValueError("comment_caps requires comment_filter=True")
+    pre_gate_on = policy_on or code_quality or comment_filter
 
     if bench is not None:
         # any frame with a text/content column works; bench ids are never
@@ -1427,15 +1460,59 @@ def incremental_curation_query(
             F.max("text").alias("text"),
             *[F.max(c).alias(c) for c in meta_cols],
         )
-        if policy_reason is not None:
-            flagged = docs.withColumn("_policy", policy_reason)
-            (flagged.where(F.col("_policy").isNotNull())
-             .select("doc_id", F.col("_policy").alias("reason"))
+        if pre_gate_on:
+            # one coalesced reason in the batch pipeline's gate order:
+            # metadata policy, then code-quality rules, then comment
+            # density — coalesce IS the first-tripped precedence
+            pre = docs.withColumn(
+                "_p0",
+                policy_reason if policy_reason is not None
+                else F.lit(None).cast("string"),
+            )
+            if code_quality:
+                from db_lsh_spark.operators.text import code_quality_flags
+
+                cqd = (
+                    code_quality_flags(
+                        pre.select("doc_id", "text"), **cq_caps
+                    )
+                    .where(F.col("drop"))
+                    .select(
+                        "doc_id",
+                        F.concat(F.lit("codeq:"), F.col("reason"))
+                        .alias("_p1"),
+                    )
+                )
+                pre = pre.join(cqd, "doc_id", "left")
+            else:
+                pre = pre.withColumn("_p1", F.lit(None).cast("string"))
+            if comment_filter:
+                from db_lsh_spark.operators.text import comment_ratio_flags
+
+                cmd = (
+                    comment_ratio_flags(
+                        pre.select("doc_id", "text"), **cmt_caps
+                    )
+                    .where(F.col("drop"))
+                    .select(
+                        "doc_id",
+                        F.concat(F.lit("comment:"), F.col("reason"))
+                        .alias("_p2"),
+                    )
+                )
+                pre = pre.join(cmd, "doc_id", "left")
+            else:
+                pre = pre.withColumn("_p2", F.lit(None).cast("string"))
+            flagged = pre.withColumn(
+                "_pre", F.coalesce("_p0", "_p1", "_p2")
+            )
+            (flagged.where(F.col("_pre").isNotNull())
+             .select("doc_id", F.col("_pre").alias("reason"))
              .withColumn("batch_id", F.lit(batch_id))
              .write.mode("overwrite")
              .parquet(f"{out_dir}/policy/batch-{batch_id}"))
             docs = (
-                flagged.where(F.col("_policy").isNull())
+                flagged.where(F.col("_pre").isNull())
                 .select("doc_id", "text")
             )
         flags = curation_flags(docs, bench, **knobs).persist()

@@ -64,6 +64,18 @@ def parse_args(argv):
                         "by path convention at ingest")
     p.add_argument("--path-allow-exts", default=None,
                    help="with --path-filter: extension allow-list")
+    p.add_argument("--code-quality", action="store_true",
+                   help="apply The Stack's basic code filters at ingest "
+                        "(reasons namespaced 'codeq:...')")
+    p.add_argument("--code-max-line", type=int, default=None)
+    p.add_argument("--code-avg-line", type=float, default=None)
+    p.add_argument("--code-min-alnum", type=float, default=None)
+    p.add_argument("--keep-autogen", action="store_true")
+    p.add_argument("--comment-filter", action="store_true",
+                   help="drop by comment density at ingest (reasons "
+                        "namespaced 'comment:...')")
+    p.add_argument("--comment-max-ratio", type=float, default=None)
+    p.add_argument("--comment-min-ratio", type=float, default=None)
     return p.parse_args(argv)
 
 
@@ -121,10 +133,40 @@ def run(spark, args) -> dict:
         {"min_quality": args.min_quality}
         if args.min_quality is not None else {}
     )
+    cq_caps: dict | None = None
+    if args.code_quality:
+        cq_caps = {}
+        if args.code_max_line is not None:
+            cq_caps["max_line_cap"] = args.code_max_line
+        if args.code_avg_line is not None:
+            cq_caps["avg_line_cap"] = args.code_avg_line
+        if args.code_min_alnum is not None:
+            cq_caps["min_alnum"] = args.code_min_alnum
+        if args.keep_autogen:
+            cq_caps["drop_autogen"] = False
+    elif any(x is not None for x in (
+            args.code_max_line, args.code_avg_line, args.code_min_alnum
+    )) or args.keep_autogen:
+        raise SystemExit("code-quality cap overrides require --code-quality")
+    cmt_caps: dict | None = None
+    if args.comment_filter:
+        cmt_caps = {}
+        if args.comment_max_ratio is not None:
+            cmt_caps["max_ratio"] = args.comment_max_ratio
+        if args.comment_min_ratio is not None:
+            cmt_caps["min_ratio"] = args.comment_min_ratio
+    elif any(x is not None for x in (
+            args.comment_max_ratio, args.comment_min_ratio)):
+        raise SystemExit(
+            "--comment-max-ratio/--comment-min-ratio require "
+            "--comment-filter"
+        )
     q = incremental_curation_query(
         spark, stream, bench, args.output, args.checkpoint,
         optout=optout, lang_allow=lang_allow,
         path_filter=args.path_filter, path_allow_exts=path_allow_exts,
+        code_quality=args.code_quality, code_quality_caps=cq_caps,
+        comment_filter=args.comment_filter, comment_caps=cmt_caps,
         **knobs,
     )
     q.awaitTermination()
@@ -165,6 +207,8 @@ def run(spark, args) -> dict:
             "path_allow_exts": (
                 list(path_allow_exts) if path_allow_exts else None
             ),
+            "code_quality": args.code_quality or None,
+            "comment_filter": args.comment_filter or None,
         },
     }
 

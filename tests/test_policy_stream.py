@@ -154,3 +154,75 @@ def test_stream_policy_gate_equals_batch(spark, tmp_path):
             spark, slim, None, str(tmp_path / "o2"), str(tmp_path / "c2"),
             optout=("gone",),
         )
+
+
+def test_stream_content_gates_compose(spark, tmp_path):
+    """The content pre-gates (code-quality, comment density) compose
+    BEHIND the metadata policy in the same policy sink with namespaced
+    reasons and coalesce precedence: a doc tripping optout AND codeq
+    censuses optout; codeq outranks comment; survivors reach the funnel
+    untouched; caps validate up front."""
+    import pandas as pd
+
+    from db_lsh_spark.streaming.jobs import incremental_curation_query
+    from tests.test_curation import BASE
+
+    banner = "// " + "c " * 300                         # ratio ~1, no long line
+    rows = [
+        (1, BASE, "ok/r1", "src/a.py"),                 # kept
+        (2, "z" * 2000, "ok/r1", "src/b.py"),           # codeq long_line
+        (3, banner, "ok/r1", "src/c.py"),               # comment high
+        (4, "z" * 2000, "Gone/r2", "src/d.py"),         # optout BEFORE codeq
+        (5, banner + "\n" + "z" * 2000, "ok/r1",
+         "src/e.py"),                                   # codeq BEFORE comment
+        (6, " ".join(f"solo{i}" for i in range(130)),
+         "ok/r3", "src/f.py"),                          # kept
+    ]
+    cols = ["doc_id", "text", "repo", "path"]
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    pd.DataFrame(rows, columns=cols).to_parquet(
+        f"{src}/a.parquet", index=False
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, repo string, path string"
+        ).parquet(src)
+    )
+    q = incremental_curation_query(
+        spark, stream, None, out, ck,
+        optout=("gone",),
+        code_quality=True, code_quality_caps={"avg_line_cap": 1e9},
+        comment_filter=True, comment_caps={"max_ratio": 0.9},
+    )
+    q.awaitTermination(600)
+
+    policy = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/policy")
+    )
+    got = {r.doc_id: r.reason for r in policy.collect()}
+    assert got == {
+        2: "codeq:long_line",
+        3: "comment:high_comment",
+        4: "optout:owner",       # metadata policy outranks content rules
+        5: "codeq:long_line",    # code-quality outranks comment density
+    }
+    keep = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/keep")
+    )
+    assert {r.doc_id for r in keep.collect()} == {1, 6}
+
+    # cap validation fails before the stream starts
+    with pytest.raises(ValueError, match="unknown"):
+        incremental_curation_query(
+            spark, stream, None, str(tmp_path / "o2"), str(tmp_path / "c2"),
+            code_quality=True, code_quality_caps={"bogus": 1},
+        )
+    with pytest.raises(ValueError, match="comment_caps"):
+        incremental_curation_query(
+            spark, stream, None, str(tmp_path / "o3"), str(tmp_path / "c3"),
+            comment_caps={"max_ratio": 0.5},
+        )
