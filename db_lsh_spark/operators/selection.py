@@ -751,22 +751,36 @@ def corpus_policy_reason(
     lang_allow: tuple[str, ...] | None = None,
     path_filter: bool = False,
     path_allow_exts: tuple[str, ...] | None = None,
+    meta_min_stars: int | None = None,
+    meta_strict: bool = False,
+    license_allow: tuple[str, ...] | None = None,
+    license_allow_unknown: bool = True,
     repo_col: str = "repo",
     lang_col: str = "lang",
     path_col: str = "path",
+    stars_col: str = "_meta_stars",
+    text_col: str = "text",
 ):
     """ONE sequential first-tripped reason Column composing the
-    metadata-only gates in the batch pipeline's stage order — opt-out →
-    language → path rules — for callers that apply corpus policy in a
-    single pass (the streaming filter-on-ingest lane). NULL = keep.
-    Reasons are namespaced ('optout:repo', 'optout:owner', 'lang',
-    'path:lockfile', ...) so a combined census stays attributable.
+    stateless policy gates in the batch pipeline's stage order — opt-out
+    → stars dim → language → path rules → license — for callers that
+    apply corpus policy in a single pass (the streaming filter-on-ingest
+    lane). NULL = keep. Reasons are namespaced ('optout:repo',
+    'meta:dropped', 'lang', 'path:lockfile', 'license:gpl-3.0', ...) so
+    a combined census stays attributable.
 
     Per-gate semantics are EXACTLY the standalone operators': opt-out
-    keeps NULL repos; the language gate DROPS NULL/empty labels (an
-    unlabeled file fails an allow-list); path rules keep NULL paths.
-    ``columns`` (the frame's column list) is validated up front so a
-    missing metadata column fails loudly before any batch runs.
+    keeps NULL repos; the stars arm reads a pre-joined ``stars_col``
+    (the caller runs the broadcast dim join — this helper stays a pure
+    column expression) and drops below-threshold repos as
+    'meta:dropped', plus missing/NULL metadata as 'meta:missing' ONLY
+    under ``meta_strict``; the language gate DROPS NULL/empty labels (an
+    unlabeled file fails an allow-list); path rules keep NULL paths; the
+    license arm labels via ``text.license_col`` (NULL text → 'unknown')
+    and drops labels outside the allow list, with 'unknown' kept unless
+    ``license_allow_unknown=False``. ``columns`` (the frame's column
+    list) is validated up front so a missing column fails loudly before
+    any batch runs.
     """
     pairs = []
     if optout is not None:
@@ -777,6 +791,20 @@ def corpus_policy_reason(
         repos, owners = _optout_entries(optout)
         r = _optout_reason_inline(repo_col, repos, owners)
         pairs.append((r.isNotNull(), F.concat(F.lit("optout:"), r)))
+    if meta_min_stars is not None:
+        if stars_col not in columns:
+            raise ValueError(
+                f"corpus_policy_reason: meta_min_stars needs the joined "
+                f"column {stars_col!r}"
+            )
+        stars = F.col(stars_col)
+        pairs.append((stars < meta_min_stars, F.lit("meta:dropped")))
+        if meta_strict:
+            pairs.append((stars.isNull(), F.lit("meta:missing")))
+    elif meta_strict:
+        raise ValueError(
+            "corpus_policy_reason: meta_strict requires meta_min_stars"
+        )
     if lang_allow is not None:
         if lang_col not in columns:
             raise ValueError(
@@ -806,6 +834,26 @@ def corpus_policy_reason(
     elif path_allow_exts is not None:
         raise ValueError(
             "corpus_policy_reason: path_allow_exts requires path_filter"
+        )
+    if license_allow is not None:
+        if text_col not in columns:
+            raise ValueError(
+                f"corpus_policy_reason: license_allow needs column "
+                f"{text_col!r}"
+            )
+        from db_lsh_spark.operators.text import license_col
+
+        ok = tuple(license_allow) + (
+            ("unknown",) if license_allow_unknown else ()
+        )
+        label = license_col(text_col)
+        pairs.append(
+            (~label.isin(*ok), F.concat(F.lit("license:"), label))
+        )
+    elif not license_allow_unknown:
+        raise ValueError(
+            "corpus_policy_reason: license_allow_unknown=False requires "
+            "license_allow"
         )
     if not pairs:
         raise ValueError("corpus_policy_reason: no gate enabled")

@@ -1355,6 +1355,11 @@ def incremental_curation_query(
     lang_allow: tuple[str, ...] | None = None,
     path_filter: bool = False,
     path_allow_exts: tuple[str, ...] | None = None,
+    repo_meta: DataFrame | None = None,
+    min_stars: int | None = None,
+    meta_strict: bool = False,
+    license_allow: tuple[str, ...] | None = None,
+    license_allow_unknown: bool = True,
     code_quality: bool = False,
     code_quality_caps: dict | None = None,
     comment_filter: bool = False,
@@ -1400,21 +1405,41 @@ def incremental_curation_query(
     ``run_dedup``'s knobs."""
     from db_lsh_spark.operators.curation import curation_flags
 
+    if repo_meta is not None or min_stars is not None or meta_strict:
+        if repo_meta is None or min_stars is None:
+            raise ValueError(
+                "repo_meta and min_stars must be passed together "
+                "(meta_strict modifies them)"
+            )
+        if "repo" not in doc_stream.columns:
+            raise ValueError(
+                "repo_meta requires a 'repo' column on the stream"
+            )
     policy_on = (
         optout is not None or lang_allow is not None or path_filter
+        or repo_meta is not None or license_allow is not None
     )
     if path_allow_exts is not None and not path_filter:
         raise ValueError("path_allow_exts requires path_filter=True")
+    if not license_allow_unknown and license_allow is None:
+        raise ValueError("license_allow_unknown=False requires license_allow")
     policy_reason = None
     if policy_on:
         from db_lsh_spark.operators.selection import corpus_policy_reason
 
+        cols = list(doc_stream.columns)
+        if repo_meta is not None:
+            cols.append("_meta_stars")  # joined per batch below
         policy_reason = corpus_policy_reason(
-            doc_stream.columns,
+            cols,
             optout=optout,
             lang_allow=lang_allow,
             path_filter=path_filter,
             path_allow_exts=path_allow_exts,
+            meta_min_stars=min_stars if repo_meta is not None else None,
+            meta_strict=meta_strict,
+            license_allow=license_allow,
+            license_allow_unknown=license_allow_unknown,
         )
     cq_caps: dict = {}
     if code_quality:
@@ -1464,6 +1489,12 @@ def incremental_curation_query(
             # one coalesced reason in the batch pipeline's gate order:
             # metadata policy, then code-quality rules, then comment
             # density — coalesce IS the first-tripped precedence
+            if repo_meta is not None:
+                from db_lsh_spark.operators.selection import _meta_joined
+
+                # broadcast dim join per batch (dim is O(#repos), the
+                # batch side never shuffles) — adds '_meta_stars'
+                docs = _meta_joined(docs, repo_meta, "repo", True)
             pre = docs.withColumn(
                 "_p0",
                 policy_reason if policy_reason is not None

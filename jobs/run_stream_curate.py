@@ -64,6 +64,19 @@ def parse_args(argv):
                         "by path convention at ingest")
     p.add_argument("--path-allow-exts", default=None,
                    help="with --path-filter: extension allow-list")
+    p.add_argument("--repo-meta", default=None,
+                   help="parquet of a repo-level dim (repo, stars): files "
+                        "whose repo has stars < --min-stars drop at "
+                        "ingest as 'meta:dropped'; missing metadata kept "
+                        "unless --meta-strict")
+    p.add_argument("--min-stars", type=int, default=None)
+    p.add_argument("--meta-strict", action="store_true")
+    p.add_argument("--license-allow", default=None,
+                   help="comma-separated license allow-list: files whose "
+                        "detected license is outside it drop at ingest "
+                        "as 'license:<label>'; 'unknown' kept unless "
+                        "--license-strict")
+    p.add_argument("--license-strict", action="store_true")
     p.add_argument("--code-quality", action="store_true",
                    help="apply The Stack's basic code filters at ingest "
                         "(reasons namespaced 'codeq:...')")
@@ -161,10 +174,23 @@ def run(spark, args) -> dict:
             "--comment-max-ratio/--comment-min-ratio require "
             "--comment-filter"
         )
+    if (args.repo_meta is None) != (args.min_stars is None):
+        raise SystemExit("--repo-meta and --min-stars go together")
+    if args.meta_strict and args.repo_meta is None:
+        raise SystemExit("--meta-strict requires --repo-meta")
+    license_allow = _csv(args.license_allow)
+    if args.license_strict and license_allow is None:
+        raise SystemExit("--license-strict requires --license-allow")
     q = incremental_curation_query(
         spark, stream, bench, args.output, args.checkpoint,
         optout=optout, lang_allow=lang_allow,
         path_filter=args.path_filter, path_allow_exts=path_allow_exts,
+        repo_meta=(
+            spark.read.parquet(args.repo_meta) if args.repo_meta else None
+        ),
+        min_stars=args.min_stars, meta_strict=args.meta_strict,
+        license_allow=license_allow,
+        license_allow_unknown=not args.license_strict,
         code_quality=args.code_quality, code_quality_caps=cq_caps,
         comment_filter=args.comment_filter, comment_caps=cmt_caps,
         **knobs,
@@ -209,6 +235,8 @@ def run(spark, args) -> dict:
             ),
             "code_quality": args.code_quality or None,
             "comment_filter": args.comment_filter or None,
+            "min_stars": args.min_stars,
+            "license_allow": list(license_allow) if license_allow else None,
         },
     }
 

@@ -226,3 +226,129 @@ def test_stream_content_gates_compose(spark, tmp_path):
             spark, stream, None, str(tmp_path / "o3"), str(tmp_path / "c3"),
             comment_caps={"max_ratio": 0.5},
         )
+
+
+def test_stream_meta_and_license_gates(spark, tmp_path):
+    """The stars-dim and license arms complete the ingest twin of every
+    stateless batch gate: the dim joins per batch (broadcast), strict
+    mode drops missing metadata, the license arm labels via license_col;
+    precedence follows the batch order (optout > meta > lang/path >
+    license > content rules)."""
+    import pandas as pd
+
+    from db_lsh_spark.streaming.jobs import incremental_curation_query
+    from tests.test_curation import BASE
+
+    gpl = BASE + " GNU General Public License v3"
+    rows = [
+        (1, BASE, "pop/r1"),            # kept (stars 100, unknown license ok)
+        (2, BASE + " x", "tiny/r2"),    # meta:dropped (stars 1)
+        (3, gpl, "pop/r1"),             # license:GPL
+        (4, gpl, "tiny/r2"),            # meta BEFORE license
+        (5, BASE + " y", "nometa/r3"),  # missing metadata, kept (non-strict)
+    ]
+    cols = ["doc_id", "text", "repo"]
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    pd.DataFrame(rows, columns=cols).to_parquet(
+        f"{src}/a.parquet", index=False
+    )
+    meta = spark.createDataFrame(
+        [("POP/r1", 100), ("tiny/r2", 1)], "repo string, stars int"
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string, repo string")
+            .parquet(src)
+        )
+
+    q = incremental_curation_query(
+        spark, _stream(), None, out, ck,
+        repo_meta=meta, min_stars=10,
+        license_allow=("MIT",),   # unknown kept by default
+    )
+    q.awaitTermination(600)
+    policy = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/policy")
+    )
+    got = {r.doc_id: r.reason for r in policy.collect()}
+    assert got == {
+        2: "meta:dropped",
+        3: "license:GPL",
+        4: "meta:dropped",   # stars dim outranks the license arm
+    }
+    keep = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/keep")
+    )
+    assert {r.doc_id for r in keep.collect()} == {1, 5}
+
+    # strict metadata: the uncovered repo now drops as meta:missing
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    q2 = incremental_curation_query(
+        spark, _stream(), None, out2, ck2,
+        repo_meta=meta, min_stars=10, meta_strict=True,
+    )
+    q2.awaitTermination(600)
+    p2 = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out2}/policy")
+    )
+    got2 = {r.doc_id: r.reason for r in p2.collect()}
+    assert got2[5] == "meta:missing"
+
+    # validation before the stream starts
+    with pytest.raises(ValueError, match="together"):
+        incremental_curation_query(
+            spark, _stream(), None, str(tmp_path / "o3"),
+            str(tmp_path / "c3"), repo_meta=meta,
+        )
+    with pytest.raises(ValueError, match="license_allow"):
+        incremental_curation_query(
+            spark, _stream(), None, str(tmp_path / "o4"),
+            str(tmp_path / "c4"), license_allow_unknown=False,
+        )
+
+
+def test_policy_reason_meta_license_arms(spark):
+    """Unit pins for the new corpus_policy_reason arms: the stars arm
+    reads a pre-joined column, strict adds meta:missing, the license arm
+    keeps 'unknown' by default and namespaces the label; validation."""
+    rows = [
+        (0, "x", 50),
+        (1, "x", 1),
+        (2, "x", None),
+        (3, "Permission is hereby granted, free of charge etc", 50),
+        (4, "GNU General Public License", 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, _meta_stars long"
+    )
+
+    def rmap(**kw):
+        col = corpus_policy_reason(df.columns, **kw)
+        return {
+            r.doc_id: r.reason
+            for r in df.select("doc_id", col.alias("reason")).collect()
+        }
+
+    got = rmap(meta_min_stars=10)
+    assert got == {0: None, 1: "meta:dropped", 2: None, 3: None, 4: None}
+    strict = rmap(meta_min_stars=10, meta_strict=True)
+    assert strict[2] == "meta:missing"
+    lic = rmap(license_allow=("MIT",))
+    assert lic == {0: None, 1: None, 2: None, 3: None, 4: "license:GPL"}
+    lic_strict = rmap(license_allow=("MIT",), license_allow_unknown=False)
+    assert lic_strict[0] == "license:unknown" and lic_strict[3] is None
+
+    with pytest.raises(ValueError, match="meta_min_stars"):
+        corpus_policy_reason(df.columns, meta_strict=True)
+    with pytest.raises(ValueError, match="_meta_stars"):
+        corpus_policy_reason(["doc_id", "text"], meta_min_stars=1)
+    with pytest.raises(ValueError, match="text"):
+        corpus_policy_reason(["doc_id"], license_allow=("MIT",))
+    with pytest.raises(ValueError, match="license_allow"):
+        corpus_policy_reason(df.columns, license_allow_unknown=False)
