@@ -79,6 +79,15 @@ COMMENT_SEEDS = (
     "'int x = 1 ; /* note */ ' || repeat('code token ', 20)",
     "repeat('plain code ', 12)",
 )
+# duplicated-span seeds (Lee et al. ExactSubstr shape): three docs share
+# one verbatim 20-token paragraph at the SAME token offset behind
+# distinct 2-token leads — at window 16, exactly the windows fully
+# inside the shared region match across docs, merging to [2, 22)
+SPAN_SHARED = " ".join(f"dup{i}" for i in range(20))
+SPAN_SEEDS = tuple(
+    f"'lead{i} alpha{i} {SPAN_SHARED} tail{i}'" for i in range(3)
+)
+SPAN_WINDOW = 16
 # token-budget composition: per-language token budgets (real mixes are
 # specified in tokens, not documents); weight = whitespace token count
 BUDGET_MIX, BUDGET_SEED = {"en": 2000, "de": 500}, 13
@@ -338,6 +347,23 @@ def _docs_with_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(
             spark.range(1).select(
                 F.lit(12_000_000 + i).cast("long").alias("doc_id"),
+                F.expr(e).alias("text"),
+            )
+        )
+    return out
+
+
+def _docs_with_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ the three SPAN_SEEDS plants at doc_id 13_000_000+i.
+    Natural 16-token cross-doc repeats in the prose fixture (template
+    reuse, exact-dup groups at sf0.1) surface too — both engines compute
+    them identically, so the oracle holds either way."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = docs
+    for i, e in enumerate(SPAN_SEEDS):
+        out = out.unionByName(
+            spark.range(1).select(
+                F.lit(13_000_000 + i).cast("long").alias("doc_id"),
                 F.expr(e).alias("text"),
             )
         )
@@ -1196,6 +1222,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_comment_flags_seeded"] = _cmt_flags
+
+    # duplicated-span dedup (Lee et al. ExactSubstr shape): maximal
+    # cross-doc verbatim token spans + the excision arithmetic
+    def _dup_spans(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.spans import dup_spans
+
+        return dup_spans(_docs_with_spans(s, d), window=SPAN_WINDOW)
+
+    q["doc_dup_spans_seeded"] = _dup_spans
+
+    def _span_census(s: SparkSession, d: str) -> DataFrame:
+        from db_lsh_spark.operators.spans import excise_dup_spans
+
+        return excise_dup_spans(
+            _docs_with_spans(s, d), window=SPAN_WINDOW
+        ).select("doc_id", "n_tokens", "n_tokens_removed")
+
+    q["doc_span_excise_census_seeded"] = _span_census
 
     # ---- vector lane (embeddings) ----
     q["emb_norms"] = lambda s, d: ann_ops.norms(_emb(s, d))
@@ -2725,6 +2769,79 @@ def oracle_sql() -> dict[str, str]:
             FROM cmtstats
         )
         SELECT doc_id, reason IS NOT NULL AS drop, reason FROM cmtreason
+    """
+    # duplicated-span twins: identical tokenization (literal single-space
+    # split), window geometry (1-based inclusive list slice = the 0-based
+    # pos used on the Spark side), distinct-doc threshold, and
+    # gaps-and-islands merge; the window KEY differs by engine (md5 here,
+    # xxhash64 in production) — the span output is key-independent
+    _span_plants = "\n            ".join(
+        f"UNION ALL SELECT {13_000_000 + i}, {e}"
+        for i, e in enumerate(SPAN_SEEDS)
+    )
+    _W = SPAN_WINDOW
+    _span_cte = f"""
+        spdocs AS (
+            SELECT doc_id, text FROM documents
+            {_span_plants}
+        ),
+        sptoks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM spdocs WHERE text IS NOT NULL
+        ),
+        spwins AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(t[i:i+{_W - 1}], ' ')) AS k
+            FROM (
+                SELECT doc_id, t,
+                       unnest(range(1, len(t) - {_W - 2})) AS i
+                FROM sptoks WHERE len(t) >= {_W}
+            )
+        ),
+        spshared AS (
+            SELECT k FROM (SELECT DISTINCT k, doc_id FROM spwins)
+            GROUP BY k HAVING count(*) >= 2
+        ),
+        sphits AS (
+            SELECT w.doc_id, w.pos FROM spwins w JOIN spshared USING (k)
+        ),
+        spisl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(max(pos + {_W}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                        THEN 1 ELSE 0 END AS ni
+            FROM sphits
+        ),
+        spisl2 AS (
+            SELECT doc_id, pos,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM spisl
+        ),
+        spspans AS (
+            SELECT doc_id, min(pos)::BIGINT AS start_tok,
+                   (max(pos) + {_W})::BIGINT AS end_tok
+            FROM spisl2 GROUP BY doc_id, isl
+        )"""
+    sql["doc_dup_spans_seeded"] = f"""
+        WITH {_span_cte}
+        SELECT doc_id, start_tok, end_tok FROM spspans
+    """
+    sql["doc_span_excise_census_seeded"] = f"""
+        WITH {_span_cte},
+        spagg AS (
+            SELECT doc_id, sum(end_tok - start_tok) AS rem
+            FROM spspans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE len(string_split(d.text, ' '))::BIGINT
+               END AS n_tokens,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(rem, 0)::BIGINT
+               END AS n_tokens_removed
+        FROM spdocs d LEFT JOIN spagg USING (doc_id)
     """
     # leakage-safe split: per-CLUSTER seeded md5 threshold over the total
     # assignment (labels CTE) — the SQL twin of splits.cluster_split;

@@ -1,0 +1,188 @@
+"""Cross-document duplicated-SPAN detection and excision — the
+span-level dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better", the ExactSubstr variant): instead of dropping
+whole near-duplicate documents, find token spans that appear VERBATIM in
+two or more documents — license boilerplate, vendored snippets,
+copy-pasted paragraphs — and cut them out, keeping each document's
+unique remainder. This catches mass the document-level lanes cannot: two
+documents sharing one paragraph at Jaccard 0.1 never pair, but the
+paragraph still duplicates across the corpus.
+
+Model: whitespace tokens (literal single-space split — the engine-exact
+form the DuckDB twins share; the corpus fixtures are single-spaced), a
+sliding window of ``window`` tokens, a window is DUPLICATED when its
+verbatim text occurs in >= ``min_docs`` DISTINCT documents (within-doc
+repetition alone does not trip it — a deliberate scope choice,
+documented: cross-doc boilerplate is the target; the repetition rules
+already flag within-doc loops). Overlapping/adjacent duplicated windows
+merge into maximal spans per document (gaps-and-islands over positions).
+
+100-TB shape: the window pass is map-only until ONE shuffle on the
+window key — 8-byte ``xxhash64`` of the window text by default
+(``hashed=False`` keeps the raw string for definitional runs; span
+output is key-independent, so the two paths agree exactly and the
+oracle twins can use md5 on their side) — with the distinct-doc count
+as a two-level aggregation (distinct (key, doc) then count), so a
+boilerplate window living in 10^6 documents combines map-side and never
+builds a fan-out join. The merge is a per-document window function
+(bounded by doc length); the excision kernel is Arrow-batched
+``mapInPandas`` over (doc, span-list) — content is joined once, never
+shuffled with the window keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def window_positions(
+    docs: DataFrame,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, gram): every ``window``-token sliding window with
+    its 0-based start token position. Documents shorter than the window
+    contribute nothing (a span must fill the window to count); NULL text
+    contributes nothing. Map-only: split → transform → posexplode."""
+    if window < 2:
+        raise ValueError("window_positions: window must be >= 2")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.array_join(F.slice(toks, i + 1, window), " "),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "gram")
+    )
+    return out
+
+
+def dup_spans(
+    docs: DataFrame,
+    window: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = True,
+) -> DataFrame:
+    """Maximal duplicated spans → (doc_id, start_tok, end_tok): token
+    intervals [start_tok, end_tok) covered by windows whose verbatim
+    text occurs in >= ``min_docs`` distinct documents, overlapping or
+    adjacent windows merged per document. ``hashed=True`` shuffles
+    8-byte xxhash64 keys instead of window strings (identical output —
+    the key never reaches the result)."""
+    if min_docs < 2:
+        raise ValueError("dup_spans: min_docs must be >= 2")
+    win = window_positions(docs, window, text_col, id_col)
+    key = F.xxhash64("gram") if hashed else F.col("gram")
+    keyed = win.select("doc_id", "pos", key.alias("_k"))
+    # two-level distinct-doc count: mega-windows combine map-side
+    shared = (
+        keyed.select("_k", "doc_id").distinct()
+        .groupBy("_k")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_k")
+    )
+    hits = keyed.join(shared, "_k", "left_semi").select("doc_id", "pos")
+    # gaps-and-islands merge: a window starting at or before the running
+    # max end of its predecessors extends the current island
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run_end = F.max(F.col("pos") + window).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_ni",
+        F.when(run_end.isNull() | (F.col("pos") > run_end), 1).otherwise(0),
+    )
+    islanded = flagged.withColumn(
+        "_isl",
+        F.sum("_ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islanded.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + window).cast("long").alias("end_tok"),
+        )
+        .select("doc_id", "start_tok", "end_tok")
+    )
+
+
+def excise_dup_spans(
+    docs: DataFrame,
+    window: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Cut the duplicated spans out of every document → (doc_id, text,
+    n_tokens, n_tokens_removed): the surviving tokens re-joined with
+    single spaces, plus the before/after arithmetic. Documents with no
+    duplicated span pass through with their token count and 0 removed;
+    NULL text stays NULL with NULL counts (missing-signal contract).
+    ``spans`` accepts a precomputed ``dup_spans`` frame (same window /
+    min_docs — the caller's responsibility when passed)."""
+    if spans is None:
+        spans = dup_spans(docs, window, min_docs, text_col, id_col)
+    agg = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    joined = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(agg, "doc_id", "left")
+
+    def _cut(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                text = row["text"]
+                if text is None:
+                    out.append((row["doc_id"], None, None, None))
+                    continue
+                toks = text.split(" ")
+                n = len(toks)
+                sp = row["_spans"]
+                if sp is None or len(sp) == 0:
+                    out.append((row["doc_id"], text, n, 0))
+                    continue
+                drop = [False] * n
+                for s in sp:
+                    for i in range(int(s["start_tok"]),
+                                   min(int(s["end_tok"]), n)):
+                        drop[i] = True
+                kept = [t for t, d in zip(toks, drop) if not d]
+                out.append(
+                    (row["doc_id"], " ".join(kept), n, int(sum(drop)))
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "text", "n_tokens",
+                              "n_tokens_removed"]
+            )
+
+    return joined.mapInPandas(
+        _cut,
+        schema="doc_id long, text string, n_tokens long, "
+               "n_tokens_removed long",
+    )
+
+
+def span_census(spans: DataFrame) -> DataFrame:
+    """One row over a ``dup_spans`` frame: (n_spans, n_docs_affected,
+    n_tokens_removed). Single aggregation pass."""
+    return spans.agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_affected"),
+        F.sum(F.col("end_tok") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )

@@ -209,6 +209,18 @@ def main(argv: list[str] | None = None) -> None:
                         "holdout-doc counts; the audit joins on xxhash64 "
                         "gram keys (the corpus-sized holdout side is never "
                         "broadcast). Requires --holdout-fraction")
+    p.add_argument("--excise-spans", type=int, default=None,
+                   help="cross-document duplicated-SPAN excision (the "
+                        "ExactSubstr shape): cut token spans that appear "
+                        "verbatim in >= --excise-min-docs distinct files "
+                        "(window = this many whitespace tokens) out of "
+                        "every ingested file, writing the cleaned corpus "
+                        "to <output>/excised (file_id, text, n_tokens, "
+                        "n_tokens_removed) with the span census in the "
+                        "summary — the residual-boilerplate mass the "
+                        "document-level lanes cannot remove")
+    p.add_argument("--excise-min-docs", type=int, default=2,
+                   help="distinct-doc threshold for --excise-spans")
     p.add_argument("--pack-seq-len", type=int, default=None,
                    help="pack the FINAL composed corpus (the sample/mix "
                         "output when one ran, else the keep-list survivors, "
@@ -1086,6 +1098,40 @@ def main(argv: list[str] | None = None) -> None:
             "seed": seed,
             "sample_sec": round(time.monotonic() - t_samp, 2),
         }
+    excise_report: dict | None = None
+    if args.excise_spans is not None:
+        from pyspark.sql import functions as F
+
+        from db_lsh_spark.operators.spans import (
+            dup_spans,
+            excise_dup_spans,
+            span_census,
+        )
+
+        t_exc = time.monotonic()
+        exc_docs = out.files.select(
+            F.col("file_id").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        exc_spans = dup_spans(
+            exc_docs, window=args.excise_spans,
+            min_docs=args.excise_min_docs,
+        )
+        (excise_dup_spans(
+            exc_docs, window=args.excise_spans,
+            min_docs=args.excise_min_docs, spans=exc_spans,
+        )
+         .withColumnRenamed("doc_id", "file_id")
+         .write.mode("overwrite").parquet(f"{args.output}/excised"))
+        cen = span_census(exc_spans).collect()[0]
+        excise_report = {
+            "window": args.excise_spans,
+            "min_docs": args.excise_min_docs,
+            "n_spans": cen["n_spans"],
+            "n_docs_affected": cen["n_docs_affected"],
+            "n_tokens_removed": cen["n_tokens_removed"] or 0,
+            "excise_sec": round(time.monotonic() - t_exc, 2),
+        }
     pack_report: dict | None = None
     if args.pack_seq_len is not None:
         from pyspark.sql import functions as F
@@ -1176,6 +1222,7 @@ def main(argv: list[str] | None = None) -> None:
         "bucketed_clusters": bucket_report,
         "split": split_report,
         "sample": sample_report,
+        "excise": excise_report,
         "pack": pack_report,
     }
     print(json.dumps(summary))

@@ -1,0 +1,189 @@
+"""dup_spans / excise_dup_spans / span_census (operators/spans.py) —
+cross-document duplicated-span dedup (Lee et al. ExactSubstr shape):
+window detection with a distinct-doc threshold, gaps-and-islands merge,
+hashed==string key equivalence, and the excision kernel against a pure
+Python reimplementation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from db_lsh_spark.operators.spans import (
+    dup_spans,
+    excise_dup_spans,
+    span_census,
+    window_positions,
+)
+
+SHARED = " ".join(f"dup{i}" for i in range(20))
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (0, f"lead0 alpha0 {SHARED} tail0"),
+        (1, f"lead1 alpha1 {SHARED} tail1"),
+        (2, f"lead2 alpha2 {SHARED} tail2"),
+        (3, "unique " + " ".join(f"u{i}" for i in range(30))),
+        (4, None),                         # NULL text — contributes nothing
+        (5, "short doc"),                  # shorter than the window
+        # the same 16 tokens TWICE within one doc, nowhere else: within-doc
+        # repetition alone must not trip the cross-doc threshold
+        (6, " ".join(f"w{i}" for i in range(16)) + " mid "
+            + " ".join(f"w{i}" for i in range(16))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_spans_pinned(docs):
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in dup_spans(docs, window=16).collect()
+    }
+    # windows 2..6 of each plant match across docs → merged [2, 22)
+    assert got == {(0, 2, 22), (1, 2, 22), (2, 2, 22)}
+
+
+def test_dup_spans_hashed_equals_string(docs):
+    a = {tuple(r) for r in dup_spans(docs, window=16, hashed=True).collect()}
+    b = {tuple(r) for r in dup_spans(docs, window=16, hashed=False).collect()}
+    assert a == b
+
+
+def test_dup_spans_min_docs_and_validation(docs):
+    # the shared paragraph lives in exactly 3 docs
+    assert dup_spans(docs, window=16, min_docs=4).count() == 0
+    assert dup_spans(docs, window=16, min_docs=3).count() == 3
+    with pytest.raises(ValueError, match="min_docs"):
+        dup_spans(docs, window=16, min_docs=1)
+    with pytest.raises(ValueError, match="window"):
+        window_positions(docs, window=1)
+
+
+def test_two_separated_spans_stay_separate(spark):
+    """Two shared regions with a unique gap wider than the window merge
+    into TWO intervals per doc, not one."""
+    a = " ".join(f"a{i}" for i in range(18))
+    b = " ".join(f"b{i}" for i in range(18))
+    gap = lambda tag: " ".join(f"{tag}g{i}" for i in range(20))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(0, f"{a} {gap('x')} {b}"), (1, f"{a} {gap('y')} {b}")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in dup_spans(docs, window=16).collect()
+    )
+    # a: tokens [0,18) → windows 0..2 → [0,18); b: tokens [38,56) →
+    # windows 38..40 → [38,56)
+    assert got == [(0, 0, 18), (0, 38, 56), (1, 0, 18), (1, 38, 56)]
+
+
+def test_excise_equals_python_reimpl(docs):
+    rows = {r.doc_id: r for r in excise_dup_spans(docs, window=16).collect()}
+    spans = {}
+    for r in dup_spans(docs, window=16).collect():
+        spans.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+    for did, text in [(r.doc_id, r.text) for r in docs.collect()]:
+        got = rows[did]
+        if text is None:
+            assert (got.text, got.n_tokens, got.n_tokens_removed) == (
+                None, None, None,
+            )
+            continue
+        toks = text.split(" ")
+        drop = [False] * len(toks)
+        for s, e in spans.get(did, []):
+            for i in range(s, min(e, len(toks))):
+                drop[i] = True
+        kept = " ".join(t for t, d in zip(toks, drop) if not d)
+        assert got.text == kept
+        assert got.n_tokens == len(toks)
+        assert got.n_tokens_removed == sum(drop)
+    # spot the plants explicitly
+    assert rows[0].text == "lead0 alpha0 tail0"
+    assert rows[6].n_tokens_removed == 0    # within-doc repeat untouched
+
+
+def test_span_census(docs):
+    row = span_census(dup_spans(docs, window=16)).collect()[0]
+    assert (row.n_spans, row.n_docs_affected, row.n_tokens_removed) == (
+        3, 3, 60,
+    )
+
+
+def test_dup_spans_plan_shape(docs):
+    plan = (
+        dup_spans(docs, window=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan   # detection is pure JVM
+
+
+def test_spark_submit_excise_spans(tmp_path):
+    """Job face: --excise-spans writes the cleaned corpus over the
+    ingested files; the planted shared paragraph is cut from all three
+    carriers, untouched files pass through verbatim, and the summary
+    census reconciles with the artifact."""
+    import json
+    import os
+    import subprocess
+
+    import pandas as pd
+
+    from db_lsh_spark.session import package_zip
+    from db_lsh_spark.sources.synth import SynthConfig, generate
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = generate(SynthConfig(n_files=120)).files
+    next_id = int(files["file_id"].max()) + 1
+    para = " ".join(f"boiler{i}" for i in range(24))
+    plants = pd.DataFrame([
+        {"repo": f"org9/p{i}", "path": f"src/p{i}.py", "commit": "c",
+         "lang": "python",
+         "content": f"intro{i} unique{i} {para} outro{i}",
+         "file_id": next_id + i, "sha256": "x", "size": 1}
+        for i in range(3)
+    ])
+    files = pd.concat([files, plants], ignore_index=True)
+    d = tmp_path / "corpus"
+    d.mkdir()
+    files.to_parquet(str(d / "files.parquet"), index=False)
+
+    out_dir = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--conf", "spark.locality.wait=0s",
+            "--py-files", package_zip(),
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", str(d), "--output", out_dir,
+            "--excise-spans", "16",
+        ],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, f"no summary JSON:\n{proc.stderr[-3000:]}"
+    summary = json.loads(lines[-1])
+    excised = pd.read_parquet(os.path.join(out_dir, "excised"))
+    by_id = excised.set_index("file_id")
+    for i in range(3):
+        row = by_id.loc[next_id + i]
+        assert row.text == f"intro{i} unique{i} outro{i}"
+        assert row.n_tokens == 27 and row.n_tokens_removed == 24
+    # every corpus file is present; any file the detector left alone
+    # passes through verbatim
+    assert set(excised.file_id) == set(files.file_id)
+    untouched = excised[excised.n_tokens_removed == 0]
+    orig = files.set_index("file_id")["content"]
+    for r in untouched.head(20).itertuples():
+        assert r.text == orig[r.file_id]
+    rep = summary["excise"]
+    assert rep["window"] == 16 and rep["min_docs"] == 2
+    assert rep["n_tokens_removed"] == int(excised.n_tokens_removed.sum())
+    assert rep["n_docs_affected"] == int(
+        (excised.n_tokens_removed > 0).sum()
+    )
