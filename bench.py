@@ -79,6 +79,7 @@ def main() -> None:
         "doc_ensemble_dedup_clusters",
         "doc_decontam_hits",
         "doc_repetition_flags",
+        "doc_dup_spans_seeded",
         "doc_pii_scrub_seeded",
         "doc_secrets_scrub_seeded",
         "doc_url_domain_counts_seeded",
