@@ -863,3 +863,30 @@ def corpus_policy_reason(
             F.when(cond, label) if reason is None else reason.when(cond, label)
         )
     return reason
+
+
+def parse_optout_entries(
+    csv: str | None, path: str | None
+) -> tuple[str, ...] | None:
+    """Parse the opt-out list a job face receives: a comma-separated
+    ``csv`` string and/or a ``path`` to a file with one entry per line
+    ('#' comments and blank lines skipped), unioned. Returns None when
+    neither is given; raises if given but empty after normalization —
+    ONE parser shared by every entry point (batch pipeline, streaming
+    curation, retroactive takedown) so the three faces can never read
+    the same takedown list differently."""
+    if csv is None and path is None:
+        return None
+    entries: list[str] = []
+    if csv:
+        entries += [s.strip() for s in csv.split(",")]
+    if path:
+        with open(path) as fh:
+            for line in fh:
+                line = line.split("#", 1)[0].strip()
+                if line:
+                    entries.append(line)
+    entries = [s for s in entries if s.strip().strip("/")]
+    if not entries:
+        raise ValueError("opt-out list is empty")
+    return tuple(entries)

@@ -18,9 +18,10 @@ already flag within-doc loops). Overlapping/adjacent duplicated windows
 merge into maximal spans per document (gaps-and-islands over positions).
 
 100-TB shape: the window pass is map-only until ONE shuffle on the
-window key — 8-byte ``xxhash64`` of the window text by default
-(``hashed=False`` keeps the raw string for definitional runs; span
-output is key-independent, so the two paths agree exactly and the
+window key — a 128-bit pair of independently-seeded ``xxhash64`` values
+by default (collision-safe at 10^12 windows where a single 64-bit key
+is not; ``hashed=False`` keeps the raw string for definitional runs;
+span output is key-independent, so the two paths agree exactly and the
 oracle twins can use md5 on their side) — with the distinct-doc count
 as a two-level aggregation (distinct (key, doc) then count), so a
 boilerplate window living in 10^6 documents combines map-side and never
@@ -41,17 +42,30 @@ def window_positions(
     window: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """(doc_id, pos, gram): every ``window``-token sliding window with
     its 0-based start token position. Documents shorter than the window
     contribute nothing (a span must fill the window to count); NULL text
-    contributes nothing. Map-only: split → transform → posexplode."""
+    contributes nothing. Map-only: split → transform → posexplode.
+
+    MEMORY NOTE: the gram array materializes ~window × the document's
+    byte size inside one task row before the explode — a 100 MB
+    pathological document would inflate ~50×. Real pipelines remove such
+    files first (the code-quality long-line/size caps run BEFORE
+    excision in ``run_pipeline``); ``max_doc_tokens`` is the in-operator
+    guard: documents above it contribute NO windows — conservative, they
+    are never excised and never feed the duplicate count — instead of
+    OOMing an executor."""
     if window < 2:
         raise ValueError("window_positions: window must be >= 2")
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
+    eligible = n >= window
+    if max_doc_tokens is not None:
+        eligible = eligible & (n <= max_doc_tokens)
     grams = F.when(
-        n >= window,
+        eligible,
         F.transform(
             F.sequence(F.lit(0), n - window),
             lambda i: F.array_join(F.slice(toks, i + 1, window), " "),
@@ -70,17 +84,29 @@ def dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = True,
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated spans → (doc_id, start_tok, end_tok): token
     intervals [start_tok, end_tok) covered by windows whose verbatim
     text occurs in >= ``min_docs`` distinct documents, overlapping or
-    adjacent windows merged per document. ``hashed=True`` shuffles
-    8-byte xxhash64 keys instead of window strings (identical output —
-    the key never reaches the result)."""
+    adjacent windows merged per document. ``hashed=True`` shuffles a
+    compact 128-bit key — TWO independently-seeded xxhash64 values —
+    instead of window strings: at 10^12 windows the expected collision
+    count is ~10^24/2^129 ≈ 10^-15, so a collision excising
+    non-duplicated text is not a realistic event (a single 64-bit key
+    WOULD collide tens of thousands of times at that scale — the reason
+    for the pair); ``hashed=False`` keeps the raw string for
+    definitional runs, and the two paths are output-identical."""
     if min_docs < 2:
         raise ValueError("dup_spans: min_docs must be >= 2")
-    win = window_positions(docs, window, text_col, id_col)
-    key = F.xxhash64("gram") if hashed else F.col("gram")
+    win = window_positions(docs, window, text_col, id_col, max_doc_tokens)
+    key = (
+        F.struct(
+            F.xxhash64("gram").alias("h0"),
+            F.xxhash64(F.lit(1), F.col("gram")).alias("h1"),
+        )
+        if hashed else F.col("gram")
+    )
     keyed = win.select("doc_id", "pos", key.alias("_k"))
     # two-level distinct-doc count: mega-windows combine map-side
     shared = (
@@ -122,6 +148,7 @@ def excise_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     spans: DataFrame | None = None,
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """Cut the duplicated spans out of every document → (doc_id, text,
     n_tokens, n_tokens_removed): the surviving tokens re-joined with
@@ -131,7 +158,10 @@ def excise_dup_spans(
     ``spans`` accepts a precomputed ``dup_spans`` frame (same window /
     min_docs — the caller's responsibility when passed)."""
     if spans is None:
-        spans = dup_spans(docs, window, min_docs, text_col, id_col)
+        spans = dup_spans(
+            docs, window, min_docs, text_col, id_col,
+            max_doc_tokens=max_doc_tokens,
+        )
     agg = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
     )

@@ -1363,3 +1363,13 @@ def comment_ratio_flags(
         reason.isNotNull().alias("drop"),
         reason.alias("reason"),
     )
+
+
+#: the cap-override keys the code-quality / comment-density gates accept —
+#: ONE definition shared by every validating entry point (run_dedup, the
+#: streaming curation lane, job faces), so adding a cap to the flag
+#: functions cannot leave one face rejecting what another accepts
+CODE_QUALITY_CAP_KEYS = frozenset(
+    {"max_line_cap", "avg_line_cap", "min_alnum", "drop_autogen"}
+)
+COMMENT_CAP_KEYS = frozenset({"max_ratio", "min_ratio"})

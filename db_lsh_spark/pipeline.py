@@ -319,10 +319,10 @@ def run_dedup(
         fp += f"-snap:{snapshot_order_col}:{','.join(snapshot_keys)}"
     cq_caps: dict = {}
     if code_quality:
+        from db_lsh_spark.operators.text import CODE_QUALITY_CAP_KEYS
+
         cq_caps = dict(code_quality_caps or ())
-        bad_q = set(cq_caps) - {
-            "max_line_cap", "avg_line_cap", "min_alnum", "drop_autogen"
-        }
+        bad_q = set(cq_caps) - CODE_QUALITY_CAP_KEYS
         if bad_q:
             raise ValueError(
                 f"unknown code_quality_caps keys {sorted(bad_q)}"
@@ -332,8 +332,10 @@ def run_dedup(
         raise ValueError("code_quality_caps requires code_quality=True")
     cmt_caps: dict = {}
     if comment_filter:
+        from db_lsh_spark.operators.text import COMMENT_CAP_KEYS
+
         cmt_caps = dict(comment_caps or ())
-        bad_c = set(cmt_caps) - {"max_ratio", "min_ratio"}
+        bad_c = set(cmt_caps) - COMMENT_CAP_KEYS
         if bad_c:
             raise ValueError(f"unknown comment_caps keys {sorted(bad_c)}")
         fp += "-cmt" + repr(sorted(cmt_caps.items()))

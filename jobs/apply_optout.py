@@ -1,8 +1,8 @@
 """spark-submit entry for RETROACTIVE opt-out — redact a new takedown
 list from an EXISTING pipeline output without recomputing it (the
 versioned-release operation: The Stack ships new releases that apply
-opt-out requests received since the last one; between releases, consumers
-redact in place).
+opt-out requests received since the last one; between releases,
+consumers produce a redacted copy and swap it in).
 
     spark-submit --py-files db_lsh_spark.zip jobs/apply_optout.py \
         --input /data/corpus_parquet \
@@ -10,9 +10,13 @@ redact in place).
         --output /data/redacted_output \
         --opt-out owner1,owner2/repo [--opt-out-file takedowns.txt]
 
-Semantics — ROW REDACTION, not recomputation: every artifact directory
-found under ``--artifacts`` is rewritten to ``--output/<name>`` with the
-rows referencing an opted-out file or repo removed. File-keyed columns
+Semantics — ROW REDACTION into a NEW output directory, not
+recomputation: every artifact directory found under ``--artifacts`` is
+rewritten to ``--output/<name>`` with the rows referencing an opted-out
+file or repo removed (``--output`` must differ from ``--artifacts`` —
+Spark cannot overwrite a path it is reading, and a mid-loop failure
+would leave a half-redacted release; the job rejects equality up
+front). File-keyed columns
 (file_id / doc_id / id_a / id_b) are redacted via anti-joins against the
 dropped-id set derived from the corpus; repo-keyed columns (repo /
 repo_a / repo_b) via the opt-out gate itself on that column. A pair row
@@ -69,20 +73,21 @@ def run(spark, args) -> dict:
         optout_gate,
     )
 
-    entries: list[str] = []
-    if args.opt_out:
-        entries += [s.strip() for s in args.opt_out.split(",")]
-    if args.opt_out_file:
-        with open(args.opt_out_file) as fh:
-            for line in fh:
-                line = line.split("#", 1)[0].strip()
-                if line:
-                    entries.append(line)
-    entries = [s for s in entries if s.strip().strip("/")]
-    if not entries:
-        raise SystemExit("--opt-out/--opt-out-file got an empty list")
-    optout = tuple(entries)
+    from db_lsh_spark.operators.selection import parse_optout_entries
 
+    try:
+        optout = parse_optout_entries(args.opt_out, args.opt_out_file)
+    except ValueError:
+        raise SystemExit("--opt-out/--opt-out-file got an empty list")
+    if optout is None:
+        raise SystemExit("--opt-out or --opt-out-file is required")
+
+    if os.path.abspath(args.output) == os.path.abspath(args.artifacts):
+        raise SystemExit(
+            "--output must differ from --artifacts: Spark cannot "
+            "overwrite a path it is reading, and a mid-loop failure "
+            "would leave a half-redacted release"
+        )
     files = spark.read.parquet(args.input)
     missing = {"repo", "file_id"} - set(files.columns)
     if missing:

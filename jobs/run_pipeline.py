@@ -355,21 +355,12 @@ def main(argv: list[str] | None = None) -> None:
         )
         if not lang_allow:
             raise SystemExit("--lang-allow got an empty list")
-    optout: tuple[str, ...] | None = None
-    if args.opt_out is not None or args.opt_out_file is not None:
-        entries: list[str] = []
-        if args.opt_out:
-            entries += [s.strip() for s in args.opt_out.split(",")]
-        if args.opt_out_file:
-            with open(args.opt_out_file) as fh:
-                for line in fh:
-                    line = line.split("#", 1)[0].strip()
-                    if line:
-                        entries.append(line)
-        entries = [s for s in entries if s.strip().strip("/")]
-        if not entries:
-            raise SystemExit("--opt-out/--opt-out-file got an empty list")
-        optout = tuple(entries)
+    from db_lsh_spark.operators.selection import parse_optout_entries
+
+    try:
+        optout = parse_optout_entries(args.opt_out, args.opt_out_file)
+    except ValueError:
+        raise SystemExit("--opt-out/--opt-out-file got an empty list")
     path_allow_exts: tuple[str, ...] | None = None
     if args.path_allow_exts is not None:
         if not args.path_filter:
@@ -452,6 +443,10 @@ def main(argv: list[str] | None = None) -> None:
             "--comment-max-ratio/--comment-min-ratio require "
             "--comment-filter"
         )
+    if args.excise_spans is not None and args.excise_spans < 2:
+        raise SystemExit("--excise-spans window must be >= 2")
+    if args.excise_spans is not None and args.excise_min_docs < 2:
+        raise SystemExit("--excise-min-docs must be >= 2")
     if args.latest_only:
         if not args.snapshot_order_col:
             raise SystemExit("--latest-only requires --snapshot-order-col")
@@ -1113,10 +1108,13 @@ def main(argv: list[str] | None = None) -> None:
             F.col("file_id").alias("doc_id"),
             F.col("content").alias("text"),
         )
+        # persist: the span frame feeds TWO actions (the excised write
+        # and the census) — without it the whole window/shuffle DAG,
+        # the job's most expensive new stage, would run twice
         exc_spans = dup_spans(
             exc_docs, window=args.excise_spans,
             min_docs=args.excise_min_docs,
-        )
+        ).persist()
         (excise_dup_spans(
             exc_docs, window=args.excise_spans,
             min_docs=args.excise_min_docs, spans=exc_spans,
@@ -1124,6 +1122,7 @@ def main(argv: list[str] | None = None) -> None:
          .withColumnRenamed("doc_id", "file_id")
          .write.mode("overwrite").parquet(f"{args.output}/excised"))
         cen = span_census(exc_spans).collect()[0]
+        exc_spans.unpersist()
         excise_report = {
             "window": args.excise_spans,
             "min_docs": args.excise_min_docs,

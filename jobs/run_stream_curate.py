@@ -106,21 +106,12 @@ def run(spark, args) -> dict:
 
     from db_lsh_spark.streaming.jobs import incremental_curation_query
 
-    optout: tuple[str, ...] | None = None
-    if args.opt_out is not None or args.opt_out_file is not None:
-        entries: list[str] = []
-        if args.opt_out:
-            entries += [s.strip() for s in args.opt_out.split(",")]
-        if args.opt_out_file:
-            with open(args.opt_out_file) as fh:
-                for line in fh:
-                    line = line.split("#", 1)[0].strip()
-                    if line:
-                        entries.append(line)
-        entries = [s for s in entries if s.strip().strip("/")]
-        if not entries:
-            raise SystemExit("--opt-out/--opt-out-file got an empty list")
-        optout = tuple(entries)
+    from db_lsh_spark.operators.selection import parse_optout_entries
+
+    try:
+        optout = parse_optout_entries(args.opt_out, args.opt_out_file)
+    except ValueError:
+        raise SystemExit("--opt-out/--opt-out-file got an empty list")
     lang_allow = _csv(args.lang_allow)
     path_allow_exts = _csv(args.path_allow_exts)
     if path_allow_exts is not None and not args.path_filter:

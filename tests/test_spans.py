@@ -187,3 +187,21 @@ def test_spark_submit_excise_spans(tmp_path):
     assert rep["n_docs_affected"] == int(
         (excised.n_tokens_removed > 0).sum()
     )
+
+
+def test_max_doc_tokens_guard(spark):
+    """Documents above max_doc_tokens contribute NO windows: they are
+    never excised and never feed the duplicate count (the conservative
+    in-operator OOM guard for pathological mega-docs)."""
+    body = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, body), (1, body), (2, body + " extra padding tokens here")],
+        "doc_id long, text string",
+    )
+    full = dup_spans(docs, window=16)
+    assert {r.doc_id for r in full.collect()} == {0, 1, 2}
+    capped = dup_spans(docs, window=16, max_doc_tokens=21)
+    # doc 2 (24 tokens) is excluded; docs 0/1 still pair with each other
+    assert {r.doc_id for r in capped.collect()} == {0, 1}
+    ex = excise_dup_spans(docs, window=16, max_doc_tokens=21)
+    assert {r.doc_id: r.n_tokens_removed for r in ex.collect()}[2] == 0
