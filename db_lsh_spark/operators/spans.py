@@ -117,8 +117,16 @@ def dup_spans(
         .select("_k")
     )
     hits = keyed.join(shared, "_k", "left_semi").select("doc_id", "pos")
-    # gaps-and-islands merge: a window starting at or before the running
-    # max end of its predecessors extends the current island
+    return merge_hit_windows(hits, window)
+
+
+def merge_hit_windows(hits: DataFrame, window: int) -> DataFrame:
+    """(doc_id, pos) window hits → maximal merged (doc_id, start_tok,
+    end_tok) spans. Gaps-and-islands: a window starting at or before the
+    running max end of its predecessors extends the current island.
+    Per-doc window function — bounded by doc length, shared by the
+    corpus self-detection (``dup_spans``) and the static-index probe
+    (``spans_against_index``)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     run_end = F.max(F.col("pos") + window).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -216,3 +224,123 @@ def span_census(spans: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_tokens_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-window INDEX — the persisted form of the duplicated-window
+# set, so newly-landed documents can be cleaned against KNOWN corpus
+# boilerplate without recomputing the corpus pass (the span analogue of
+# the persisted MinHash/E2LSH index discipline): build once over the
+# reference corpus, then probe per batch — stateless given the index,
+# which is what makes the streaming twin exact.
+# ---------------------------------------------------------------------------
+
+
+def dup_window_keys(
+    docs: DataFrame,
+    window: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_tokens: int | None = None,
+) -> DataFrame:
+    """The DISTINCT duplicated-window key set → (h0, h1): the 128-bit
+    xxhash64 pair of every window whose verbatim text occurs in >=
+    ``min_docs`` distinct documents. O(#boilerplate windows) rows — the
+    persistable index ``spans_against_index`` probes."""
+    if min_docs < 2:
+        raise ValueError("dup_window_keys: min_docs must be >= 2")
+    win = window_positions(docs, window, text_col, id_col, max_doc_tokens)
+    keyed = win.select(
+        "doc_id",
+        F.xxhash64("gram").alias("h0"),
+        F.xxhash64(F.lit(1), F.col("gram")).alias("h1"),
+    )
+    return (
+        keyed.select("h0", "h1", "doc_id").distinct()
+        .groupBy("h0", "h1")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h0", "h1")
+    )
+
+
+def build_span_index(
+    docs: DataFrame,
+    out_dir: str,
+    window: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_tokens: int | None = None,
+) -> dict:
+    """Materialize the duplicated-window key set at ``out_dir/keys``
+    with a ``_span_meta.json`` sidecar pinning (window, min_docs) — a
+    probe run under DIFFERENT parameters would silently find nothing
+    (different window text → different keys), so the loader refuses a
+    parameter mismatch loudly instead. Returns the meta dict."""
+    import json
+    import os
+
+    keys = dup_window_keys(
+        docs, window, min_docs, text_col, id_col, max_doc_tokens
+    )
+    keys.write.mode("overwrite").parquet(f"{out_dir}/keys")
+    spark = docs.sparkSession
+    n_keys = spark.read.parquet(f"{out_dir}/keys").count()
+    meta = {"window": window, "min_docs": min_docs, "n_keys": n_keys}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/_span_meta.json", "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def load_span_index(spark, index_dir: str, window: int) -> DataFrame:
+    """Load a ``build_span_index`` artifact, validating that the probe's
+    ``window`` matches the index's — a mismatch cannot work (window text
+    differs → keys never match) and must fail loudly, never quietly
+    excise nothing."""
+    import json
+    import os
+
+    meta_path = f"{index_dir}/_span_meta.json"
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"load_span_index: {index_dir!r} has no _span_meta.json — "
+            "not a build_span_index artifact"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta["window"] != window:
+        raise ValueError(
+            f"load_span_index: index was built with window="
+            f"{meta['window']}, probe requested {window} — different "
+            "window text can never match; rebuild or match the index"
+        )
+    return spark.read.parquet(f"{index_dir}/keys")
+
+
+def spans_against_index(
+    docs: DataFrame,
+    index_keys: DataFrame,
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_tokens: int | None = None,
+) -> DataFrame:
+    """Maximal spans of ``docs`` covered by windows whose key is in the
+    INDEX → (doc_id, start_tok, end_tok): the static-index probe — no
+    distinct-doc counting here, the index already decided what counts as
+    boilerplate. One equi-join of the probe windows against the key set
+    (probe side is batch-sized in streaming; AQE picks broadcast when
+    the index fits), then the shared gaps-and-islands merge."""
+    win = window_positions(docs, window, text_col, id_col, max_doc_tokens)
+    keyed = win.select(
+        "doc_id", "pos",
+        F.xxhash64("gram").alias("h0"),
+        F.xxhash64(F.lit(1), F.col("gram")).alias("h1"),
+    )
+    hits = keyed.join(
+        index_keys.select("h0", "h1"), ["h0", "h1"], "left_semi"
+    ).select("doc_id", "pos")
+    return merge_hit_windows(hits, window)

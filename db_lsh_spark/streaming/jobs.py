@@ -1568,3 +1568,61 @@ def incremental_curation_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_excise_query(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_doc_tokens: int | None = None,
+) -> StreamingQuery:
+    """Filter-on-ingest for BOILERPLATE SPANS: newly-landed documents are
+    cleaned against the persisted duplicated-window index
+    (``operators/spans.build_span_index`` over the reference corpus) —
+    the span analogue of the persisted-MinHash probe lanes. Per batch:
+    probe the static key set, merge hit windows to maximal spans, excise,
+    and land (doc_id, text, n_tokens, n_tokens_removed, batch_id) in
+    ``out_dir/excised/batch-N`` with the dedup lanes' idempotent
+    overwrite-per-deterministic-directory sink. The probe is STATELESS
+    given the index — a landed doc's spans depend only on its own text
+    and the frozen key set, so stream output equals the batch
+    ``spans_against_index`` composition over the union of landings by
+    construction. The window comes FROM the index meta (a mismatched
+    probe window can never match any key, so there is no knob to get
+    wrong); a directory without the meta sidecar fails before the stream
+    starts. Self-duplication among batch docs is deliberately NOT
+    detected (that is ``dup_spans``' corpus pass): the index defines
+    what boilerplate is."""
+    import json as _json
+
+    with open(f"{index_dir}/_span_meta.json") as fh:
+        _meta = _json.load(fh)
+    window = int(_meta["window"])
+    from db_lsh_spark.operators.spans import (
+        excise_dup_spans,
+        load_span_index,
+        spans_against_index,
+    )
+
+    keys = load_span_index(spark, index_dir, window)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.groupBy("doc_id").agg(F.max("text").alias("text"))
+        spans = spans_against_index(
+            docs, keys, window, max_doc_tokens=max_doc_tokens
+        )
+        (excise_dup_spans(docs, window=window, spans=spans)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .parquet(f"{out_dir}/excised/batch-{batch_id}"))
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -7,6 +7,8 @@ Python reimplementation.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from db_lsh_spark.operators.spans import (
@@ -205,3 +207,104 @@ def test_max_doc_tokens_guard(spark):
     assert {r.doc_id for r in capped.collect()} == {0, 1}
     ex = excise_dup_spans(docs, window=16, max_doc_tokens=21)
     assert {r.doc_id: r.n_tokens_removed for r in ex.collect()}[2] == 0
+
+
+def test_span_index_build_probe_roundtrip(spark, tmp_path):
+    """build_span_index over a reference corpus, then probe NEW docs
+    against the frozen key set: a landed doc carrying the known
+    boilerplate is cut at the right offsets, a clean doc is untouched,
+    self-duplication among probe docs is NOT detected (the index defines
+    boilerplate), and parameter mismatches fail loudly."""
+    from db_lsh_spark.operators.spans import (
+        build_span_index,
+        load_span_index,
+        spans_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, f"lead0 alpha0 {SHARED} tail0"),
+         (1, f"lead1 alpha1 {SHARED} tail1"),
+         (2, "unique " + " ".join(f"u{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "span_index")
+    meta = build_span_index(corpus, idx, window=16)
+    assert meta["window"] == 16 and meta["n_keys"] == 5  # positions 2..6
+
+    keys = load_span_index(spark, idx, 16)
+    fresh = " ".join(f"f{i}" for i in range(20))
+    probe = spark.createDataFrame(
+        [(100, f"new intro {SHARED} new outro words"),   # boilerplate at [2,22)
+         (101, "wholly new content " + fresh),           # clean
+         # the same NEW paragraph in TWO probe docs — not in the index,
+         # so the static probe must NOT flag it
+         (102, f"x {fresh}"), (103, f"y {fresh}")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in spans_against_index(probe, keys, 16).collect()
+    }
+    assert got == {(100, 2, 22)}
+
+    with pytest.raises(ValueError, match="window"):
+        load_span_index(spark, idx, 32)
+    with pytest.raises(ValueError, match="_span_meta"):
+        load_span_index(spark, str(tmp_path / "nowhere"), 16)
+
+
+def test_stream_excise_against_index(spark, tmp_path):
+    """The streaming twin: landed docs cleaned per batch against the
+    persisted index, stream output == the batch spans_against_index
+    composition over the union of landings."""
+    import pandas as pd
+
+    from db_lsh_spark.operators.spans import build_span_index
+    from db_lsh_spark.streaming.jobs import incremental_excise_query
+
+    corpus = spark.createDataFrame(
+        [(0, f"lead0 alpha0 {SHARED} tail0"),
+         (1, f"lead1 alpha1 {SHARED} tail1")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "span_index")
+    build_span_index(corpus, idx, window=16)
+
+    rows = [
+        (100, f"new intro {SHARED} new outro words"),
+        (101, "clean doc " + " ".join(f"c{i}" for i in range(20))),
+        (102, f"{SHARED} leading boilerplate form"),
+    ]
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    pd.DataFrame(rows[:2], columns=["doc_id", "text"]).to_parquet(
+        f"{src}/a.parquet", index=False
+    )
+    pd.DataFrame(rows[2:], columns=["doc_id", "text"]).to_parquet(
+        f"{src}/b.parquet", index=False
+    )
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_excise_query(spark, stream, idx, out, ck)
+    q.awaitTermination(600)
+
+    excised = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{out}/excised")
+    )
+    got = {r.doc_id: (r.text, r.n_tokens_removed) for r in excised.collect()}
+    assert got[100] == ("new intro new outro words", 20)
+    assert got[101][1] == 0 and got[101][0].startswith("clean doc")
+    # boilerplate at the doc HEAD: span [0, 20)
+    assert got[102] == ("leading boilerplate form", 20)
+
+    # a stream against a directory that is not an index fails pre-start
+    with pytest.raises((ValueError, FileNotFoundError)):
+        incremental_excise_query(
+            spark, stream, str(tmp_path / "bogus"),
+            str(tmp_path / "o2"), str(tmp_path / "c2"),
+        )
