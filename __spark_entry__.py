@@ -166,7 +166,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_worker_pythonpath(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # Defensive re-spread (same pattern as _as_files / run_dedup): a small
+    # single-row-group parquet gives ONE scan partition, and everything
+    # narrow downstream — code kernels, the banded self-join's streamed
+    # side, map-side partial dedup, the brute-force dot stage — then runs
+    # on one task. One bounded shuffle of the slim vector table restores
+    # full-core parallelism; at scale the input has >= target partitions
+    # already and this no-ops.
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if out.rdd.getNumPartitions() < max(2, target // 2):
+        out = out.repartition(target, "vec_id")
+    return out
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -69,6 +69,62 @@ def norms(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.round(_norm(dbl), 6).alias("l2_norm"))
 
 
+# Size gate for the broadcast-matrix exact-distance fast path (below):
+# the collected (vec_id, embedding) matrix must fit comfortably in the
+# driver AND in every Python worker (each worker unpickles its own copy).
+# 64 MB of float64 ≈ 130k vectors at dim 64 — far above the fixtures,
+# far below driver budgets; corpora beyond it keep the join path. The
+# same adaptive-threshold discipline as cluster.DRIVER_CC_MAX_EDGES.
+BROADCAST_VECTORS_MAX_BYTES = int(
+    __import__("os").environ.get("DBLSH_BCAST_VEC_BYTES", 64 << 20)
+)
+
+
+def collect_vectors_if_small(
+    emb: DataFrame, max_bytes: int | None = None, dim: int | None = None
+):
+    """Try to collect (vec_id, embedding) into one NumPy matrix for
+    broadcasting; returns (ids_sorted, matrix_float64) or None when the
+    table exceeds the byte gate. ONE bounded Arrow collect — the gate is
+    enforced by a LIMIT max_rows+1 probe, so an oversized table costs one
+    bounded scan and falls back to the join path (guide §8: broadcast the
+    plan when it fits, never unconditionally)."""
+    import numpy as np
+
+    max_bytes = BROADCAST_VECTORS_MAX_BYTES if max_bytes is None else max_bytes
+    if dim is None:
+        row = emb.select("embedding").head(1)
+        if not row:
+            return np.empty(0, dtype=np.int64), np.empty((0, 0), np.float64)
+        dim = len(row[0][0])
+    max_rows = max(1, max_bytes // (max(dim, 1) * 8))
+    pdf = emb.select("vec_id", "embedding").limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        return None
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+def _unit_matrix_jvm_order(mat):
+    """L2-normalize a (n, dim) float64 matrix with the EXACT summation
+    order of the JVM ``with_unit_vectors`` expression (a left-to-right
+    ``aggregate`` fold): accumulate x*x sequentially over dimensions so
+    the norm — and therefore every unit coordinate — is bit-identical to
+    the join path's JVM-computed unit vectors. NumPy's pairwise
+    ``sum(axis=1)`` would differ in the last ulp and could flip a value
+    at a 1e-6 rounding boundary."""
+    import numpy as np
+
+    acc = np.zeros(len(mat), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc += mat[:, j] * mat[:, j]
+    norm = np.sqrt(acc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return mat / norm[:, None]
+
+
 def _rank_topk(sims: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k per query: cosine (rounded 1e-6) desc, ties by
     neighbor_id asc — engine-portable ranking shared by every kNN path."""
@@ -480,10 +536,6 @@ def cosine_near_dup_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    units = with_unit_vectors(emb).select("vec_id", "_unit")
-    ua = units.select(F.col("vec_id").alias("id_a"), F.col("_unit").alias("ua"))
-    ub = units.select(F.col("vec_id").alias("id_b"), F.col("_unit").alias("ub"))
-    joined = cand.join(ua, "id_a").join(ub, "id_b")
 
     schema = StructType(
         [
@@ -492,6 +544,44 @@ def cosine_near_dup_pairs_lsh(
             StructField("cosine", DoubleType(), False),
         ]
     )
+
+    # Exact-cosine filter. Fast path (guide §8: decide with small rows,
+    # broadcast the lookup): when the whole vector table fits the byte
+    # gate, broadcast the unit matrix and ship ONLY the slim (id_a, id_b)
+    # pairs to the kernel — the two candidate→vector joins and their ~2·dim
+    # doubles per pair of Arrow traffic disappear. Unit vectors are
+    # normalized in the exact JVM summation order, so values (and 1e-6
+    # boundary behavior) are identical to the join path (which remains
+    # the at-scale fallback).
+    collected = collect_vectors_if_small(emb, dim=cfg.dim)
+    if collected is not None:
+        ids, mat = collected
+        bc = emb.sparkSession.sparkContext.broadcast(
+            (ids, _unit_matrix_jvm_order(mat))
+        )
+
+        def gen_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            b_ids, b_units = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = np.searchsorted(b_ids, pdf["id_a"].to_numpy(np.int64))
+                ib = np.searchsorted(b_ids, pdf["id_b"].to_numpy(np.int64))
+                A = b_units[ia]
+                B = b_units[ib]
+                cos = np.round(np.einsum("ij,ij->i", A, B), 6)
+                out = pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+                )
+                yield out[out.cosine >= threshold]
+
+        pairs = cand.mapInPandas(gen_bc, schema)
+        return (pairs, overflow) if max_bucket is not None else pairs
+
+    units = with_unit_vectors(emb).select("vec_id", "_unit")
+    ua = units.select(F.col("vec_id").alias("id_a"), F.col("_unit").alias("ua"))
+    ub = units.select(F.col("vec_id").alias("id_b"), F.col("_unit").alias("ub"))
+    joined = cand.join(ua, "id_a").join(ub, "id_b")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -597,11 +597,6 @@ def l2_near_dup_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"),
-                    _as_double("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("id_b"),
-                    _as_double("embedding").alias("eb"))
-    joined = cand.join(ea, "id_a").join(eb, "id_b")
 
     schema = StructType(
         [
@@ -610,6 +605,40 @@ def l2_near_dup_pairs_lsh(
             StructField("dist", DoubleType(), False),
         ]
     )
+
+    # Exact-L2 filter. Fast path (guide §8): when the vector table fits
+    # the byte gate, broadcast the float64 matrix and ship only the slim
+    # (id_a, id_b) pairs — no candidate→vector joins, no 2·dim doubles
+    # per pair through Arrow. The distance kernel is THE SAME expression
+    # on the same float64 values as the join path below, so outputs are
+    # identical; oversized tables keep the join path.
+    from db_lsh_spark.operators.ann import collect_vectors_if_small
+
+    collected = collect_vectors_if_small(emb, dim=cfg.dim)
+    if collected is not None:
+        b_ids_mat = emb.sparkSession.sparkContext.broadcast(collected)
+
+        def gen_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            b_ids, b_mat = b_ids_mat.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = b_mat[np.searchsorted(b_ids, pdf["id_a"].to_numpy(np.int64))]
+                B = b_mat[np.searchsorted(b_ids, pdf["id_b"].to_numpy(np.int64))]
+                d = np.round(np.sqrt(((A - B) ** 2).sum(axis=1)), 6)
+                out = pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "dist": d}
+                )
+                yield out[out.dist <= radius]
+
+        pairs = cand.mapInPandas(gen_bc, schema)
+        return (pairs, overflow) if max_bucket is not None else pairs
+
+    ea = emb.select(F.col("vec_id").alias("id_a"),
+                    _as_double("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"),
+                    _as_double("embedding").alias("eb"))
+    joined = cand.join(ea, "id_a").join(eb, "id_b")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

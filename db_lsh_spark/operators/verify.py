@@ -80,33 +80,45 @@ def verify_pairs(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from db_lsh_spark.functions.hashing import (
+            _shingles_from_token_hashes,
+            batch_token_hashes,
+        )
+
         for pdf in batches:
-            cache: dict = {}
             # sorted-unique uint64 arrays, not Python sets: the merge-based
             # np.intersect1d is both faster and far friendlier to shared
             # caches under many concurrent workers (pointer-chasing set ops
             # degrade ~2.5x at 32-way concurrency on shared-LLC hosts).
-            # A batch-wide vectorization (concatenate all pairs + one
-            # (pair_id<<32|shingle) sort + adjacent-dup bincount) was
-            # profiled at 5k pairs x 500 shingles: 10x SLOWER than the
-            # per-pair loop — each small intersect sorts ~1k elements in
-            # L1/L2 while the batched sort pays O(M log M) on a 5M-element
-            # array plus the concatenation. Kept per-pair deliberately.
-            shingle_arrs: dict[int, np.ndarray] = {}
-
-            def sarr(fid: int, content: str) -> np.ndarray:
-                s = shingle_arrs.get(fid)
-                if s is None:
-                    s = np.unique(shingle_hashes(tokenize(content or ""), k, cache))
-                    shingle_arrs[fid] = s
-                return s
+            # A batch-wide vectorization of the INTERSECTS (concatenate all
+            # pairs + one (pair_id<<32|shingle) sort + adjacent-dup
+            # bincount) was profiled at 5k pairs x 500 shingles: 10x SLOWER
+            # than the per-pair loop — each small intersect sorts ~1k
+            # elements in L1/L2 while the batched sort pays O(M log M) on a
+            # 5M-element array plus the concatenation. Kept per-pair
+            # deliberately. Tokenize+hash, though, IS batched: each
+            # distinct doc in the batch is shingled once via the
+            # factorized-vocabulary kernel (guide §4.2) instead of the
+            # former per-pair cached per-token dict loop.
+            uniq: dict[int, int] = {}
+            texts: list = []
+            for col_id, col_txt in (("id_a", "content_a"), ("id_b", "content_b")):
+                for fid, txt in zip(pdf[col_id], pdf[col_txt]):
+                    if int(fid) not in uniq:
+                        uniq[int(fid)] = len(texts)
+                        texts.append(txt)
+            shingle_list = [
+                np.unique(_shingles_from_token_hashes(th, k))
+                for th in batch_token_hashes(texts)
+            ]
+            shingle_arrs = {fid: shingle_list[i] for fid, i in uniq.items()}
 
             out_rows = []
             for id_a, id_b, ca, cb in zip(
                 pdf["id_a"], pdf["id_b"], pdf["content_a"], pdf["content_b"]
             ):
-                sa = sarr(int(id_a), ca)
-                sb = sarr(int(id_b), cb)
+                sa = shingle_arrs[int(id_a)]
+                sb = shingle_arrs[int(id_b)]
                 inter = len(np.intersect1d(sa, sb, assume_unique=True))
                 union = len(sa) + len(sb) - inter
                 j = round(inter / union, 6) if union else 1.0

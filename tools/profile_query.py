@@ -1,0 +1,82 @@
+"""Per-query profiler (round 6 optimization tooling — NOT the frozen bench).
+
+Runs named queries from ``__spark_entry__.queries()`` repeatedly in one
+session, reporting wall seconds per repeat plus DETERMINISTIC plan/job
+counters (Spark job count, stage count via the status tracker) so a
+structural optimization can be verified even under this VM's documented
+~2x wall-clock noise.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+        python tools/profile_query.py doc_lsh_near_dup_pairs doc_dedup_clusters
+
+Options via env:
+    PROFILE_REPEATS  (default 3)
+    PROFILE_EXPLAIN  (set to a directory to dump .explain("formatted"))
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("PROFILE_REPEATS", "3"))
+    explain_dir = os.environ.get("PROFILE_EXPLAIN")
+    names = sys.argv[1:]
+    if not names:
+        print("usage: profile_query.py <query> [<query> ...]", file=sys.stderr)
+        sys.exit(2)
+
+    import __spark_entry__ as entrymod
+    from db_lsh_spark.session import get_spark
+
+    spark = get_spark(app_name="profile", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    out: dict[str, dict] = {}
+    for name in names:
+        if name not in qmap:
+            print(f"unknown query {name}", file=sys.stderr)
+            continue
+        times = []
+        njobs = nstages = 0
+        for i in range(repeats):
+            group = f"{name}#{i}"
+            sc.setJobGroup(group, name)
+            t0 = time.monotonic()
+            qmap[name](spark, sf_dir).count()
+            times.append(round(time.monotonic() - t0, 3))
+            sc.setJobGroup(None, None)
+            jids = tracker.getJobIdsForGroup(group)
+            njobs = len(jids)
+            nstages = sum(
+                len(tracker.getJobInfo(j).stageIds or ()) for j in jids
+                if tracker.getJobInfo(j) is not None
+            )
+        if explain_dir:
+            os.makedirs(explain_dir, exist_ok=True)
+            df = qmap[name](spark, sf_dir)
+            with open(os.path.join(explain_dir, f"{name}.txt"), "w") as fh:
+                fh.write(df._jdf.queryExecution().explainString(
+                    spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                    .fromString("formatted")))
+        out[name] = {"times": times, "min": min(times), "jobs_last": njobs,
+                     "stages_last": nstages}
+        print(json.dumps({name: out[name]}), flush=True)
+    print(json.dumps({"summary": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
