@@ -17,7 +17,6 @@ from db_lsh_spark.operators.cluster import (
 from db_lsh_spark.operators.signatures import (
     compute_signatures,
     compute_simhash,
-    exact_duplicate_edges,
     semi_filter_reps,
     sha_group_members,
     with_ids_and_sha,
@@ -82,7 +81,11 @@ def lsh_near_dup_pairs(
         )
         > 0
     )
-    members = sha_group_members(files)
+    # members is SLIM (two longs/row) and fans out into four plan branches
+    # (rep_ids, cross-expand a/b, intra-expand); materializing it once
+    # truncates the otherwise ~80-Exchange duplicated-subtree plan (the
+    # files scan + sha groupBy would be replanned per branch — guide §3.3)
+    members = sha_group_members(files).localCheckpoint(eager=True)
     rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
     sigs = semi_filter_reps(compute_signatures(files, cfg), rep_ids)
     pairs, _ = candidate_pairs(explode_bands(sigs), cfg)
@@ -141,7 +144,13 @@ def dedup_clusters(
     Exact-duplicate edges (sha256) are unioned with verified LSH pairs
     before connected components."""
     files = with_ids_and_sha(_as_files(docs))
-    exact_edges, rep_ids = exact_duplicate_edges(files)
+    # one slim materialized group table replaces the twin sha groupBys of
+    # exact_duplicate_edges (edges + rep_ids) — equivalent rows, one pass
+    members = sha_group_members(files).localCheckpoint(eager=True)
+    exact_edges = members.where(F.col("file_id") != F.col("rep_id")).select(
+        F.col("file_id").alias("src"), F.col("rep_id").alias("dst")
+    )
+    rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
     sigs = semi_filter_reps(compute_signatures(files, cfg), rep_ids)
     pairs, _ = candidate_pairs(explode_bands(sigs), cfg)
     verified = verify_pairs(pairs, files, cfg, with_lcs=False)
@@ -185,7 +194,8 @@ def simhash_near_dup_pairs(
     files = with_ids_and_sha(
         _as_files(docs).withColumn("content", F.coalesce("content", F.lit("")))
     )
-    members = sha_group_members(files)
+    # same slim-materialization rationale as the MinHash lane (guide §3.3)
+    members = sha_group_members(files).localCheckpoint(eager=True)
     rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
     sims = semi_filter_reps(compute_simhash(files), rep_ids)
     verified = simhash_band_pairs(sims, max_hamming, n_bands)
@@ -231,12 +241,50 @@ def ensemble_near_dup_pairs(
     """
     from db_lsh_spark.operators.text import winnow_near_dup_pairs
 
-    jac = lsh_near_dup_pairs(docs, cfg).select(
+    # The Jaccard and SimHash lanes share their whole ingest prefix —
+    # sha256 groups and the signature kernel (whose slim schema already
+    # carries BOTH the band hashes and the simhash column). Computing that
+    # prefix once and materializing the two slim intermediates (members:
+    # 2 longs/row; sigs: simhash + b band hashes per rep) removes a full
+    # content scan + simhash kernel pass and the duplicated sha groupBy
+    # the per-lane entry points would each replan (guide §2.4/§3.3).
+    # Lane outputs are IDENTICAL to the standalone operators:
+    # - sha2(coalesce(content,'')) == sha2(content) wherever the Jaccard
+    #   lane's empty-token filter keeps the doc, and groups are content-
+    #   homogeneous, so filtering members by the kept ids preserves whole
+    #   groups with the same representative;
+    # - compute_signatures' simhash column equals compute_simhash by
+    #   shared kernel (asserted in tests).
+    files = with_ids_and_sha(
+        _as_files(docs).withColumn("content", F.coalesce("content", F.lit("")))
+    )
+    members = sha_group_members(files).localCheckpoint(eager=True)
+    rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
+    sigs = semi_filter_reps(compute_signatures(files, cfg), rep_ids)
+    sigs = sigs.localCheckpoint(eager=True)
+
+    # --- Jaccard lane (empty-token docs excluded, lane contract) ---
+    nonempty = files.where(
+        F.length(F.regexp_replace("content", f"[{_PY_WHITESPACE}]", "")) > 0
+    ).select("file_id")
+    members_j = members.join(nonempty, "file_id", "left_semi")
+    rep_ids_j = members_j.select(F.col("rep_id").alias("file_id")).distinct()
+    sigs_j = semi_filter_reps(sigs, rep_ids_j)
+    pairs_j, _ = candidate_pairs(explode_bands(sigs_j), cfg)
+    verified_j = verify_pairs(pairs_j, files, cfg, with_lcs=False)
+    jac = _expand_rep_pairs(verified_j, members_j, "jaccard", F.lit(1.0)).select(
         "id_a", "id_b", F.lit("jaccard").alias("lane")
     )
-    sim = simhash_near_dup_pairs(docs, max_hamming, n_bands).select(
-        "id_a", "id_b", F.lit("simhash").alias("lane")
+
+    # --- SimHash lane (all docs; empty doc -> fingerprint 0) ---
+    verified_s = simhash_band_pairs(
+        sigs.select("file_id", "simhash"), max_hamming, n_bands
     )
+    sim = _expand_rep_pairs(
+        verified_s, members, "hamming", F.lit(0).cast("int")
+    ).select("id_a", "id_b", F.lit("simhash").alias("lane"))
+
+    # --- winnow lane (substring sketches over ALL docs, oracle parity) ---
     win = winnow_near_dup_pairs(docs, w=winnow_w, min_lcs=min_lcs).select(
         "id_a", "id_b", F.lit("winnow").alias("lane")
     )

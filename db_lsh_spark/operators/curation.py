@@ -33,9 +33,9 @@ from db_lsh_spark.operators.text import (
     REP_TOP2_MAX,
     SECRET_PATTERNS,
     URL_BLOCKLIST_DEFAULT,
-    _gram_run_stats,
     _url_domains,
     tokens_col,
+    with_rep_counts,
 )
 
 # drops ~1-2% of the synthetic fixture naturally (p1 of the quality
@@ -88,11 +88,12 @@ def curation_flags(
         * (F.size(F.array_distinct(toks)) / n_tok),
         6,
     )
-    s2 = _gram_run_stats(toks, 2)
-    s5 = _gram_run_stats(toks, 5)
+    # repetition ints via the Arrow kernel (text passes through the batch
+    # once; still map-only, zero shuffle) — the JVM aggregate expression
+    # evaluated interpreted at ~600 µs/doc; division + rounding stay JVM
     nc = F.length(text_col)
-    top2 = F.round(s2["best"] / nc, 6)
-    dup5 = F.round(s5["dup"] / nc, 6)
+    top2 = F.round(F.col("_rep_best2") / nc, 6)
+    dup5 = F.round(F.col("_rep_dup5") / nc, 6)
     n_secrets = None
     for _, pat, _tok in SECRET_PATTERNS:
         c = F.regexp_count(F.col(text_col), F.lit(pat))
@@ -102,7 +103,9 @@ def curation_flags(
     def _safe(cond):
         return F.coalesce(cond, F.lit(False))
 
-    base = train.select(
+    base = with_rep_counts(
+        train.select("doc_id", text_col), text_col
+    ).select(
         "doc_id",
         _safe(quality < min_quality).alias("f_quality"),
         (_safe(top2 > max_top2) | _safe(dup5 > max_dup5)).alias("f_rep"),

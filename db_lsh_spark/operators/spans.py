@@ -107,7 +107,15 @@ def dup_spans(
         )
         if hashed else F.col("gram")
     )
-    keyed = win.select("doc_id", "pos", key.alias("_k"))
+    # keyed feeds BOTH the distinct-doc-count branch and the semi-join
+    # probe — without a lineage cut the map-only window pass (the gram
+    # transform, the expensive part) is recomputed once per branch.
+    # Materializing the slim (doc_id, pos, 128-bit key) rows runs it once;
+    # both branches shuffle those same bytes anyway (guide §2.4: two
+    # consumers of one keyed frame should share one computation).
+    keyed = win.select("doc_id", "pos", key.alias("_k")).localCheckpoint(
+        eager=True
+    )
     # two-level distinct-doc count: mega-windows combine map-side
     shared = (
         keyed.select("_k", "doc_id").distinct()
