@@ -156,8 +156,12 @@ def dedup_clusters(
     verified = verify_pairs(pairs, files, cfg, with_lcs=False)
     near = verified.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint(eager=True)
-    edges = near.unionByName(exact_edges.localCheckpoint(eager=True))
+    )
+    # ONE materialization point: connected_components eagerly checkpoints
+    # its deduplicated edge input before iterating, so per-branch eager
+    # checkpoints here only added jobs (the union-lineage Catalyst 4.1
+    # hazard is disarmed by constraintPropagation=false in session.py)
+    edges = near.unionByName(exact_edges)
     comp = connected_components(edges)
     assign = assignments_with_singletons(comp, files)
     return assign.select(
@@ -322,7 +326,7 @@ def ensemble_dedup_clusters(
         pairs = pairs.where(F.col("n_lanes") >= min_lanes)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint(eager=True)
+    )
     comp = connected_components(edges)
     assign = assignments_with_singletons(
         comp, docs.select(F.col("doc_id").alias("file_id"))

@@ -615,9 +615,11 @@ def cosine_dedup_clusters(
     out = cosine_near_dup_pairs_lsh(emb, threshold, cfg, max_bucket,
                                     salt_buckets)
     pairs, census = out if isinstance(out, tuple) else (out, None)
+    # connected_components checkpoints its deduplicated edge input before
+    # iterating — one materialization point, no extra eager job here
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint(eager=True)
+    )
     clusters = connected_components(edges).select(
         "cluster_id", F.col("file_id").alias("vec_id")
     )

@@ -678,12 +678,11 @@ def l2_dedup_clusters(
 
     out = l2_near_dup_pairs_lsh(emb, radius, cfg, max_bucket, salt_buckets)
     pairs, census = out if isinstance(out, tuple) else (out, None)
-    # lineage cut before the CC iteration (same discipline as the text
-    # lane: the alternating-star loop re-reads its input many times, and
-    # Spark 4.1's constraint propagation chokes on deep self-union plans)
+    # connected_components checkpoints its deduplicated edge input before
+    # iterating — one materialization point, no extra eager job here
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint(eager=True)
+    )
     clusters = connected_components(edges).select(
         "cluster_id", F.col("file_id").alias("vec_id")
     )

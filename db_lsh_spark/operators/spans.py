@@ -59,6 +59,12 @@ def window_positions(
     OOMing an executor."""
     if window < 2:
         raise ValueError("window_positions: window must be >= 2")
+    from db_lsh_spark.partitioning import respread
+
+    # the gram transform is the lane's expensive map pass — a
+    # single-partition scan would run it on one task (defensive re-spread,
+    # no-op at scale)
+    docs = respread(docs, id_col)
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     eligible = n >= window
@@ -190,16 +196,16 @@ def excise_dup_spans(
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                text = row["text"]
+            for doc_id, text, sp in zip(
+                pdf["doc_id"], pdf["text"], pdf["_spans"]
+            ):
                 if text is None:
-                    out.append((row["doc_id"], None, None, None))
+                    out.append((doc_id, None, None, None))
                     continue
                 toks = text.split(" ")
                 n = len(toks)
-                sp = row["_spans"]
                 if sp is None or len(sp) == 0:
-                    out.append((row["doc_id"], text, n, 0))
+                    out.append((doc_id, text, n, 0))
                     continue
                 drop = [False] * n
                 for s in sp:
@@ -207,9 +213,7 @@ def excise_dup_spans(
                                    min(int(s["end_tok"]), n)):
                         drop[i] = True
                 kept = [t for t, d in zip(toks, drop) if not d]
-                out.append(
-                    (row["doc_id"], " ".join(kept), n, int(sum(drop)))
-                )
+                out.append((doc_id, " ".join(kept), n, int(sum(drop))))
             yield pd.DataFrame(
                 out, columns=["doc_id", "text", "n_tokens",
                               "n_tokens_removed"]

@@ -429,6 +429,11 @@ def winnow_near_dup_pairs(
                          "shorter than one window generate no candidates")
     if verify not in ("hash_join", "window_join", "lcs"):
         raise ValueError(f"unknown verify mode {verify!r}")
+    from db_lsh_spark.partitioning import respread
+
+    # a single-partition docs scan would run the fingerprint kernel (and
+    # the verify hashing downstream) on one task — re-spread once
+    docs = respread(docs, "doc_id")
     fps = winnow_fingerprints(docs, w, k)
     if max_bucket is not None:
         from pyspark.sql import Window
@@ -491,7 +496,11 @@ def verify_substring_pairs(
         # expected spurious pairs, a few hundred at sf0.1 — is confirmed
         # by the suffix-array LCS path, which is collision-free.
         # Measured 2.5-3× faster than window_join at sf0.1 (78k candidate
-        # pairs, BENCH/winnow_ab.json).
+        # pairs, BENCH/winnow_ab.json). An r6 experiment folding both
+        # stages into one per-pair kernel over the pair-joined contents
+        # measured SLOWER (7.5s vs 4.9s at sf0.1): with 2048-row Arrow
+        # batches each doc was re-hashed in every batch it appeared in,
+        # losing the once-per-doc property this join formulation has.
         if lcs_cap is not None:
             # cap BEFORE hashing so the prefilter and the LCS confirm see
             # the same truncated texts (window_join cap semantics)

@@ -1,0 +1,25 @@
+"""Defensive re-spread — one shared implementation of the pattern used
+by ``pipeline.run_dedup`` and ``documents._as_files`` since round 1: a
+small single-row-group parquet (or a narrow union of one) yields ONE scan
+partition, and every narrow stage downstream — Arrow kernels, window
+transforms, the streamed side of joins, map-side partial aggregation —
+then runs on a single task regardless of core count. One bounded shuffle
+restores full parallelism; at scale the input already has >= target/2
+partitions and this no-ops (the gate, not the shuffle, is the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def respread(df: DataFrame, *by: str) -> DataFrame:
+    """Repartition ``df`` to the session's shuffle-partition count when it
+    currently has fewer than half that many partitions. ``by`` columns key
+    the hash partitioning (deterministic); without them the repartition is
+    round-robin."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        cols = [df[c] for c in by]
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df

@@ -715,20 +715,21 @@ def run_dedup(
         lane_pairs["winnow"] = gate("winnow_pairs", build_winnow_lane)
 
     def build_clusters() -> DataFrame:
-        # Eager checkpoints serve two purposes: the iterative CC re-reads its
-        # edge input every round (without this the whole LSH join would be
-        # recomputed per iteration), and unioning two frames that share deep
-        # lineage trips a Catalyst constraint-rewrite bug
-        # (UnionBase.rewriteConstraints: "key not found") in Spark 4.1.
+        # ONE materialization point: connected_components eagerly
+        # checkpoints its deduplicated edge input before iterating, so the
+        # LSH join is never recomputed per CC round; the former per-branch
+        # eager checkpoints only added a job + materialization each (the
+        # union-lineage Catalyst 4.1 constraint-rewrite hazard is disarmed
+        # by constraintPropagation=false in session.py).
         near_edges = verified.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-        ).localCheckpoint(eager=True)
-        edges = near_edges.unionByName(exact_edges.localCheckpoint(eager=True))
+        )
+        edges = near_edges.unionByName(exact_edges)
         for lp in lane_pairs.values():
             edges = edges.unionByName(
                 lp.select(
                     F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-                ).localCheckpoint(eager=True)
+                )
             )
         comp = connected_components(edges)
         return assignments_with_singletons(comp, fi_slim)
