@@ -243,7 +243,23 @@ def ensemble_near_dup_pairs(
     groupBy over lane outputs that are already output-linear. Nothing
     here re-touches content.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from db_lsh_spark.operators.text import winnow_near_dup_pairs
+
+    # The winnow lane is plan-independent of the other two and its build
+    # eagerly materializes two intermediates (candidate pairs, hash-join
+    # survivors); submitting it from a driver thread lets those jobs
+    # back-fill executor cores while the shared members/signatures
+    # materializations below run (guide §2.6: overlap independent jobs —
+    # actions are only sequential because driver code calls them
+    # sequentially).
+    pool = ThreadPoolExecutor(max_workers=1)
+    win_future = pool.submit(
+        lambda: winnow_near_dup_pairs(docs, w=winnow_w, min_lcs=min_lcs).select(
+            "id_a", "id_b", F.lit("winnow").alias("lane")
+        )
+    )
 
     # The Jaccard and SimHash lanes share their whole ingest prefix —
     # sha256 groups and the signature kernel (whose slim schema already
@@ -288,10 +304,12 @@ def ensemble_near_dup_pairs(
         verified_s, members, "hamming", F.lit(0).cast("int")
     ).select("id_a", "id_b", F.lit("simhash").alias("lane"))
 
-    # --- winnow lane (substring sketches over ALL docs, oracle parity) ---
-    win = winnow_near_dup_pairs(docs, w=winnow_w, min_lcs=min_lcs).select(
-        "id_a", "id_b", F.lit("winnow").alias("lane")
-    )
+    # --- winnow lane (substring sketches over ALL docs, oracle parity;
+    # built concurrently above) ---
+    try:
+        win = win_future.result()
+    finally:
+        pool.shutdown(wait=False)
     return (
         jac.unionByName(sim)
         .unionByName(win)

@@ -276,6 +276,12 @@ def _rerank_candidates(
     vectors are broadcast; the base side joins by neighbor_id as a normal
     shuffle hash join. Zero-norm (NaN-cosine) rows are excluded by the
     engine's similarity contract."""
+    # NOTE (r6): a broadcast-matrix fast path here (the pair lanes'
+    # collect_vectors_if_small shape) measured SLOWER for the kNN lanes —
+    # their candidate sets are only tens of thousands of rows, so the two
+    # bounded collects cost more than the broadcast joins they replace
+    # (emb_knn_l2_lsh 1.1→3.0 s, emb_knn_ivf 1.2→2.9 s at sf0.1).
+    # Reverted; the join path below stays.
     uq = with_unit_vectors(queries).select(
         F.col("vec_id").alias("query_id"), F.col("_unit").alias("u_q")
     )

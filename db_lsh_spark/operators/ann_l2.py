@@ -307,6 +307,10 @@ def _rerank_candidates_l2(
     discipline); the exact distance is the same JVM expression the brute
     force uses, so LSH == brute force whenever every true neighbor is a
     candidate (the recall-1 oracle contract)."""
+    # NOTE (r6): the pair lanes' broadcast-matrix fast path measured
+    # SLOWER here — kNN candidate sets are small enough that the two
+    # bounded collects outweigh the joins they replace (see
+    # ann._rerank_candidates). Join path kept.
     eq = queries.select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("e_q")
     )

@@ -936,6 +936,11 @@ def url_domain_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus-wide URL census: (domain, n_urls, n_docs). Extraction is
     map-only; the only shuffle is the final partial-aggregated groupBy on
     domain — the 100-TB shape (domains ≪ URLs after map-side combine)."""
+    from db_lsh_spark.partitioning import respread
+
+    # defensive re-spread: a single-split scan would run the regex
+    # extraction (the lane's only heavy stage) on one task; no-op at scale
+    docs = respread(docs, "doc_id")
     doms = docs.select(
         "doc_id", F.explode(_url_domains(docs, text_col)).alias("domain")
     )

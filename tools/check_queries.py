@@ -4,6 +4,10 @@ on DuckDB over the same parquet, compare row count + column names + an
 order-insensitive value hash. Usage:
 
     python tools/check_queries.py [sf_dir] [query ...]
+
+With ``CHECK_QUERIES_JSON=<path>`` set, additionally writes the sweep as
+a JSON artifact in the driver's CORRECTNESS schema (VERDICT r5 #4: the
+per-round full-sweep evidence file, e.g. ``CORRECTNESS_FULL_r06.json``).
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -58,12 +63,22 @@ def main() -> int:
         spark_s = time.monotonic() - t0
         if name not in oracles:
             print(f"  {name:28s} rows={len(sdf):6d}  (no oracle — rows-only) {spark_s:5.1f}s")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": "no oracle (rows-only)",
+            }
             continue
         ddf = con.sql(oracles[name]).df()
         ok_rows = len(sdf) == len(ddf)
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
         ok_hash = ok_rows and ok_cols and value_hash(sdf) == value_hash(ddf)
         status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        report[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(sdf),
+            "oracle_rows": len(ddf), "err": None,
+        }
         print(
             f"  {name:28s} rows={len(sdf):6d}/{len(ddf):6d} cols={'=' if ok_cols else 'X'} "
             f"hash={'=' if ok_hash else 'X'} [{status}] {spark_s:5.1f}s"
@@ -90,6 +105,14 @@ def main() -> int:
                 else:
                     print(f"    row mismatch {len(a)} vs {len(b)}")
     spark.stop()
+    import json
+    import os
+
+    out_path = os.environ.get("CHECK_QUERIES_JSON")
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {out_path} ({len(report)} queries)")
     print("FAILURES:", failures if failures else "none")
     return 1 if failures else 0
 

@@ -1,0 +1,175 @@
+"""Same-window scale ladder with per-stage attribution (VERDICT r5 #1).
+
+Runs the e2e dedup at N = 2.4M / 4.8M / 9.6M files back-to-back in ONE
+session of wall-clock (one process per N, same minutes), timing each
+pipeline stage cumulatively and pulling per-stage shuffle/spill/GC
+metrics from the Spark REST status API (UI enabled loopback-only for
+this tool; the engine's normal sessions keep it off). Output:
+``BENCH/scale_ladder_r6.json``.
+
+    python tools/scale_ladder.py [n1 n2 ...]   # default 2400000 4800000 9600000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RUN_TEMPLATE = """
+import json, sys, time, os, urllib.request
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = "32"
+from db_lsh_spark.session import get_spark
+from pyspark.sql import functions as F
+from db_lsh_spark.config import DedupConfig
+from db_lsh_spark.operators.bands import explode_bands
+from db_lsh_spark.operators.candidates import candidate_pairs
+from db_lsh_spark.operators.cluster import connected_components, assignments_with_singletons
+from db_lsh_spark.operators.signatures import (
+    compute_signatures, exact_duplicate_edges, semi_filter_reps, with_ids_and_sha)
+from db_lsh_spark.operators.verify import verify_pairs
+
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.appName("scale_ladder")
+         .master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.default.parallelism", "32")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.constraintPropagation.enabled", "false")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         .config("spark.sql.files.maxPartitionBytes", "16m")
+         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+         .config("spark.ui.enabled", "true")
+         .config("spark.ui.port", "4299")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.locality.wait", "0s")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sc = spark.sparkContext
+cfg = DedupConfig()
+files = spark.read.parquet({fixture!r} + "/files.parquet")
+
+stages = []
+def timed(name, fn):
+    sc.setJobDescription(name)
+    t0 = time.monotonic()
+    out = fn()
+    stages.append((name, round(time.monotonic() - t0, 2)))
+    sc.setJobDescription(None)
+    return out
+
+t_all = time.monotonic()
+files_ids = with_ids_and_sha(files)
+target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+if files_ids.rdd.getNumPartitions() < max(2, target // 2):
+    files_ids = files_ids.repartition(target, "file_id")
+fi_slim = files_ids.select("file_id", "sha256", "content")
+exact_edges, rep_ids = exact_duplicate_edges(fi_slim)
+sigs = semi_filter_reps(compute_signatures(fi_slim, cfg), rep_ids)
+sigs_m = timed("signatures", lambda: sigs.localCheckpoint(eager=True))
+pairs_cand, _ = candidate_pairs(explode_bands(sigs_m), cfg)
+pairs_m = timed("pairs", lambda: pairs_cand.localCheckpoint(eager=True))
+cand_ids = (pairs_m.select(F.col("id_a").alias("file_id"))
+            .unionByName(pairs_m.select(F.col("id_b").alias("file_id"))).distinct())
+needed = fi_slim.select("file_id", "content").join(cand_ids, "file_id", "left_semi")
+verified = verify_pairs(pairs_m, needed, cfg, with_lcs=False)
+ver_m = timed("verified", lambda: verified.localCheckpoint(eager=True))
+edges = (ver_m.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+         .unionByName(exact_edges))
+comp = timed("cc", lambda: connected_components(edges))
+assign = assignments_with_singletons(comp, fi_slim)
+n_dup = timed("assign+count",
+              lambda: assign.where("file_id != cluster_id").count())
+wall = round(time.monotonic() - t_all, 2)
+
+# REST status API: per-stage shuffle/spill/GC
+app_id = sc.applicationId
+api = f"http://localhost:4299/api/v1/applications/" + app_id + "/stages"
+try:
+    raw = json.load(urllib.request.urlopen(api + "?status=complete"))
+    stage_rows = [
+        {{
+            "stageId": s.get("stageId"),
+            "name": (s.get("name") or "")[:60],
+            "desc": (s.get("description") or "")[:40],
+            "runtimeMs": s.get("executorRunTime"),
+            "cpuMs": (s.get("executorCpuTime") or 0) // 1000000,
+            "gcMs": s.get("jvmGcTime"),
+            "shuffleReadMB": round((s.get("shuffleReadBytes") or 0) / 1e6, 1),
+            "shuffleWriteMB": round((s.get("shuffleWriteBytes") or 0) / 1e6, 1),
+            "spillMemMB": round((s.get("memoryBytesSpilled") or 0) / 1e6, 1),
+            "spillDiskMB": round((s.get("diskBytesSpilled") or 0) / 1e6, 1),
+            "inputMB": round((s.get("inputBytes") or 0) / 1e6, 1),
+        }}
+        for s in raw
+    ]
+except Exception as exc:
+    stage_rows = [{{"error": repr(exc)}}]
+
+print("LADDER_JSON:" + json.dumps({{
+    "n_files": {n_files},
+    "wall_sec": wall,
+    "n_dup_assignments": n_dup,
+    "files_per_sec": round({n_files} / wall, 1),
+    "pipeline_stage_walls": stages,
+    "spark_stages": stage_rows,
+}}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    import subprocess
+
+    ns = [int(x) for x in sys.argv[1:]] or [2_400_000, 4_800_000, 9_600_000]
+    from db_lsh_spark.sources.synth import write_files_only
+
+    results = []
+    t_window = time.time()
+    for n in ns:
+        fixture = f"/tmp/bench_fixture_{n}"
+        if not os.path.exists(f"{fixture}/files.parquet"):
+            print(f"building fixture {fixture} ...", flush=True)
+            write_files_only(n, fixture)
+        code = RUN_TEMPLATE.format(repo=REPO, fixture=fixture, n_files=n)
+        print(f"=== ladder N={n} ===", flush=True)
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("LADDER_JSON:")
+        ]
+        if not line:
+            print("FAILED:", proc.stdout[-2000:], proc.stderr[-3000:])
+            sys.exit(1)
+        row = json.loads(line[0][len("LADDER_JSON:"):])
+        row["proc_wall_sec"] = round(time.time() - t0, 1)
+        print(json.dumps({k: row[k] for k in
+                          ("n_files", "wall_sec", "files_per_sec",
+                           "n_dup_assignments", "pipeline_stage_walls")}),
+              flush=True)
+        results.append(row)
+    out = {
+        "round": 6,
+        "window_started_unix": int(t_window),
+        "window_wall_sec": round(time.time() - t_window, 1),
+        "cpus": 32,
+        "runs": results,
+    }
+    with open(os.path.join(REPO, "BENCH", "scale_ladder_r6.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote BENCH/scale_ladder_r6.json")
+
+
+if __name__ == "__main__":
+    main()
