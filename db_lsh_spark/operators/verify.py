@@ -45,6 +45,7 @@ def verify_pairs(
     files: DataFrame,
     cfg: DedupConfig,
     with_lcs: bool = True,
+    shuffle_parts: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) → verified (id_a, id_b, jaccard, lcs_len) rows with
     jaccard >= cfg.jaccard_threshold.
@@ -67,9 +68,36 @@ def verify_pairs(
       collision rate is ~n_shingles²/2^33 per doc (≪1e-4 for any realistic
       doc), and the rounding rule keeps the boundary behavior identical.
     """
+    # Scale-adaptive join parallelism (guide §2.2/§5; r6 scale ladder).
+    # The content-fetch joins move ~2 full contents per candidate pair;
+    # at a fixed local shuffle-partition count the sort-merge buffers stop
+    # fitting as the corpus grows (measured: 9.6M files -> 12.5 GB through
+    # 32 partitions -> 8.9 GB memory spill, task time 9x CPU time —
+    # BENCH/scale_ladder_r6.json). Derive the join partitioning from the
+    # INPUT's own partition count (∝ bytes / maxPartitionBytes) instead:
+    # callers that know the scan width pass ``shuffle_parts``; otherwise
+    # it is read off ``files``. When it does not exceed the session
+    # setting this is a no-op and plans are unchanged (the small-SF /
+    # driver-bench case).
+    spark = pairs.sparkSession
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if shuffle_parts is None:
+        try:
+            shuffle_parts = files.rdd.getNumPartitions()
+        except Exception:
+            shuffle_parts = base
+    parts = max(base, int(shuffle_parts))
+
     a = files.select(F.col("file_id").alias("id_a"), F.col("content").alias("content_a"))
     b = files.select(F.col("file_id").alias("id_b"), F.col("content").alias("content_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b").select(
+    if parts > base:
+        pairs = pairs.repartition(parts, "id_a")
+        a = a.repartition(parts, "id_a")
+    joined = pairs.join(a, "id_a")
+    if parts > base:
+        joined = joined.repartition(parts, "id_b")
+        b = b.repartition(parts, "id_b")
+    joined = joined.join(b, "id_b").select(
         "id_a", "id_b", "content_a", "content_b"
     )
 

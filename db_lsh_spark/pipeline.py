@@ -354,8 +354,12 @@ def run_dedup(
     # narrow stage — AQE's broadcast joins happily preserve it — and the
     # signature UDF would run on one task. One bounded shuffle fixes it.
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if files_ids.rdd.getNumPartitions() < max(2, target // 2):
+    input_parts = files_ids.rdd.getNumPartitions()
+    if input_parts < max(2, target // 2):
         files_ids = files_ids.repartition(target, "file_id")
+    # scale hint for the verify content joins: the scan's own partition
+    # count (∝ input bytes / maxPartitionBytes) — see verify_pairs
+    verify_parts = max(target, input_parts)
 
     # ---- repo opt-out removal (the takedown list — the VERY first cut:
     # an opted-out repo's snapshots/languages/licenses are all moot) ----
@@ -672,7 +676,9 @@ def run_dedup(
         needed = fi_sig.select("file_id", "content").join(
             cand_ids, "file_id", "left_semi"
         )
-        return verify_pairs(cand, needed, cfg, with_lcs=with_lcs)
+        return verify_pairs(
+            cand, needed, cfg, with_lcs=with_lcs, shuffle_parts=verify_parts
+        )
 
     verified = gate("verified", build_verified)
 

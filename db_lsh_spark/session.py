@@ -64,6 +64,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite a sort-merge join to a shuffled-hash join at
+        # runtime when every post-shuffle build partition is under 64 MB
+        # (real sizes, not estimates — guide §3.1). Motivation (r6 scale
+        # ladder, BENCH/scale_ladder_r6.json): at 9.6M files the verify
+        # content-fetch SMJ sorted a ~12.5 GB shuffle through 32 fixed
+        # partitions and spilled 8.9 GB mem / 1.9 GB disk (task time
+        # 3802 s vs 423 s CPU) — the slim pair side builds a ~3 MB hash
+        # map per partition instead, and the content side streams with no
+        # sort. Memory bound: cores × 64 MB of build maps per executor.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         # Spark 4.1 UnionBase.rewriteConstraints throws "key not found"
         # (NoSuchElementException) when re-planning a union of frames with
         # filters over shared-lineage attributes (hit by the CC edge union);

@@ -43,6 +43,7 @@ spark = (SparkSession.builder.appName("scale_ladder")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
          .config("spark.sql.constraintPropagation.enabled", "false")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
@@ -70,7 +71,9 @@ def timed(name, fn):
 t_all = time.monotonic()
 files_ids = with_ids_and_sha(files)
 target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-if files_ids.rdd.getNumPartitions() < max(2, target // 2):
+input_parts = files_ids.rdd.getNumPartitions()
+verify_parts = max(target, input_parts)
+if input_parts < max(2, target // 2):
     files_ids = files_ids.repartition(target, "file_id")
 fi_slim = files_ids.select("file_id", "sha256", "content")
 exact_edges, rep_ids = exact_duplicate_edges(fi_slim)
@@ -81,7 +84,8 @@ pairs_m = timed("pairs", lambda: pairs_cand.localCheckpoint(eager=True))
 cand_ids = (pairs_m.select(F.col("id_a").alias("file_id"))
             .unionByName(pairs_m.select(F.col("id_b").alias("file_id"))).distinct())
 needed = fi_slim.select("file_id", "content").join(cand_ids, "file_id", "left_semi")
-verified = verify_pairs(pairs_m, needed, cfg, with_lcs=False)
+verified = verify_pairs(pairs_m, needed, cfg, with_lcs=False,
+                        shuffle_parts=verify_parts)
 ver_m = timed("verified", lambda: verified.localCheckpoint(eager=True))
 edges = (ver_m.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
          .unionByName(exact_edges))
