@@ -82,10 +82,14 @@ def lsh_near_dup_pairs(
         > 0
     )
     # members is SLIM (two longs/row) and fans out into four plan branches
-    # (rep_ids, cross-expand a/b, intra-expand); materializing it once
+    # (rep_ids, cross-expand a/b, intra-expand); checkpointing it once
     # truncates the otherwise ~80-Exchange duplicated-subtree plan (the
-    # files scan + sha groupBy would be replanned per branch — guide §3.3)
-    members = sha_group_members(files).localCheckpoint(eager=True)
+    # files scan + sha groupBy would be replanned per branch — guide §3.3).
+    # LAZY on purpose: eager=True serialized the scan+sha pass into its
+    # own pre-job, ahead of the stage-level parallelism the one-DAG r5
+    # plan had; lazy keeps the plan truncation and materializes inside
+    # the first consuming job.
+    members = sha_group_members(files).localCheckpoint(eager=False)
     rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
     sigs = semi_filter_reps(compute_signatures(files, cfg), rep_ids)
     pairs, _ = candidate_pairs(explode_bands(sigs), cfg)
@@ -144,9 +148,11 @@ def dedup_clusters(
     Exact-duplicate edges (sha256) are unioned with verified LSH pairs
     before connected components."""
     files = with_ids_and_sha(_as_files(docs))
-    # one slim materialized group table replaces the twin sha groupBys of
-    # exact_duplicate_edges (edges + rep_ids) — equivalent rows, one pass
-    members = sha_group_members(files).localCheckpoint(eager=True)
+    # one slim checkpointed group table replaces the twin sha groupBys of
+    # exact_duplicate_edges (edges + rep_ids) — equivalent rows, one pass.
+    # Lazy for the same reason as lsh_near_dup_pairs: materialize inside
+    # the first consuming job, don't serialize a pre-pass.
+    members = sha_group_members(files).localCheckpoint(eager=False)
     exact_edges = members.where(F.col("file_id") != F.col("rep_id")).select(
         F.col("file_id").alias("src"), F.col("rep_id").alias("dst")
     )
@@ -198,8 +204,8 @@ def simhash_near_dup_pairs(
     files = with_ids_and_sha(
         _as_files(docs).withColumn("content", F.coalesce("content", F.lit("")))
     )
-    # same slim-materialization rationale as the MinHash lane (guide §3.3)
-    members = sha_group_members(files).localCheckpoint(eager=True)
+    # same slim-checkpoint (lazy) rationale as the MinHash lane (§3.3)
+    members = sha_group_members(files).localCheckpoint(eager=False)
     rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
     sims = semi_filter_reps(compute_simhash(files), rep_ids)
     verified = simhash_band_pairs(sims, max_hamming, n_bands)

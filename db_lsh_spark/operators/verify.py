@@ -75,17 +75,17 @@ def verify_pairs(
     # 32 partitions -> 8.9 GB memory spill, task time 9x CPU time —
     # BENCH/scale_ladder_r6.json). Derive the join partitioning from the
     # INPUT's own partition count (∝ bytes / maxPartitionBytes) instead:
-    # callers that know the scan width pass ``shuffle_parts``; otherwise
-    # it is read off ``files``. When it does not exceed the session
-    # setting this is a no-op and plans are unchanged (the small-SF /
-    # driver-bench case).
+    # callers that know the scan width pass ``shuffle_parts``
+    # (``run_dedup`` does, from the pre-semi-join scan). When it does not
+    # exceed the session setting this is a no-op and plans are unchanged
+    # (the small-SF / driver-bench case). With no caller hint the session
+    # setting stands: deriving it here via ``files.rdd`` would compile the
+    # full lineage to an RDD on the DRIVER per call — measured 1.0 s on a
+    # regexp-heavy (normalized-view) lineage, pure planning overhead.
     spark = pairs.sparkSession
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if shuffle_parts is None:
-        try:
-            shuffle_parts = files.rdd.getNumPartitions()
-        except Exception:
-            shuffle_parts = base
+        shuffle_parts = base
     parts = max(base, int(shuffle_parts))
 
     a = files.select(F.col("file_id").alias("id_a"), F.col("content").alias("content_a"))
