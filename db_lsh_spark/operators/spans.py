@@ -119,8 +119,9 @@ def dup_spans(
     # Materializing the slim (doc_id, pos, 128-bit key) rows runs it once;
     # both branches shuffle those same bytes anyway (guide §2.4: two
     # consumers of one keyed frame should share one computation).
+    # lazy: materializes inside the first consuming job (no pre-job)
     keyed = win.select("doc_id", "pos", key.alias("_k")).localCheckpoint(
-        eager=True
+        eager=False
     )
     # two-level distinct-doc count: mega-windows combine map-side
     shared = (

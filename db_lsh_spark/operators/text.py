@@ -451,13 +451,15 @@ def winnow_near_dup_pairs(
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
     # lineage-cut: the candidate table feeds three downstream joins — the
-    # fingerprint kernel + self-join must not recompute per consumer
+    # fingerprint kernel + self-join must not recompute per consumer.
+    # LAZY: materializes inside the first consuming job instead of as a
+    # serialized pre-job (same r6 rationale as documents.py's members).
     cand = (
         a.join(b, "fp")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return verify_substring_pairs(cand, docs, min_lcs, lcs_cap=lcs_cap,
                                   verify=verify)
 
@@ -520,10 +522,10 @@ def verify_substring_pairs(
         )
         # lineage-cut: the LCS confirm consumes survivors three times
         # (two cand_id branches + the content join) — without the cut the
-        # hash join above would recompute per consumer
+        # hash join above would recompute per consumer. Lazy, as above.
         survivors = cand.join(
             shared, ["id_a", "id_b"], "left_semi"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         return verify_substring_pairs(
             survivors, needed, min_lcs, lcs_cap=lcs_cap, verify="lcs"
         )
