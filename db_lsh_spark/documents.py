@@ -253,13 +253,13 @@ def ensemble_near_dup_pairs(
 
     from db_lsh_spark.operators.text import winnow_near_dup_pairs
 
-    # The winnow lane is plan-independent of the other two and its build
-    # eagerly materializes two intermediates (candidate pairs, hash-join
-    # survivors); submitting it from a driver thread lets those jobs
-    # back-fill executor cores while the shared members/signatures
-    # materializations below run (guide §2.6: overlap independent jobs —
-    # actions are only sequential because driver code calls them
-    # sequentially).
+    # The winnow lane is plan-independent of the other two; building it
+    # from a driver thread overlaps its driver-side build cost (plan
+    # construction + the respread partition probe) with the shared
+    # members/signatures materializations below (guide §2.6: overlap
+    # independent work — actions are only sequential because driver code
+    # calls them sequentially). An all-lazy single-DAG variant was A/B'd
+    # in r6 (4 interleaved rounds): a wash, eager marginally ahead.
     pool = ThreadPoolExecutor(max_workers=1)
     win_future = pool.submit(
         lambda: winnow_near_dup_pairs(docs, w=winnow_w, min_lcs=min_lcs).select(
