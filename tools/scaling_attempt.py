@@ -1,6 +1,7 @@
 """Run one north_rule scaling attempt (taskset-pinned local[8] vs local[32],
 interleaved best-of-k, same-window no-Spark hardware control) and APPEND it
-to the round's attempt ledger ``BENCH/scaling_r5.json`` instead of
+to the round's attempt ledger (``BENCH/scaling_r{N}.json``, round read
+from ``$SCALING_ROUND``, default 6) instead of
 clobbering ``BENCH/scaling.json`` the way ``scaling_run.py`` does.
 
     python tools/scaling_attempt.py N_FILES [runs_per_level] [--note "..."]
@@ -59,9 +60,13 @@ def main() -> None:
                 f"{lo['n_dup_assignments'] == hi['n_dup_assignments']}",
         "window_health": note,
     }
-    ledger_path = f"{REPO}/BENCH/scaling_r5.json"
-    with open(ledger_path) as f:
-        ledger = json.load(f)
+    rnd = int(os.environ.get("SCALING_ROUND", "6"))
+    ledger_path = f"{REPO}/BENCH/scaling_r{rnd}.json"
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+    else:
+        ledger = {"n_files": n_files, "round": rnd, "attempts": []}
     ledger["attempts"].append(attempt)
     with open(ledger_path, "w") as f:
         json.dump(ledger, f, indent=1)
