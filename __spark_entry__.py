@@ -164,7 +164,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(spark: SparkSession, sf_dir: str, respread: bool = True) -> DataFrame:
     _ensure_worker_pythonpath(spark)
     out = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # Defensive re-spread (same pattern as _as_files / run_dedup): a small
@@ -174,9 +174,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on one task. One bounded shuffle of the slim vector table restores
     # full-core parallelism; at scale the input has >= target partitions
     # already and this no-ops.
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if out.rdd.getNumPartitions() < max(2, target // 2):
-        out = out.repartition(target, "vec_id")
+    #
+    # ``respread=False`` is for the LIGHT probe lanes (the banded kNN /
+    # IVF queries): their pre-shuffle compute is one hashing pass over the
+    # vectors, and a single-shot A/B (bench methodology, 2 rounds each)
+    # measured the extra exchange as a pure ~0.5 s loss there (knn_l2_lsh
+    # 1.44 vs 2.09 s, knn_ivf 1.50 vs 2.03 s) while the compute-heavy
+    # lanes keep it (bruteforce 5.7 vs 6.2 s; the pair lanes 2.1 vs 3.6 s
+    # WITH it). At scale both paths see the scan's natural partitioning.
+    if respread:
+        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if out.rdd.getNumPartitions() < max(2, target // 2):
+            out = out.repartition(target, "vec_id")
     return out
 
 
@@ -1263,7 +1272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rerank, LSH output == exact top-k iff every true neighbor is a bucket
     # candidate — the recall-1 claim, same pattern as doc_lsh_near_dup_pairs
     # (reference protocol: RECALL vs ground truth, Query.cpp:157-163)
-    q["emb_knn_lsh"] = lambda s, d: ann_ops.knn_lsh(_emb(s, d), ANN_CFG).select(
+    q["emb_knn_lsh"] = lambda s, d: ann_ops.knn_lsh(
+        _emb(s, d, respread=False), ANN_CFG
+    ).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
     )
 
@@ -1281,7 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact-L2 rerank means LSH == exact top-k iff every true neighbor is a
     # bucket candidate (recall-1 contract, Query.cpp:157-163)
     q["emb_knn_l2_lsh"] = lambda s, d: ann_l2_ops.knn_l2_lsh(
-        _emb(s, d), ANN_CFG_L2
+        _emb(s, d, respread=False), ANN_CFG_L2
     ).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "dist"
     )
@@ -1316,7 +1327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _knn_ivf(s: SparkSession, d: str) -> DataFrame:
         from db_lsh_spark.operators.ivf import knn_ivf
 
-        return knn_ivf(_emb(s, d), ANN_CFG_L2, n_centroids=8, nprobe=8).select(
+        return knn_ivf(
+            _emb(s, d, respread=False), ANN_CFG_L2, n_centroids=8, nprobe=8
+        ).select(
             "query_id", F.col("rank").cast("long").alias("rank"),
             "neighbor_id", "dist",
         )
