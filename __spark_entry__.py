@@ -587,10 +587,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the real one-token edit stays out, and every raw near-dup pair
         # survives normalization with its jaccard intact
         from db_lsh_spark.documents import lsh_near_dup_pairs
+        from db_lsh_spark.partitioning import respread
 
-        docs = _docs_with_code(s, d).select(
+        # materialize the normalized view ONCE (lazy checkpoint): the
+        # lane's three corpus passes (sha groups, signatures, verify
+        # fetch) would otherwise each re-evaluate the 4-regex normalize
+        # chain over the full corpus. Re-spread BEFORE the checkpoint so
+        # the regex pass itself runs wide on a single-row-group scan.
+        docs = respread(_docs_with_code(s, d), "doc_id").select(
             "doc_id", text_ops.normalize_code_col("text").alias("text")
         )
+        docs = docs.localCheckpoint(eager=False)
         return lsh_near_dup_pairs(docs, DOC_DEDUP_CFG)
 
     q["doc_norm_lsh_near_dup_pairs_seeded"] = _norm_lsh_pairs_seeded

@@ -1,0 +1,52 @@
+"""Single-shot query timer (round 6 measurement-only tooling).
+
+Reproduces the frozen bench's per-query statistic exactly: ONE fresh
+session, each named query executed ONCE via .count(), wall seconds
+printed as JSON. Used for interleaved A/B between trees where the
+driver-visible number is the FIRST in-session execution (bench.py times
+each query once per process), which min-of-K in one session cannot see.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+        python tools/single_shot.py doc_norm_lsh_near_dup_pairs_seeded
+
+Optional env: SINGLE_SHOT_WARM — comma-separated query names executed
+(untimed) before the timed ones, to reproduce the bench's position in
+the session (kernels/codegen already warm from earlier queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    names = sys.argv[1:]
+    warm = [w for w in os.environ.get("SINGLE_SHOT_WARM", "").split(",") if w]
+
+    import __spark_entry__ as entrymod
+    from db_lsh_spark.session import get_spark
+
+    spark = get_spark(app_name="single_shot", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+    for w in warm:
+        qmap[w](spark, sf_dir).count()
+    out = {}
+    for name in names:
+        t0 = time.monotonic()
+        n = qmap[name](spark, sf_dir).count()
+        out[name] = {"sec": round(time.monotonic() - t0, 3), "rows": n}
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
