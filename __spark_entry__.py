@@ -183,9 +183,9 @@ def _emb(spark: SparkSession, sf_dir: str, respread: bool = True) -> DataFrame:
     # lanes keep it (bruteforce 5.7 vs 6.2 s; the pair lanes 2.1 vs 3.6 s
     # WITH it). At scale both paths see the scan's natural partitioning.
     if respread:
-        target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        if out.rdd.getNumPartitions() < max(2, target // 2):
-            out = out.repartition(target, "vec_id")
+        from db_lsh_spark.partitioning import respread as _respread
+
+        out = _respread(out, "vec_id")
     return out
 
 

@@ -266,7 +266,24 @@ def ensemble_near_dup_pairs(
             "id_a", "id_b", F.lit("winnow").alias("lane")
         )
     )
+    # everything between submit and result runs under the try so an
+    # exception from the sibling lanes still shuts the pool down (an
+    # orphaned non-daemon worker thread would block interpreter exit)
+    try:
+        return _ensemble_lanes_union(
+            docs, cfg, max_hamming, n_bands, win_future
+        )
+    finally:
+        pool.shutdown(wait=False)
 
+
+def _ensemble_lanes_union(
+    docs: DataFrame,
+    cfg: DedupConfig,
+    max_hamming: int,
+    n_bands: int,
+    win_future,
+) -> DataFrame:
     # The Jaccard and SimHash lanes share their whole ingest prefix —
     # sha256 groups and the signature kernel (whose slim schema already
     # carries BOTH the band hashes and the simhash column). Computing that
@@ -311,11 +328,8 @@ def ensemble_near_dup_pairs(
     ).select("id_a", "id_b", F.lit("simhash").alias("lane"))
 
     # --- winnow lane (substring sketches over ALL docs, oracle parity;
-    # built concurrently above) ---
-    try:
-        win = win_future.result()
-    finally:
-        pool.shutdown(wait=False)
+    # built concurrently above; pool shutdown is the caller's finally) ---
+    win = win_future.result()
     return (
         jac.unionByName(sim)
         .unionByName(win)

@@ -101,6 +101,11 @@ def collect_vectors_if_small(
     pdf = emb.select("vec_id", "embedding").limit(max_rows + 1).toPandas()
     if len(pdf) > max_rows:
         return None
+    if not len(pdf):
+        # np.stack raises on an empty sequence; an empty corpus is a
+        # legal input (fully filtered table) and must broadcast as an
+        # empty matrix, not crash at plan-build time
+        return np.empty(0, dtype=np.int64), np.empty((0, dim), np.float64)
     ids = pdf["vec_id"].to_numpy(np.int64)
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     order = np.argsort(ids, kind="stable")

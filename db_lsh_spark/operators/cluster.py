@@ -17,7 +17,36 @@ so plans stay bounded (SURVEY 7.3 hard-part note).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, functions as F
+
+
+@contextmanager
+def _constraints_off(spark):
+    """Catalyst 4.1's ``UnionBase.rewriteConstraints`` throws ``key not
+    found: <attr>`` when planning a union whose children share attribute
+    ids — exactly the shape every CC caller feeds (near-dup ∪ exact edges
+    derived from ONE scan). ``get_spark`` sessions disable constraint
+    propagation globally (session.py), but the entry contract runs on an
+    externally built session with the default (on). This guard turns the
+    conf off for the duration of CC's own planning/actions and restores
+    it on exit, making the operator safe on ANY session. Constraint
+    propagation is an optimizer nicety: a temporarily-off window can only
+    weaken optimization of concurrently planned queries, never results."""
+    key = "spark.sql.constraintPropagation.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = "true"
+    if str(prev).lower() == "false":
+        yield
+        return
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -148,20 +177,31 @@ def connected_components(
         ).first()
         return int(row.n), int(row.h)
 
-    e = edges.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
-    e = e.localCheckpoint(eager=True)
-    if driver_threshold and e.count() <= driver_threshold:
-        return _cc_driver_side(e)
-    sig = _sig(e)
-    for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig2 = _sig(e2)
-        changed = sig2 != sig
-        e, sig = e2, sig2
-        if not changed:
-            break
-    else:
-        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # _constraints_off: the edge input is routinely a union whose children
+    # share lineage (near ∪ exact over one scan) — planning its eager
+    # checkpoint on a default-conf session trips the Catalyst 4.1
+    # rewriteConstraints crash; see the helper's docstring
+    with _constraints_off(edges.sparkSession):
+        e = (
+            edges.where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .distinct()
+        )
+        e = e.localCheckpoint(eager=True)
+        if driver_threshold and e.count() <= driver_threshold:
+            return _cc_driver_side(e)
+        sig = _sig(e)
+        for _ in range(max_iter):
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            sig2 = _sig(e2)
+            changed = sig2 != sig
+            e, sig = e2, sig2
+            if not changed:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds"
+            )
     # converged star graph: every edge points node → component min
     roots = e.select(F.col("dst").alias("file_id")).distinct().withColumn(
         "cluster_id", F.col("file_id")

@@ -208,3 +208,18 @@ def test_cosine_dedup_clusters_matches_pair_graph(spark, emb):
     got = ann_ops.cosine_dedup_clusters(emb, 0.45, cfg).toPandas()
     assert sorted(zip(got.cluster_id, got.vec_id)) == want
     assert len(want) > 0
+
+
+def test_near_dup_pairs_lsh_empty_table(spark, emb):
+    """r6 regression guard (round-close review): the broadcast-matrix
+    exact-distance fast path crashed at plan-build time on a ZERO-row
+    vector table (np.stack of an empty sequence inside
+    collect_vectors_if_small); a fully filtered corpus is a legal input
+    and must yield an empty pair set in both metric lanes."""
+    from db_lsh_spark.config import AnnConfig
+    from db_lsh_spark.operators import ann_l2 as ann_l2_ops
+
+    empty = emb.where("vec_id < 0")
+    cfg = AnnConfig(k=10, n_queries=20)
+    assert ann_ops.cosine_near_dup_pairs_lsh(empty, 0.9, cfg).count() == 0
+    assert ann_l2_ops.l2_near_dup_pairs_lsh(empty, 1.0, cfg).count() == 0

@@ -139,3 +139,63 @@ def test_cc_numpy_long_chain():
     dst = src + 1
     nodes, cluster = _cc_numpy(src, dst)
     assert (cluster == 0).all() and len(nodes) == n
+
+
+def test_distributed_cc_constraint_propagation_default(spark, dedup_cfg):
+    """r6 regression guard (round-close review): CC's edge input is a
+    shared-lineage union (near ∪ exact over ONE scan); on a session with
+    constraint propagation ENABLED — the Spark default for any session
+    not built by ``get_spark`` — planning CC's eager checkpoint crashed
+    with Catalyst 4.1's rewriteConstraints "key not found" bug.
+    ``connected_components`` now turns the conf off around its own
+    window and restores it; distributed and driver-side paths agree."""
+    from pyspark.sql import functions as F
+
+    from db_lsh_spark.documents import (
+        _as_files,
+        sha_group_members,
+        with_ids_and_sha,
+    )
+    from db_lsh_spark.operators.bands import explode_bands
+    from db_lsh_spark.operators.candidates import candidate_pairs
+    from db_lsh_spark.operators.signatures import (
+        compute_signatures,
+        semi_filter_reps,
+    )
+    from db_lsh_spark.operators.verify import verify_pairs
+
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        files = with_ids_and_sha(_as_files(docs))
+        members = sha_group_members(files).localCheckpoint(eager=False)
+        exact_edges = members.where(
+            F.col("file_id") != F.col("rep_id")
+        ).select(F.col("file_id").alias("src"), F.col("rep_id").alias("dst"))
+        rep_ids = members.select(F.col("rep_id").alias("file_id")).distinct()
+        sigs = semi_filter_reps(compute_signatures(files, dedup_cfg), rep_ids)
+        pairs, _ = candidate_pairs(explode_bands(sigs), dedup_cfg)
+        verified = verify_pairs(pairs, files, dedup_cfg, with_lcs=False)
+        near = verified.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        edges = near.unionByName(exact_edges)
+        dist = sorted(
+            map(tuple, connected_components(edges, driver_threshold=0).collect())
+        )
+        drv = sorted(
+            map(
+                tuple,
+                connected_components(
+                    edges, driver_threshold=10_000_000
+                ).collect(),
+            )
+        )
+        assert dist and dist == drv
+        assert spark.conf.get(key) == "true"  # restored, not clobbered
+    finally:
+        spark.conf.set(key, prev)
