@@ -37,10 +37,9 @@ def _as_files(docs: DataFrame) -> DataFrame:
     )
     # same defensive re-spread as pipeline.run_dedup: keep UDF stages off a
     # single-partition (one-row-group parquet) input
-    target = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if out.rdd.getNumPartitions() < max(2, target // 2):
-        out = out.repartition(target, "file_id")
-    return out
+    from db_lsh_spark.partitioning import respread
+
+    return respread(out, "file_id")
 
 
 def lsh_near_dup_pairs(
@@ -149,9 +148,17 @@ def dedup_clusters(
     before connected components."""
     files = with_ids_and_sha(_as_files(docs))
     # one slim checkpointed group table replaces the twin sha groupBys of
-    # exact_duplicate_edges (edges + rep_ids) — equivalent rows, one pass.
-    # Lazy for the same reason as lsh_near_dup_pairs: materialize inside
-    # the first consuming job, don't serialize a pre-pass.
+    # exact_duplicate_edges (edges + rep_ids) — same rows for every
+    # non-NULL sha, one pass. Deliberate NULL-text difference from the
+    # old derivation: members' equi-join drops the NULL-sha group, so a
+    # NULL-text doc's rep no longer enters the LSH index — which is the
+    # ORACLE's semantics (string_split(NULL) unnests to zero shingle
+    # rows and text = text never matches NULL: NULL docs are singletons;
+    # the old rep_ids-from-groupBy path let the NULL rep's sentinel
+    # signature verify at jaccard 1.0 — the 0/0 rule — against
+    # empty-string docs, a latent divergence). Pinned by
+    # test_null_text_docs_are_singletons. Lazy for the same reason as
+    # lsh_near_dup_pairs: materialize inside the first consuming job.
     members = sha_group_members(files).localCheckpoint(eager=False)
     exact_edges = members.where(F.col("file_id") != F.col("rep_id")).select(
         F.col("file_id").alias("src"), F.col("rep_id").alias("dst")
@@ -266,6 +273,13 @@ def ensemble_near_dup_pairs(
             "id_a", "id_b", F.lit("winnow").alias("lane")
         )
     )
+    # mark any stored exception retrieved as soon as the future settles:
+    # when a SIBLING lane fails first, result() is never reached and an
+    # unretrieved winnow-side error would otherwise surface only as a
+    # confusing "Future exception was never retrieved" warning at GC
+    win_future.add_done_callback(
+        lambda f: None if f.cancelled() else f.exception()
+    )
     # everything between submit and result runs under the try so an
     # exception from the sibling lanes still shuts the pool down (an
     # orphaned non-daemon worker thread would block interpreter exit)
@@ -274,6 +288,7 @@ def ensemble_near_dup_pairs(
             docs, cfg, max_hamming, n_bands, win_future
         )
     finally:
+        win_future.cancel()
         pool.shutdown(wait=False)
 
 

@@ -106,6 +106,15 @@ def collect_vectors_if_small(
         # legal input (fully filtered table) and must broadcast as an
         # empty matrix, not crash at plan-build time
         return np.empty(0, dtype=np.int64), np.empty((0, dim), np.float64)
+    actual_dim = len(pdf["embedding"].iloc[0])
+    if actual_dim != dim:
+        # the caller-passed dim (cfg.dim) sized max_rows; if the table's
+        # real width is larger the gate was too permissive — re-derive it
+        # from the measured width so the byte budget stays honest (the
+        # one-off transient collect is bounded by max_rows+1 rows either
+        # way), falling back to the join path when over
+        if len(pdf) > max(1, max_bytes // (max(actual_dim, 1) * 8)):
+            return None
     ids = pdf["vec_id"].to_numpy(np.int64)
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     order = np.argsort(ids, kind="stable")

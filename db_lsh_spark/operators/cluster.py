@@ -17,9 +17,19 @@ so plans stay bounded (SURVEY 7.3 hard-part note).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, functions as F
+
+# _constraints_off bookkeeping: depth-counted per session so CONCURRENT
+# CC calls (driver threads are a supported pattern — the ensemble lane
+# builds from one) nest safely — only the first entrant flips the conf,
+# only the last restores it. Without the count, thread B reading the
+# conf while thread A holds it off would treat the session as globally
+# disabled and lose protection when A restores.
+_CONSTRAINTS_LOCK = threading.Lock()
+_CONSTRAINTS_STATE: dict[str, list] = {}  # session id -> [depth, prev]
 
 
 @contextmanager
@@ -31,22 +41,37 @@ def _constraints_off(spark):
     propagation globally (session.py), but the entry contract runs on an
     externally built session with the default (on). This guard turns the
     conf off for the duration of CC's own planning/actions and restores
-    it on exit, making the operator safe on ANY session. Constraint
-    propagation is an optimizer nicety: a temporarily-off window can only
-    weaken optimization of concurrently planned queries, never results."""
+    it on exit — depth-counted across threads — making the operator safe
+    on ANY session. Constraint propagation is an optimizer nicety: a
+    temporarily-off window can only weaken optimization of concurrently
+    planned queries, never results."""
     key = "spark.sql.constraintPropagation.enabled"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = "true"
-    if str(prev).lower() == "false":
-        yield
-        return
-    spark.conf.set(key, "false")
+    sid = str(id(spark))
+    with _CONSTRAINTS_LOCK:
+        state = _CONSTRAINTS_STATE.get(sid)
+        if state is None:
+            try:
+                prev = spark.conf.get(key)
+            except Exception:
+                prev = "true"
+            if str(prev).lower() == "false":
+                # session-globally off (the get_spark configuration):
+                # nothing to flip, nothing to track
+                state = None
+            else:
+                spark.conf.set(key, "false")
+                state = _CONSTRAINTS_STATE[sid] = [1, prev]
+        else:
+            state[0] += 1
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        if state is not None:
+            with _CONSTRAINTS_LOCK:
+                state[0] -= 1
+                if state[0] == 0:
+                    del _CONSTRAINTS_STATE[sid]
+                    spark.conf.set(key, state[1])
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -13,13 +13,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def respread(df: DataFrame, *by: str) -> DataFrame:
+def respread(df: DataFrame, *by: str, parts: int | None = None) -> DataFrame:
     """Repartition ``df`` to the session's shuffle-partition count when it
     currently has fewer than half that many partitions. ``by`` columns key
     the hash partitioning (deterministic); without them the repartition is
-    round-robin."""
+    round-robin. ``parts`` lets a caller that already resolved the current
+    partition count (e.g. run_dedup, which also feeds it to verify_pairs)
+    skip the second ``.rdd`` plan resolution."""
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+    if parts < max(2, target // 2):
         cols = [df[c] for c in by]
         return df.repartition(target, *cols) if cols else df.repartition(target)
     return df

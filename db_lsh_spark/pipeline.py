@@ -353,10 +353,11 @@ def run_dedup(
     # gzip file, ...) would otherwise ride a single partition through every
     # narrow stage — AQE's broadcast joins happily preserve it — and the
     # signature UDF would run on one task. One bounded shuffle fixes it.
+    from db_lsh_spark.partitioning import respread
+
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     input_parts = files_ids.rdd.getNumPartitions()
-    if input_parts < max(2, target // 2):
-        files_ids = files_ids.repartition(target, "file_id")
+    files_ids = respread(files_ids, "file_id", parts=input_parts)
     # scale hint for the verify content joins: the scan's own partition
     # count (∝ input bytes / maxPartitionBytes) — see verify_pairs
     verify_parts = max(target, input_parts)

@@ -199,3 +199,38 @@ def test_distributed_cc_constraint_propagation_default(spark, dedup_cfg):
         assert spark.conf.get(key) == "true"  # restored, not clobbered
     finally:
         spark.conf.set(key, prev)
+
+
+def test_null_text_docs_are_singletons(spark, dedup_cfg):
+    """Oracle-semantics pin for NULL text in ``dedup_clusters``: the
+    DuckDB twin unnests string_split(NULL) to ZERO shingle rows and
+    ``text = text`` never matches NULL, so NULL-text docs are always
+    singletons — while empty-string docs share the '' shingle and pair
+    at jaccard 1.0. The r6 members-based rep derivation implements
+    exactly this (its equi-join drops the NULL-sha group); the pre-r6
+    groupBy path let the NULL rep's sentinel signature verify 0/0
+    against empty docs — a latent oracle divergence this test pins out."""
+    from db_lsh_spark.documents import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, ""),
+            (4, ""),
+            (5, base),
+            (6, base),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        int(r.doc_id): int(r.cluster_id)
+        for r in dedup_clusters(spark, docs, dedup_cfg).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    assert got[1] == 1 and got[2] == 2  # NULL docs: singletons (oracle)
+    assert got[3] == got[4] == 3  # '' docs share the '' shingle + bytes
+    assert got[5] == got[6] == 5  # identical texts: sha edge
+    # NULL docs never join the empty-string cluster
+    assert got[1] != got[3] and got[2] != got[3]

@@ -108,3 +108,54 @@ def test_batch_matches_single():
         assert (mh[i] == sig).all()
         assert sh[i] == simhash64(toks)
         assert (bh[i] == band_hashes(sig, CFG.bands, CFG.rows)).all()
+
+
+def test_fnv1a_batch_bit_identical_to_scalar():
+    """r6 kernel guard: the vectorized FNV-1a (padded byte-matrix loop)
+    must be bit-identical to the scalar reference for every token shape —
+    empty, multibyte UTF-8, and both sides of the _FNV_BATCH_MAX_LEN
+    scalar-fallback boundary (63/64/65 bytes) — plus 5k random tokens."""
+    import random
+    import string
+
+    from db_lsh_spark.functions.hashing import _fnv1a_batch, _fnv1a_bytes
+
+    rng = random.Random(7)
+    toks = ["", "a", "é", "☃" * 30, "x" * 63, "y" * 64, "z" * 65, "w" * 200]
+    alphabet = string.ascii_letters + string.digits + "éß☃ _-"
+    toks += [
+        "".join(rng.choices(alphabet, k=rng.randrange(0, 80)))
+        for _ in range(5000)
+    ]
+    got = _fnv1a_batch(toks)
+    want = [_fnv1a_bytes(t.encode("utf-8")) for t in toks]
+    assert got.dtype == np.uint64
+    assert [int(x) for x in got] == want
+
+
+def test_batch_token_hashes_matches_per_token_path():
+    """r6 kernel guard: the factorize-based batch tokenize+hash must be
+    value-identical to the per-text token_hashes(tokenize(...)) path,
+    including None, empty, repeated-vocab and unicode corners."""
+    from db_lsh_spark.functions.hashing import (
+        batch_token_hashes,
+        token_hashes,
+        tokenize,
+    )
+
+    texts = [
+        None,
+        "",
+        "a b c",
+        "a a a b",
+        "é ☃ deux é",
+        "lone",
+        "  x   y  ",
+        ("tok " * 100).strip(),
+    ]
+    got = batch_token_hashes(list(texts))
+    assert len(got) == len(texts)
+    for g, t in zip(got, texts):
+        want = token_hashes(tokenize(t or ""))
+        assert g.dtype == np.uint64
+        assert (g == want).all()

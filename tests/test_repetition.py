@@ -101,3 +101,44 @@ def test_matches_duckdb_twin_seeded(spark):
 
 def test_thresholds_exported():
     assert 0 < REP_DUP5_MAX < REP_TOP2_MAX < 1
+
+
+def test_rep_counts_kernel_matches_jvm_expression(spark):
+    """r6 kernel guard: the Arrow-kernel integer stats (_rep_counts_py,
+    the with_rep_counts hot path) must equal the JVM higher-order
+    _gram_run_stats expression field-for-field on corner shapes —
+    short-doc clamp, whole-text gram, heavy repetition, unicode,
+    empty string — so the kernelization can never silently diverge
+    from the SQL-twin arithmetic the oracle parity rests on."""
+    from pyspark.sql import functions as F
+
+    from db_lsh_spark.operators.text import _gram_run_stats, _rep_counts_py
+
+    texts = [
+        "",
+        "one",
+        "ab cd ab cd ab",
+        "a a a a a a a a",
+        "é ☃ é ☃ é",
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10",
+        ("x y " * 50).strip(),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    toks = F.split("text", " ")
+    jvm = {
+        int(r.doc_id): (
+            (int(r.s2.best), int(r.s2.dup)),
+            (int(r.s5.best), int(r.s5.dup)),
+        )
+        for r in df.select(
+            "doc_id",
+            _gram_run_stats(toks, 2).alias("s2"),
+            _gram_run_stats(toks, 5).alias("s5"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        best2, dup5 = _rep_counts_py(t)
+        assert best2 == jvm[i][0][0], (i, t)
+        assert dup5 == jvm[i][1][1], (i, t)
+    assert _rep_counts_py(None) == (None, None)

@@ -60,9 +60,11 @@ def main() -> None:
             sc.setJobGroup(None, None)
             jids = tracker.getJobIdsForGroup(group)
             njobs = len(jids)
+            # bind one getJobInfo result per id: a second call can race
+            # UI retention eviction and return None after the filter
+            infos = [tracker.getJobInfo(j) for j in jids]
             nstages = sum(
-                len(tracker.getJobInfo(j).stageIds or ()) for j in jids
-                if tracker.getJobInfo(j) is not None
+                len(info.stageIds or ()) for info in infos if info is not None
             )
         if explain_dir:
             os.makedirs(explain_dir, exist_ok=True)

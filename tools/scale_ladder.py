@@ -153,8 +153,30 @@ def main() -> None:
         line = [
             ln for ln in proc.stdout.splitlines() if ln.startswith("LADDER_JSON:")
         ]
+        def flush_ledger(failed_at: int | None = None) -> None:
+            # write after EVERY rung so a failure at the largest (last,
+            # longest) N cannot discard the completed same-window rungs —
+            # the whole point of the back-to-back methodology
+            out = {
+                "round": 6,
+                "window_started_unix": int(t_window),
+                "window_wall_sec": round(time.time() - t_window, 1),
+                "cpus": 32,
+                "runs": results,
+            }
+            if failed_at is not None:
+                out["failed_at_n"] = failed_at
+            with open(
+                os.path.join(REPO, "BENCH", "scale_ladder_r6.json"), "w"
+            ) as fh:
+                json.dump(out, fh, indent=1)
+
         if not line:
             print("FAILED:", proc.stdout[-2000:], proc.stderr[-3000:])
+            if results:
+                flush_ledger(failed_at=n)
+                print("wrote BENCH/scale_ladder_r6.json (partial, "
+                      f"{len(results)} completed rungs)")
             sys.exit(1)
         row = json.loads(line[0][len("LADDER_JSON:"):])
         row["proc_wall_sec"] = round(time.time() - t0, 1)
@@ -163,15 +185,7 @@ def main() -> None:
                            "n_dup_assignments", "pipeline_stage_walls")}),
               flush=True)
         results.append(row)
-    out = {
-        "round": 6,
-        "window_started_unix": int(t_window),
-        "window_wall_sec": round(time.time() - t_window, 1),
-        "cpus": 32,
-        "runs": results,
-    }
-    with open(os.path.join(REPO, "BENCH", "scale_ladder_r6.json"), "w") as fh:
-        json.dump(out, fh, indent=1)
+        flush_ledger()
     print("wrote BENCH/scale_ladder_r6.json")
 
 
